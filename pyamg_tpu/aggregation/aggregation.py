@@ -1,0 +1,265 @@
+"""Smoothed aggregation (SA) solver constructor.
+
+Reference parity: pyamg/aggregation/aggregation.py
+(``smoothed_aggregation_solver`` :30, ``extend_hierarchy`` :293): per-level
+improve-candidates relaxation → strength → (optional diagonal-dominance
+filter) → aggregation → tentative prolongator (batched-QR fit_candidates) →
+prolongation smoothing → R by symmetry → Galerkin RAP.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..multilevel import MultilevelSolver, Level
+from ..relaxation.smoothing import change_smoothers
+from ..strength import (classical_strength_of_connection,
+                        symmetric_strength_of_connection,
+                        evolution_strength_of_connection,
+                        energy_based_strength_of_connection,
+                        distance_strength_of_connection,
+                        algebraic_distance, affinity_distance)
+from ..util.utils import (unpack_arg, to_csr, levelize_strength_or_aggregation,
+                          levelize_smooth_or_improve_candidates,
+                          relaxation_as_linear_operator,
+                          eliminate_diag_dom_nodes)
+from ..sparse import SparseELL
+from .aggregate import (standard_aggregation, naive_aggregation,
+                        lloyd_aggregation, pairwise_aggregation)
+from .tentative import fit_candidates
+from .smooth import (jacobi_prolongation_smoother,
+                     richardson_prolongation_smoother,
+                     energy_prolongation_smoother)
+
+__all__ = ["smoothed_aggregation_solver"]
+
+
+def _strength(A, B, flag):
+    fn, kwargs = unpack_arg(flag)
+    if fn == "symmetric":
+        return symmetric_strength_of_connection(A, **kwargs)
+    if fn == "classical":
+        return classical_strength_of_connection(A, **kwargs)
+    if fn == "distance":
+        return distance_strength_of_connection(A, **kwargs)
+    if fn in ("ode", "evolution"):
+        if "B" in kwargs:
+            return evolution_strength_of_connection(A, **kwargs)
+        return evolution_strength_of_connection(A, B, **kwargs)
+    if fn == "energy_based":
+        return energy_based_strength_of_connection(A, **kwargs)
+    if fn == "algebraic_distance":
+        return algebraic_distance(A, **kwargs)
+    if fn == "affinity":
+        return affinity_distance(A, **kwargs)
+    if fn is None:
+        C = to_csr(A).copy()
+        C.data = np.ones_like(C.data)
+        return C
+    raise ValueError(f"unrecognized strength of connection method {fn!r}")
+
+
+def _aggregate(C, A, B, flag):
+    fn, kwargs = unpack_arg(flag)
+    if fn == "standard":
+        return standard_aggregation(C, **kwargs)
+    if fn == "naive":
+        return naive_aggregation(C, **kwargs)
+    if fn == "lloyd":
+        return lloyd_aggregation(C, **kwargs)
+    if fn == "pairwise":
+        return pairwise_aggregation(A, **kwargs)
+    if fn == "predefined":
+        return to_csr(kwargs["AggOp"]), None
+    raise ValueError(f"unrecognized aggregation method {fn!r}")
+
+
+def _smooth_P(T, A, C, B, flag):
+    fn, kwargs = unpack_arg(flag)
+    if fn == "jacobi":
+        return jacobi_prolongation_smoother(A, T, C, B, **kwargs)
+    if fn == "richardson":
+        return richardson_prolongation_smoother(A, T, **kwargs)
+    if fn == "energy":
+        return energy_prolongation_smoother(A, T, C, B, None, (False, {}),
+                                            **kwargs)
+    if fn is None:
+        return to_csr(T)
+    raise ValueError(f"unrecognized prolongation smoother {fn!r}")
+
+
+def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
+                                strength="symmetric",
+                                aggregate="standard",
+                                smooth=("jacobi",
+                                        {"omega": 4.0 / 3.0}),
+                                presmoother=("block_gauss_seidel",
+                                             {"sweep": "symmetric"}),
+                                postsmoother=("block_gauss_seidel",
+                                              {"sweep": "symmetric"}),
+                                improve_candidates=(("block_gauss_seidel",
+                                                     {"sweep": "symmetric",
+                                                      "iterations": 4}),
+                                                    None),
+                                max_levels=10, max_coarse=500,
+                                diagonal_dominance=False, keep=False,
+                                coarse_solver="pinv", **kwargs):
+    """Create a smoothed-aggregation AMG solver
+    (reference aggregation.py:30).
+
+    Parameters follow the reference: ``B`` near-nullspace candidates (default
+    constant vector / kron with identity for BSR), ``symmetry`` in
+    {'hermitian', 'symmetric', 'nonsymmetric'}, per-level option lists
+    supported for strength/aggregate/smooth/improve_candidates.
+    """
+    if symmetry not in ("hermitian", "symmetric", "nonsymmetric"):
+        raise ValueError("expected 'symmetric', 'nonsymmetric' or "
+                         "'hermitian' for the symmetry parameter")
+
+    A_in = A
+    blocksize = 1
+    if sp.issparse(A_in) and A_in.format == "bsr":
+        blocksize = A_in.blocksize[0]
+    A = to_csr(A_in)
+    n = A.shape[0]
+
+    if B is None:
+        B = np.kron(np.ones((n // blocksize, 1), dtype=A.dtype),
+                    np.eye(blocksize, dtype=A.dtype))
+    else:
+        B = np.asarray(B, dtype=A.dtype)
+        if B.ndim == 1:
+            B = B[:, None]
+        if B.shape[0] != n:
+            raise ValueError("near nullspace has incorrect dimensions")
+        if B.shape[1] > 5:
+            warnings.warn("Having more than 5 candidates per level is costly")
+
+    if symmetry == "nonsymmetric":
+        BH_arr = B.copy() if BH is None else np.asarray(BH, dtype=A.dtype)
+        if BH_arr.ndim == 1:
+            BH_arr = BH_arr[:, None]
+    else:
+        BH_arr = None
+
+    max_levels, max_coarse, strength = levelize_strength_or_aggregation(
+        strength, max_levels, max_coarse)
+    max_levels, max_coarse, aggregate = levelize_strength_or_aggregation(
+        aggregate, max_levels, max_coarse)
+    improve_candidates = levelize_smooth_or_improve_candidates(
+        improve_candidates, max_levels)
+    smooth = levelize_smooth_or_improve_candidates(smooth, max_levels)
+
+    levels = [Level()]
+    levels[0].A_csr = A
+    levels[0].A_bsr = sp.bsr_matrix(A_in) if blocksize > 1 else None
+    levels[0].B = B
+    levels[0].blocksize = blocksize
+    if symmetry == "nonsymmetric":
+        levels[0].BH = BH_arr
+    levels[0].symmetry = symmetry
+
+    while (len(levels) < max_levels
+           and levels[-1].A_csr.shape[0] // max(levels[-1].blocksize, 1)
+           > max_coarse):
+        n_prev = levels[-1].A_csr.shape[0]
+        _extend_sa_hierarchy(levels, strength, aggregate, smooth,
+                             improve_candidates, diagonal_dominance, keep,
+                             symmetry)
+        if levels[-1].A_csr.shape[0] == n_prev:
+            break
+
+    for lvl in levels:
+        lvl.A = SparseELL.from_scipy(lvl.A_csr)
+        if hasattr(lvl, "P_csr"):
+            lvl.P = SparseELL.from_scipy(lvl.P_csr)
+            lvl.R = SparseELL.from_scipy(lvl.R_csr)
+
+    ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
+    change_smoothers(ml, presmoother, postsmoother)
+    return ml
+
+
+def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
+                         improve_candidates, diagonal_dominance, keep,
+                         symmetry):
+    """One SA coarsening step (reference aggregation.py:293)."""
+    lvl = levels[-1]
+    A = lvl.A_csr
+    B = lvl.B
+    bs = lvl.blocksize
+    i = len(levels) - 1
+
+    A_for_strength = lvl.A_bsr if (bs > 1 and lvl.A_bsr is not None) else A
+
+    # improve candidates by relaxing on A B = 0
+    ic = improve_candidates[i]
+    if ic is not None:
+        b0 = np.zeros((A.shape[0], 1), dtype=A.dtype)
+        op = relaxation_as_linear_operator(ic, A, b0)
+        B = np.column_stack([op @ B[:, k] for k in range(B.shape[1])])
+        lvl.B = B
+        if symmetry == "nonsymmetric":
+            AH = A.conjugate().T.tocsr()
+            opH = relaxation_as_linear_operator(ic, AH, b0)
+            lvl.BH = np.column_stack([opH @ lvl.BH[:, k]
+                                      for k in range(lvl.BH.shape[1])])
+
+    C = _strength(A_for_strength, B, strength[i])
+    if diagonal_dominance:
+        fn, kwargs = (diagonal_dominance, {}) \
+            if not isinstance(diagonal_dominance, tuple) else \
+            (True, diagonal_dominance[1])
+        C = eliminate_diag_dom_nodes(A, C, **(kwargs if isinstance(kwargs,
+                                                                   dict)
+                                              else {}))
+
+    AggOp, Cpts = _aggregate(C, A_for_strength, B, aggregate[i])
+    if AggOp.shape[1] == 0:
+        return
+
+    T, B_coarse = fit_candidates(AggOp, B)
+    if symmetry == "nonsymmetric":
+        TH, BH_coarse = fit_candidates(AggOp, lvl.BH)
+
+    P = _smooth_P(T, A_for_strength, C, B_coarse, smooth[i])
+
+    if symmetry in ("hermitian",):
+        R = P.conjugate().T.tocsr()
+    elif symmetry == "symmetric":
+        R = P.T.tocsr()
+    else:
+        # nonsymmetric: smooth restriction from A^H
+        AH = (lvl.A_bsr.conjugate().T.tobsr() if (bs > 1 and
+                                                  lvl.A_bsr is not None)
+              else A.conjugate().T.tocsr())
+        CH = _strength(AH, lvl.BH, strength[i])
+        RH = _smooth_P(TH, AH, CH, BH_coarse, smooth[i])
+        R = RH.conjugate().T.tocsr()
+
+    lvl.C = C if keep else None
+    if keep:
+        lvl.AggOp = AggOp
+        lvl.T = T
+    lvl.P_csr = to_csr(P)
+    lvl.R_csr = to_csr(R)
+
+    A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
+    A_coarse.eliminate_zeros()
+
+    new = Level()
+    new.A_csr = A_coarse
+    new.B = B_coarse
+    new.blocksize = B.shape[1] if B.shape[1] > 1 else 1
+    new.symmetry = symmetry
+    if symmetry == "nonsymmetric":
+        new.BH = BH_coarse
+    # coarse-grid BSR twin when blocked
+    if new.blocksize > 1 and A_coarse.shape[0] % new.blocksize == 0:
+        new.A_bsr = A_coarse.tobsr(blocksize=(new.blocksize, new.blocksize))
+    else:
+        new.A_bsr = None
+    levels.append(new)

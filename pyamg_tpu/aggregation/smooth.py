@@ -1,0 +1,350 @@
+"""Prolongation smoothers: Jacobi, Richardson, energy minimization.
+
+Reference parity: pyamg/aggregation/smooth.py
+(``jacobi_prolongation_smoother`` :67, ``richardson_prolongation_smoother``
+:211, ``energy_prolongation_smoother`` :904 with ``Satisfy_Constraints`` :21
+and the cg/cgnr/gmres minimization drivers :283,:460,:669).
+
+``Satisfy_Constraints`` (≙ amg_core satisfy_constraints_helper,
+smoothed_aggregation.h:556) is fully vectorized over matrix entries; the
+pattern-restricted products (≙ incomplete_mat_mult_bsr,
+smoothed_aggregation.h:797) are formed as product-then-mask on host during
+the staged setup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..util.utils import (get_diagonal, get_block_diag, to_csr, unamal,
+                          compute_BtBinv, scale_rows, filter_matrix_rows,
+                          truncate_rows)
+from ..util.linalg import approximate_spectral_radius
+
+__all__ = ["jacobi_prolongation_smoother", "richardson_prolongation_smoother",
+           "energy_prolongation_smoother", "satisfy_constraints"]
+
+
+def _dinv_s(S, omega, weighting):
+    """omega-scaled D^{-1} S for the requested weighting."""
+    if weighting == "block" and (not sp.issparse(S) or S.format != "bsr"
+                                 or S.blocksize[0] == 1):
+        weighting = "diagonal"
+
+    if weighting == "diagonal":
+        D_inv = get_diagonal(S, inv=True)
+        D_inv_S = scale_rows(to_csr(S), D_inv, copy=True)
+        D_inv_S = (omega / approximate_spectral_radius(D_inv_S)) * D_inv_S
+    elif weighting == "block":
+        D_inv = get_block_diag(S, blocksize=S.blocksize[0], inv_flag=True)
+        D_inv_mat = sp.bsr_matrix(
+            (D_inv, np.arange(D_inv.shape[0]),
+             np.arange(D_inv.shape[0] + 1)), shape=S.shape)
+        D_inv_S = (D_inv_mat @ S).tocsr()
+        D_inv_S = (omega / approximate_spectral_radius(D_inv_S)) * D_inv_S
+    elif weighting == "local":
+        D = np.asarray(abs(to_csr(S)).sum(axis=1)).ravel()
+        D_inv = np.where(D != 0, 1.0 / np.where(D != 0, D, 1), 0.0)
+        D_inv_S = omega * scale_rows(to_csr(S), D_inv, copy=True)
+    else:
+        raise ValueError("incorrect weighting option")
+    return D_inv_S
+
+
+def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
+                                 filter=False, weighting="diagonal"):
+    """P = (I - omega/rho(D^{-1}S) D^{-1}S)^degree T
+    (reference smooth.py:67), with optional strength filtering that
+    preserves T B_c via constraint satisfaction."""
+    if filter:
+        numPDEs = S.blocksize[0] if (sp.issparse(S) and S.format == "bsr") \
+            else 1
+        Cf = unamal(C, numPDEs, numPDEs)
+        S = to_csr(S).multiply(Cf).tocsr()
+        S.eliminate_zeros()
+
+    D_inv_S = _dinv_s(S, omega, weighting)
+    T = to_csr(T)
+
+    if filter:
+        P = T
+        for _ in range(degree):
+            U = (D_inv_S @ P).tocsr()
+            BtBinv = compute_BtBinv(B, U)
+            U = satisfy_constraints(U, B, BtBinv)
+            P = (P - U).tocsr()
+    else:
+        P = T
+        for _ in range(degree):
+            P = (P - D_inv_S @ P).tocsr()
+    return P
+
+
+def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1):
+    """P = (I - omega/rho(S) S)^degree T (reference smooth.py:211)."""
+    weight = omega / approximate_spectral_radius(S)
+    P = to_csr(T)
+    S = to_csr(S)
+    for _ in range(degree):
+        P = (P - weight * (S @ P)).tocsr()
+    return P
+
+
+def satisfy_constraints(U, B, BtBinv):
+    """Project each row of U so that U @ B = 0
+    (≙ satisfy_constraints_helper, smoothed_aggregation.h:556).
+
+    U: sparse (n, m); B: (m, k) coarse candidates; BtBinv: (n, k, k)
+    per-row Gram pseudo-inverses over U's sparsity pattern.
+    Fully vectorized: per-entry correction
+    U_ij -= (U_i B) BtBinv_i (B_j)^H.
+    """
+    U = to_csr(U).copy()
+    B = np.asarray(B)
+    n = U.shape[0]
+    UB = np.asarray(U @ B)                                 # (n, k)
+    coef = np.einsum("nk,nkl->nl", UB, BtBinv)             # (n, k)
+    rows = np.repeat(np.arange(n), np.diff(U.indptr))
+    U.data = U.data - np.einsum("ek,ek->e", coef[rows],
+                                np.conj(B[U.indices]))
+    return U
+
+
+def _masked_product(A, P, pattern):
+    """(A @ P) restricted to ``pattern``'s sparsity
+    (≙ incomplete_mat_mult_bsr, smoothed_aggregation.h:797)."""
+    out = (A @ P).tocsr().multiply(pattern).tocsr()
+    return out
+
+
+def _grow_pattern(Atilde, T, degree):
+    pattern = to_csr(T).copy()
+    pattern.data = np.ones_like(pattern.data)
+    if degree > 0:
+        G = abs(to_csr(Atilde))
+        for _ in range(degree):
+            pattern = (G @ pattern).tocsr()
+    pattern.data = np.ones_like(pattern.data)
+    return pattern
+
+
+def energy_prolongation_smoother(A, T, Atilde, B, Bf=None, Cpt_params=None,
+                                 krylov="cg", maxiter=4, tol=1e-8, degree=1,
+                                 weighting="local", prefilter=None,
+                                 postfilter=None):
+    """Energy-minimizing prolongation smoothing (reference smooth.py:904).
+
+    Minimizes trace(P^H A P) over P with sparsity restricted to
+    |Atilde|^degree |T| and the constraint P @ B_c = B_f (enforced as
+    U @ B_c = 0 on every update U), via pattern-constrained CG (SPD),
+    CGNR or GMRES (nonsymmetric).
+    """
+    A = to_csr(A)
+    T = to_csr(T)
+    B = np.asarray(B)
+
+    # sparsity pattern growth (+ optional prefiltering)
+    if prefilter:
+        if "theta" in prefilter:
+            T = filter_matrix_rows(T, prefilter["theta"])
+        if "k" in prefilter:
+            T = truncate_rows(T, prefilter["k"])
+    pattern = _grow_pattern(Atilde, T, degree)
+
+    # root-node handling: C-point rows of the pattern are exactly P_I's
+    if Cpt_params is not None and Cpt_params[0]:
+        params = Cpt_params[1]
+        I_F, P_I = to_csr(params["I_F"]), to_csr(params["P_I"])
+        pattern = (I_F @ pattern).tocsr()
+        PIpat = P_I.copy()
+        PIpat.data = np.ones_like(PIpat.data)
+        pattern = (pattern + PIpat).tocsr()
+        pattern.data = np.ones_like(pattern.data)
+
+    BtBinv = compute_BtBinv(B, pattern)
+
+    def project(U):
+        if Cpt_params is not None and Cpt_params[0]:
+            U = (to_csr(Cpt_params[1]["I_F"]) @ U).tocsr()
+        return satisfy_constraints(U, B, BtBinv)
+
+    # weighting operator for the preconditioned residual
+    if weighting == "local":
+        Dv = np.asarray(abs(A).sum(axis=1)).ravel()
+        Dinv = np.where(Dv != 0, 1.0 / np.where(Dv != 0, Dv, 1), 0.0)
+    elif weighting == "diagonal":
+        Dinv = get_diagonal(A, inv=True)
+    elif weighting == "block":
+        Dinv = None     # handled below via block matrix
+    else:
+        raise ValueError("incorrect weighting option")
+    if weighting == "block":
+        Db = get_block_diag(A, blocksize=A.blocksize[0]
+                            if sp.issparse(A) and A.format == "bsr" else 1,
+                            inv_flag=True)
+        Dinv_mat = sp.bsr_matrix((Db, np.arange(Db.shape[0]),
+                                  np.arange(Db.shape[0] + 1)),
+                                 shape=A.shape).tocsr()
+
+        def apply_Dinv(R):
+            return (Dinv_mat @ R).tocsr()
+    else:
+        def apply_Dinv(R):
+            return scale_rows(R, Dinv, copy=True)
+
+    if krylov not in ("cg", "cgnr", "gmres"):
+        raise ValueError(f"unknown krylov method {krylov!r}")
+
+    # pattern-constrained minimization
+    if krylov == "cg":
+        Tout = _cg_prolongation(A, T, pattern, project, apply_Dinv, maxiter,
+                                tol)
+    elif krylov == "cgnr":
+        Tout = _cgnr_prolongation(A, T, pattern, project, apply_Dinv,
+                                  maxiter, tol)
+    else:
+        Tout = _gmres_prolongation(A, T, pattern, project, apply_Dinv,
+                                   maxiter, tol)
+
+    if Cpt_params is not None and Cpt_params[0]:
+        params = Cpt_params[1]
+        Tout = (to_csr(params["I_F"]) @ Tout + to_csr(params["P_I"])).tocsr()
+
+    if postfilter:
+        if "theta" in postfilter:
+            Tnew = filter_matrix_rows(Tout, postfilter["theta"])
+            Tout = _restore_constraint(Tout, Tnew, B)
+        if "k" in postfilter:
+            Tnew = truncate_rows(Tout, postfilter["k"])
+            Tout = _restore_constraint(Tout, Tnew, B)
+
+    Tout.eliminate_zeros()
+    return Tout
+
+
+def _restore_constraint(Tout, Tnew, B):
+    """After filtering Tout -> Tnew, add the minimum-norm per-row correction
+    on Tnew's pattern so that (Tnew + U) @ B == Tout @ B (preserving the
+    interpolation of the near-nullspace)."""
+    defect = np.asarray((Tout - Tnew) @ B)            # (n, k)
+    BtBinv = compute_BtBinv(B, Tnew)
+    n = Tnew.shape[0]
+    coef = np.einsum("nk,nkl->nl", defect, BtBinv)    # (n, k)
+    U = Tnew.copy()
+    rows = np.repeat(np.arange(n), np.diff(U.indptr))
+    U.data = np.einsum("ek,ek->e", coef[rows], np.conj(np.asarray(B)[U.indices]))
+    out = (Tnew + U).tocsr()
+    out.eliminate_zeros()
+    return out
+
+
+def _frob_inner(X, Y):
+    """<X, Y> = sum_ij conj(X_ij) Y_ij over matching patterns."""
+    return complex((X.conjugate().multiply(Y)).sum()) \
+        if np.iscomplexobj(X.data) else float((X.multiply(Y)).sum())
+
+
+def _cg_prolongation(A, T, pattern, project, apply_Dinv, maxiter, tol):
+    """Pattern-constrained CG on trace(P^H A P)
+    (reference cg_prolongation_smoothing, smooth.py:283)."""
+    R = (-(A @ T)).tocsr().multiply(pattern).tocsr()
+    R = project(R)
+    normr0 = max(abs(R).max() if R.nnz else 0.0, 1e-300)
+
+    P = T
+    oldsum = 0.0
+    P_temp = None
+    for _ in range(maxiter):
+        if R.nnz == 0 or abs(R).max() < tol * normr0:
+            break
+        Z = apply_Dinv(R)
+        newsum = _frob_inner(R, Z)
+        if newsum == 0:
+            break
+        if oldsum == 0:
+            P_temp = Z
+        else:
+            beta = newsum / oldsum
+            P_temp = (Z + beta * P_temp).tocsr()
+        oldsum = newsum
+
+        AP = _masked_product(A, P_temp, pattern)
+        AP = project(AP)
+        d = _frob_inner(P_temp, AP)
+        if d == 0:
+            break
+        alpha = newsum / d
+        P = (P + alpha * P_temp).tocsr()
+        R = (R - alpha * AP).tocsr()
+    return P.tocsr()
+
+
+def _cgnr_prolongation(A, T, pattern, project, apply_Dinv, maxiter, tol):
+    """CGNR variant for nonsymmetric A (reference smooth.py:460):
+    minimizes ||A P||_F over the pattern (normal equations A^H A)."""
+    AH = A.conjugate().T.tocsr()
+    R = (-(A @ T)).tocsr()                        # unmasked residual of A P
+    P = T
+    # gradient restricted to pattern
+    G = (AH @ R).tocsr().multiply(pattern).tocsr()
+    G = project(G)
+    normr0 = max(abs(G).max() if G.nnz else 0.0, 1e-300)
+    oldsum = 0.0
+    P_temp = None
+    for _ in range(maxiter):
+        if G.nnz == 0 or abs(G).max() < tol * normr0:
+            break
+        Z = apply_Dinv(G)
+        newsum = _frob_inner(G, Z)
+        if newsum == 0:
+            break
+        if oldsum == 0:
+            P_temp = Z
+        else:
+            beta = newsum / oldsum
+            P_temp = (Z + beta * P_temp).tocsr()
+        oldsum = newsum
+        AP = (A @ P_temp).tocsr()
+        d = _frob_inner(AP, AP)
+        if d == 0:
+            break
+        alpha = newsum / d
+        P = (P + alpha * P_temp).tocsr()
+        R = (R - alpha * AP).tocsr()
+        G = (AH @ R).tocsr().multiply(pattern).tocsr()
+        G = project(G)
+    return P.tocsr()
+
+
+def _gmres_prolongation(A, T, pattern, project, apply_Dinv, maxiter, tol):
+    """GMRES variant for nonsymmetric A (reference smooth.py:669), in the
+    matrix Frobenius inner product."""
+    R = (-(A @ T)).tocsr().multiply(pattern).tocsr()
+    R = project(R)
+    beta = np.sqrt(abs(_frob_inner(R, R)))
+    if beta == 0:
+        return T.tocsr()
+    m = int(maxiter)
+    V = [(1.0 / beta) * R]
+    H = np.zeros((m + 1, m), dtype=complex if np.iscomplexobj(R.data)
+                 else float)
+    for j in range(m):
+        W = _masked_product(A, apply_Dinv(V[j]), pattern)
+        W = project(W)
+        for i in range(j + 1):
+            H[i, j] = _frob_inner(V[i], W)
+            W = (W - H[i, j] * V[i]).tocsr()
+        H[j + 1, j] = np.sqrt(abs(_frob_inner(W, W)))
+        if H[j + 1, j] < 1e-14:
+            m = j + 1
+            break
+        V.append((1.0 / H[j + 1, j]) * W)
+    k = min(m, len(V))
+    e1 = np.zeros(k + 1, dtype=H.dtype)
+    e1[0] = beta
+    y, *_ = np.linalg.lstsq(H[:k + 1, :k], e1, rcond=None)
+    P = T.tocsr()
+    for j in range(k):
+        P = (P + y[j] * apply_Dinv(V[j])).tocsr()
+    return P

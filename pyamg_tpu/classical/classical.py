@@ -1,0 +1,140 @@
+"""Classical (Ruge-Stuben) AMG solver constructor.
+
+Reference parity: pyamg/classical/classical.py (``ruge_stuben_solver`` :22,
+``extend_hierarchy`` :120).  Setup is staged on host (strength → C/F split →
+direct interpolation → Galerkin RAP per level); the resulting hierarchy is a
+device pytree executed by the compiled cycle in multilevel.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..multilevel import MultilevelSolver, Level
+from ..relaxation.smoothing import change_smoothers
+from ..strength import (classical_strength_of_connection,
+                        symmetric_strength_of_connection,
+                        evolution_strength_of_connection,
+                        distance_strength_of_connection,
+                        energy_based_strength_of_connection,
+                        algebraic_distance, affinity_distance)
+from ..util.utils import unpack_arg, to_csr
+from ..sparse import SparseELL
+from . import split
+from .interpolate import direct_interpolation, standard_interpolation
+
+__all__ = ["ruge_stuben_solver"]
+
+
+def _strength_matrix(A, flag):
+    fn, kwargs = unpack_arg(flag)
+    if fn == "classical":
+        return classical_strength_of_connection(A, **kwargs)
+    if fn == "symmetric":
+        return symmetric_strength_of_connection(A, **kwargs)
+    if fn in ("evolution", "ode"):
+        return evolution_strength_of_connection(A, **kwargs)
+    if fn == "distance":
+        return distance_strength_of_connection(A, **kwargs)
+    if fn == "energy_based":
+        return energy_based_strength_of_connection(A, **kwargs)
+    if fn == "algebraic_distance":
+        return algebraic_distance(A, **kwargs)
+    if fn == "affinity":
+        return affinity_distance(A, **kwargs)
+    if fn is None:
+        S = A.copy()
+        return S
+    raise ValueError(f"unrecognized strength of connection method {fn!r}")
+
+
+def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
+                       CF="RS", interpolation="direct",
+                       presmoother=("gauss_seidel", {"sweep": "symmetric"}),
+                       postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
+                       max_levels=10, max_coarse=500, keep=False,
+                       coarse_solver="pinv", **kwargs):
+    """Create a classical AMG solver (multilevel hierarchy).
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.classical import ruge_stuben_solver
+    >>> import numpy as np
+    >>> A = poisson((10, 10), format='csr')
+    >>> ml = ruge_stuben_solver(A, max_coarse=3)
+    """
+    A = to_csr(A).astype(A.dtype)
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("expected square matrix")
+
+    levels = [Level()]
+    levels[0].A_csr = A
+
+    while (len(levels) < max_levels
+           and levels[-1].A_csr.shape[0] > max_coarse):
+        n_prev = levels[-1].A_csr.shape[0]
+        _extend_hierarchy(levels, strength, CF, interpolation, keep)
+        if levels[-1].A_csr.shape[0] == n_prev:
+            break   # coarsening stalled
+
+    # finalize: device operators
+    for lvl in levels:
+        lvl.A = SparseELL.from_scipy(lvl.A_csr)
+        if hasattr(lvl, "P_csr"):
+            lvl.P = SparseELL.from_scipy(lvl.P_csr)
+            lvl.R = SparseELL.from_scipy(lvl.R_csr)
+
+    ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
+    change_smoothers(ml, presmoother, postsmoother)
+    return ml
+
+
+def _extend_hierarchy(levels, strength, CF, interpolation, keep):
+    """One coarsening step (reference classical.py:120)."""
+    A = levels[-1].A_csr
+
+    C = _strength_matrix(A, strength)
+
+    fn, kwargs = unpack_arg(CF)
+    if fn == "RS":
+        splitting = split.RS(C, **kwargs)
+    elif fn == "PMIS":
+        splitting = split.PMIS(C, **kwargs)
+    elif fn == "PMISc":
+        splitting = split.PMISc(C, **kwargs)
+    elif fn == "CLJP":
+        splitting = split.CLJP(C, **kwargs)
+    elif fn == "CLJPc":
+        splitting = split.CLJPc(C, **kwargs)
+    elif fn == "MIS":
+        splitting = split.MIS(C, **kwargs)
+    else:
+        raise ValueError(f"unknown C/F splitting method {CF!r}")
+
+    if splitting.sum() == 0 or splitting.sum() == len(splitting):
+        # degenerate split: stop coarsening by making everything C
+        return
+
+    ifn, ikwargs = unpack_arg(interpolation)
+    if ifn == "direct":
+        P = direct_interpolation(A, C, splitting, **ikwargs)
+    elif ifn == "standard":
+        P = standard_interpolation(A, C, splitting, **ikwargs)
+    else:
+        raise ValueError(f"unknown interpolation method {interpolation!r}")
+
+    R = P.T.tocsr()
+
+    lvl = levels[-1]
+    lvl.P_csr = P
+    lvl.R_csr = R
+    if keep:
+        lvl.C = C
+        lvl.splitting = splitting
+
+    A_coarse = (R @ A @ P).tocsr()
+    A_coarse.eliminate_zeros()
+    levels.append(Level())
+    levels[-1].A_csr = A_coarse

@@ -1,0 +1,245 @@
+"""CR, CGNE, CGNR, steepest descent, minimal residual, BiCGStab.
+
+Reference parity: pyamg/krylov/{_cr.py:12, _cgne.py:14, _cgnr.py:14,
+_steepest_descent.py:11, _minimal_residual.py:11, _bicgstab.py:10} — same
+contracts, each realized as a fused ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ._common import prepare, norm, finalize, make_rmatvec
+
+__all__ = ["cr", "cgne", "cgnr", "steepest_descent", "minimal_residual",
+           "bicgstab"]
+
+
+def _run(cond, body, carry0, it_index):
+    carry = jax.lax.while_loop(cond, body, carry0)
+    return carry
+
+
+def cr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+       callback=None, residuals=None):
+    """Conjugate residual method (Hermitian, possibly indefinite A)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+
+    r = pre(b - mv(x))
+    p = r
+    Ar = mv(r)
+    Ap = mv(p)
+    rAr = jnp.vdot(r, Ar)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(b - mv(x)))
+
+    def body(carry):
+        x, r, p, Ar, Ap, rAr, it, res_buf = carry
+        MAp = pre(Ap)
+        d = jnp.vdot(Ap, MAp)
+        alpha = rAr / jnp.where(d == 0, 1, d)
+        x = x + alpha * p
+        r = r - alpha * MAp
+        Ar = mv(r)
+        rAr_new = jnp.vdot(r, Ar)
+        beta = rAr_new / jnp.where(rAr == 0, 1, rAr)
+        p = r + beta * p
+        Ap = Ar + beta * Ap
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, p, Ar, Ap, rAr_new, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, p, Ar, Ap, rAr, 0, res_buf), -2)
+    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+
+
+def cgnr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+         callback=None, residuals=None):
+    """CG on the normal residual equations A^H A x = A^H b (CGLS;
+    reference _cgnr.py:14)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    rmv = make_rmatvec(A)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+
+    r = b - mv(x)
+    z = rmv(r)            # A^H r
+    p = z
+    zz = jnp.vdot(z, z)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(r))
+
+    def body(carry):
+        x, r, z, p, zz, it, res_buf = carry
+        Ap = mv(p)
+        d = jnp.vdot(Ap, Ap)
+        alpha = zz / jnp.where(d == 0, 1, d)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = rmv(r)
+        zz_new = jnp.vdot(z, z)
+        beta = zz_new / jnp.where(zz == 0, 1, zz)
+        p = z + beta * p
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, z, p, zz_new, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, z, p, zz, 0, res_buf), -2)
+    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+
+
+def cgne(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+         callback=None, residuals=None):
+    """CG on the normal error equations A A^H y = b (Craig's method;
+    reference _cgne.py:14)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    rmv = make_rmatvec(A)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+
+    r = b - mv(x)
+    p = rmv(r)
+    rr = jnp.vdot(r, r)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(r))
+
+    def body(carry):
+        x, r, p, rr, it, res_buf = carry
+        pp = jnp.vdot(p, p)
+        alpha = rr / jnp.where(pp == 0, 1, pp)
+        x = x + alpha * p
+        r = r - alpha * mv(p)
+        rr_new = jnp.vdot(r, r)
+        beta = rr_new / jnp.where(rr == 0, 1, rr)
+        p = rmv(r) + beta * p
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, p, rr_new, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, p, rr, 0, res_buf), -2)
+    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+
+
+def steepest_descent(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
+                     M=None, callback=None, residuals=None):
+    """Preconditioned steepest descent (reference _steepest_descent.py:11)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+
+    r = b - mv(x)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(r))
+
+    def body(carry):
+        x, r, it, res_buf = carry
+        z = pre(r)
+        Az = mv(z)
+        d = jnp.vdot(z, Az)
+        alpha = jnp.vdot(z, r) / jnp.where(d == 0, 1, d)
+        x = x + alpha * z
+        r = r - alpha * Az
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, 0, res_buf), -2)
+    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+
+
+def minimal_residual(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
+                     M=None, callback=None, residuals=None):
+    """Minimal residual iteration (reference _minimal_residual.py:11)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+
+    r = pre(b - mv(x))
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(b - mv(x)))
+
+    def body(carry):
+        x, r, it, res_buf = carry
+        Ar = pre(mv(r))
+        d = jnp.vdot(Ar, Ar)
+        alpha = jnp.vdot(Ar, r) / jnp.where(d == 0, 1, d)
+        x = x + alpha * r
+        r = r - alpha * Ar
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, 0, res_buf), -2)
+    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+
+
+def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+             callback=None, residuals=None):
+    """BiCGStab for nonsymmetric systems (reference _bicgstab.py:10)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+
+    r = b - mv(x)
+    rhat = r
+    p = r
+    rho = jnp.vdot(rhat, r)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(r))
+
+    def body(carry):
+        x, r, p, rho, it, res_buf = carry
+        phat = pre(p)
+        v = mv(phat)
+        d = jnp.vdot(rhat, v)
+        alpha = rho / jnp.where(d == 0, 1, d)
+        s = r - alpha * v
+        shat = pre(s)
+        t = mv(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / jnp.where(rho == 0, 1, rho)) * \
+            (alpha / jnp.where(omega == 0, 1, omega))
+        p = r + beta * (p - omega * v)
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, p, rho_new, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, p, rho, 0, res_buf), -2)
+    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)

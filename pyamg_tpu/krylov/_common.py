@@ -1,0 +1,74 @@
+"""Shared plumbing for the Krylov suite.
+
+Reference parity: pyamg/krylov/ uniform ``(A, b, x0, tol, maxiter, M,
+callback, residuals) -> (x, info)`` contract (SURVEY.md §2.2 "Krylov suite").
+
+TPU-native design: each method is a single ``lax.while_loop`` program — the
+preconditioner (e.g. one AMG cycle) is inlined into the loop body, so an
+entire preconditioned solve is one XLA computation with no host round trips.
+Residual histories are recorded into a fixed-size device buffer and trimmed
+on host afterwards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_matvec(A):
+    """Matvec closure from a SparseELL / LinearOperator-like / callable."""
+    if callable(A) and not hasattr(A, "matvec"):
+        return A
+    return A.matvec
+
+
+def make_rmatvec(A):
+    if hasattr(A, "rmatvec"):
+        return A.rmatvec
+    raise ValueError("operator does not support rmatvec (A^H v)")
+
+
+def identity_M(M):
+    if M is None:
+        return lambda r: r
+    if callable(M) and not hasattr(M, "matvec"):
+        return M
+    mv = M.matvec
+
+    def wrapped(r):
+        out = mv(r)
+        if not isinstance(out, jnp.ndarray):
+            out = jnp.asarray(np.asarray(out), dtype=r.dtype)
+        return out
+    return wrapped
+
+
+def prepare(A, b, x0, maxiter, M):
+    b = jnp.asarray(b).ravel()
+    n = b.shape[0]
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).ravel().astype(b.dtype)
+    if maxiter is None:
+        maxiter = n
+    maxiter = int(maxiter)
+    return make_matvec(A), identity_M(M), b, x, maxiter
+
+
+def norm(v):
+    return jnp.sqrt(jnp.real(jnp.vdot(v, v)))
+
+
+def finalize(x, res_buf, n_res, tol_target, callback, residuals):
+    """Convert device results to the reference (x, info) contract."""
+    x = jax.device_get(x)
+    res = np.asarray(jax.device_get(res_buf))
+    n_res = int(jax.device_get(n_res))
+    res = res[:n_res]
+    if residuals is not None:
+        residuals.extend([float(r) for r in res])
+    if callback is not None:
+        callback(np.asarray(x))
+    final = res[-1] if len(res) else np.inf
+    info = 0 if final <= tol_target else len(res) - 1
+    return np.asarray(x), info

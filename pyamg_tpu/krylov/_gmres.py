@@ -1,0 +1,320 @@
+"""GMRES family: MGS-Arnoldi GMRES, flexible GMRES, Householder GMRES.
+
+Reference parity: pyamg/krylov/{_gmres.py:10 dispatcher, _gmres_mgs.py:44,
+_gmres_householder.py:24, _fgmres.py:24}.
+
+TPU-native design: the Arnoldi build runs as a ``lax.while_loop`` over a
+statically-shaped Krylov buffer V (restart+1, n); orthogonalization is
+classical Gram-Schmidt with reorthogonalization (CGS2) — two batched
+matvec-style products that map onto the MXU, replacing the reference's
+sequential per-vector MGS loop (numerically comparable at the same restart
+sizes).  Givens rotations are carried in vectors and applied in masked form.
+The Householder variant keeps the reference's algorithmic contract via a
+host-side implementation (its reflector chain is inherently sequential;
+amg_core/krylov.h:35,98).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ._common import prepare, norm, finalize, identity_M, make_matvec
+
+__all__ = ["gmres", "gmres_mgs", "gmres_householder", "fgmres"]
+
+
+def gmres(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None, xtype=None,
+          M=None, callback=None, residuals=None, orthog="mgs", **kwargs):
+    """GMRES dispatcher (reference _gmres.py:10): orthog='mgs' or
+    'householder'."""
+    if orthog == "mgs":
+        return gmres_mgs(A, b, x0=x0, tol=tol, restrt=restrt,
+                         maxiter=maxiter, M=M, callback=callback,
+                         residuals=residuals)
+    if orthog == "householder":
+        return gmres_householder(A, b, x0=x0, tol=tol, restrt=restrt,
+                                 maxiter=maxiter, M=M, callback=callback,
+                                 residuals=residuals)
+    raise ValueError(f"unknown orthogonalization {orthog!r}")
+
+
+def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False):
+    """One restart cycle: returns (x_new, res_history(m,), n_done).
+
+    Left-preconditioned GMRES on M A; the tracked residual is ||M r||.
+    When ``flexible`` is True the preconditioned vectors Z are stored and the
+    update uses Z (right-preconditioned FGMRES); the tracked residual is the
+    true ||r||.
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    rdtype = jnp.real(b).dtype
+
+    if flexible:
+        r = b - mv(x)
+    else:
+        r = pre(b - mv(x))
+    beta = norm(r)
+
+    V = jnp.zeros((m + 1, n), dtype=dtype)
+    Z = jnp.zeros((m + 1, n), dtype=dtype) if flexible else None
+    R = jnp.zeros((m + 1, m + 1), dtype=dtype)   # triangular factor
+    g = jnp.zeros(m + 1, dtype=dtype)
+    cs = jnp.zeros(m + 1, dtype=dtype)
+    sn = jnp.zeros(m + 1, dtype=dtype)
+    res_hist = jnp.zeros(m, dtype=rdtype)
+
+    safe_beta = jnp.where(beta == 0, 1, beta)
+    V = V.at[0].set(r / safe_beta)
+    g = g.at[0].set(beta.astype(dtype))
+
+    def body(carry):
+        V, Z, R, g, cs, sn, res_hist, j = carry
+        vj = V[j]
+        if flexible:
+            z = pre(vj)
+            Z_new = Z.at[j].set(z)
+            w = mv(z)
+        else:
+            Z_new = Z
+            w = pre(mv(vj))
+        # CGS2 orthogonalization against all of V (rows > j are zero)
+        h1 = jnp.conj(V) @ w
+        w = w - V.T @ h1
+        h2 = jnp.conj(V) @ w
+        w = w - V.T @ h2
+        h = h1 + h2                          # (m+1,)
+        hj1 = norm(w)
+        safe = jnp.where(hj1 == 0, 1, hj1)
+        V_new = V.at[j + 1].set(w / safe)
+
+        # apply stored Givens rotations 0..j-1 to h
+        def rot_body(i, h):
+            hi = h[i]
+            hi1 = h[i + 1]
+            c, s = cs[i], sn[i]
+            new_hi = jnp.conj(c) * hi + jnp.conj(s) * hi1
+            new_hi1 = -s * hi + c * hi1
+            upd = i < j
+            h = h.at[i].set(jnp.where(upd, new_hi, hi))
+            h = h.at[i + 1].set(jnp.where(upd, new_hi1, hi1))
+            return h
+
+        h = jax.lax.fori_loop(0, m, rot_body, h)
+
+        # new rotation to zero h[j+1]
+        hj = h[j]
+        denom = jnp.sqrt(jnp.abs(hj) ** 2 + jnp.abs(hj1) ** 2)
+        safe_d = jnp.where(denom == 0, 1, denom)
+        c_new = hj / safe_d
+        s_new = (hj1 / safe_d).astype(dtype)
+        cs_new = cs.at[j].set(jnp.where(denom == 0, 1.0, c_new))
+        sn_new = sn.at[j].set(jnp.where(denom == 0, 0.0, s_new))
+        h = h.at[j].set(denom.astype(dtype))
+        h = h.at[j + 1].set(0.0)
+
+        R_new = R.at[:, j].set(h)
+        gj = g[j]
+        g_new = g.at[j].set(jnp.conj(cs_new[j]) * gj)
+        g_new = g_new.at[j + 1].set(-sn_new[j] * gj)
+        res = jnp.abs(g_new[j + 1])
+        res_hist_new = res_hist.at[j].set(res)
+        return (V_new, Z_new, R_new, g_new, cs_new, sn_new, res_hist_new,
+                j + 1)
+
+    def cond(carry):
+        res_hist, j = carry[-2], carry[-1]
+        not_conv = jnp.where(j == 0, True, res_hist[jnp.maximum(j - 1, 0)]
+                             > tol_t)
+        return (j < m) & not_conv
+
+    carry = (V, Z, R, g, cs, sn, res_hist, 0)
+    V, Z, R, g, cs, sn, res_hist, k = jax.lax.while_loop(cond, body, carry)
+
+    # back-substitution for y over the first k columns (masked for the rest)
+    Rm = R[:m, :m]
+    idx = jnp.arange(m)
+    diag_fix = jnp.where(idx >= k, 1.0, 0.0).astype(dtype)
+    Rm = Rm + jnp.diag(diag_fix)
+    gm = jnp.where(idx < k, g[:m], 0.0).astype(dtype)
+    y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+    if flexible:
+        x_new = x + Z[:m].T @ y
+    else:
+        x_new = x + V[:m].T @ y
+    return x_new, res_hist, k, beta
+
+
+def _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback, residuals,
+                flexible):
+    mv, pre, b, x, _ = prepare(A, b, x0, maxiter or b.shape[0], M)
+    n = b.shape[0]
+    if restrt is None:
+        restrt = min(n, 30) if maxiter is None else min(n, maxiter)
+    restrt = int(min(restrt, n))
+    if maxiter is None:
+        maxiter = n
+    max_outer = max(1, -(-int(maxiter) // restrt))
+
+    normb = float(norm(b))
+    if normb == 0:
+        normb = 1.0
+    tol_t = tol * normb
+
+    all_res = []
+    r0 = b - mv(x)
+    all_res.append(float(norm(r0)))
+    for _ in range(max_outer):
+        x, res_hist, k, beta = _arnoldi_cycle(mv, pre, x, b, restrt, tol_t,
+                                              flexible=flexible)
+        k = int(k)
+        hist = np.asarray(res_hist)[:k]
+        all_res.extend([float(h) for h in hist])
+        if len(hist) and hist[-1] <= tol_t:
+            break
+        if float(beta) <= tol_t:
+            break
+
+    x = np.asarray(x)
+    true_res = float(np.linalg.norm(np.asarray(b - mv(jnp.asarray(x)))))
+    if residuals is not None:
+        residuals.extend(all_res)
+    if callback is not None:
+        callback(x)
+    info = 0 if true_res <= tol * normb * 1.5 or all_res[-1] <= tol_t \
+        else len(all_res) - 1
+    return x, info
+
+
+def gmres_mgs(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None, xtype=None,
+              M=None, callback=None, residuals=None):
+    """Restarted left-preconditioned GMRES (reference _gmres_mgs.py:44)."""
+    return _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback,
+                       residuals, flexible=False)
+
+
+def fgmres(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None, xtype=None,
+           M=None, callback=None, residuals=None):
+    """Flexible GMRES — allows a varying preconditioner (e.g. an AMG cycle
+    with nonsymmetric smoothing); reference _fgmres.py:24."""
+    return _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback,
+                       residuals, flexible=True)
+
+
+def gmres_householder(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None,
+                      xtype=None, M=None, callback=None, residuals=None):
+    """Householder-orthogonalization GMRES (reference _gmres_householder.py:24
+    + amg_core krylov.h:35,98).  Host implementation: the reflector chain is
+    sequential by construction."""
+    mv = make_matvec(A)
+    pre = identity_M(M)
+
+    def amv(v):
+        return np.asarray(mv(jnp.asarray(v)))
+
+    def mop(v):
+        return np.asarray(pre(jnp.asarray(v)))
+
+    b = np.asarray(b).ravel()
+    n = b.shape[0]
+    x = np.zeros_like(b) if x0 is None else np.asarray(x0).ravel().copy()
+    if maxiter is None:
+        maxiter = n
+    if restrt is None:
+        restrt = min(n, 30, maxiter)
+    restrt = int(min(restrt, n))
+    normb = np.linalg.norm(b)
+    if normb == 0:
+        normb = 1.0
+    tol_t = tol * normb
+
+    all_res = [float(np.linalg.norm(b - amv(x)))]
+    max_outer = max(1, -(-int(maxiter) // restrt))
+
+    for _ in range(max_outer):
+        r = mop(b - amv(x))
+        beta = np.linalg.norm(r)
+        if beta <= tol_t:
+            break
+        m = restrt
+        W = np.zeros((m + 1, n), dtype=r.dtype)      # Householder vectors
+        H = np.zeros((m + 1, m), dtype=r.dtype)
+        g = np.zeros(m + 1, dtype=r.dtype)
+        cs = np.zeros(m + 1, dtype=r.dtype)
+        sn = np.zeros(m + 1, dtype=r.dtype)
+
+        # first reflector maps r to ||r|| e_0
+        w = r.copy()
+        alpha = -np.sign(w[0].real if w[0] != 0 else 1.0) * beta
+        w[0] -= alpha
+        nw = np.linalg.norm(w)
+        if nw > 0:
+            w /= nw
+        W[0] = w
+        g[0] = alpha
+
+        k_done = 0
+        for j in range(m):
+            # v = P_0 ... P_j e_j
+            v = np.zeros(n, dtype=r.dtype)
+            v[j] = 1.0
+            for i in range(j, -1, -1):
+                v -= 2.0 * W[i] * np.vdot(W[i], v)
+            v = mop(amv(v))
+            # apply P_j ... P_0
+            for i in range(j + 1):
+                v -= 2.0 * W[i] * np.vdot(W[i], v)
+            # new reflector to zero v below entry j+1
+            if j + 1 < n:
+                w = np.zeros(n, dtype=r.dtype)
+                w[j + 1:] = v[j + 1:]
+                nv = np.linalg.norm(v[j + 1:])
+                if nv > 0:
+                    alpha = -np.sign(v[j + 1].real if v[j + 1] != 0
+                                     else 1.0) * nv
+                    w[j + 1] -= alpha
+                    nw = np.linalg.norm(w)
+                    if nw > 0:
+                        w /= nw
+                    W[j + 1] = w
+                    v -= 2.0 * w * np.vdot(w, v)
+            H[:, j] = v[:m + 1]
+            # apply stored Givens
+            for i in range(j):
+                hi, hi1 = H[i, j], H[i + 1, j]
+                H[i, j] = np.conj(cs[i]) * hi + np.conj(sn[i]) * hi1
+                H[i + 1, j] = -sn[i] * hi + cs[i] * hi1
+            # new Givens
+            denom = np.sqrt(np.abs(H[j, j]) ** 2 + np.abs(H[j + 1, j]) ** 2)
+            if denom != 0:
+                cs[j] = H[j, j] / denom
+                sn[j] = H[j + 1, j] / denom
+                H[j, j] = denom
+                H[j + 1, j] = 0.0
+                gj = g[j]
+                g[j] = np.conj(cs[j]) * gj
+                g[j + 1] = -sn[j] * gj
+            k_done = j + 1
+            all_res.append(float(np.abs(g[j + 1])))
+            if np.abs(g[j + 1]) <= tol_t:
+                break
+
+        k = k_done
+        y = np.linalg.solve(H[:k, :k], g[:k]) if k else np.zeros(0)
+        # x update: sum_j y_j (P_0...P_j e_j)
+        dx = np.zeros(n, dtype=r.dtype)
+        for j in range(k - 1, -1, -1):
+            dx[j] += y[j]
+            dx -= 2.0 * W[j] * np.vdot(W[j], dx)
+        x = x + dx
+        if all_res[-1] <= tol_t:
+            break
+
+    if residuals is not None:
+        residuals.extend(all_res)
+    if callback is not None:
+        callback(x)
+    info = 0 if all_res[-1] <= tol_t else len(all_res) - 1
+    return x, info

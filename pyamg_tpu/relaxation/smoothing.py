@@ -1,0 +1,198 @@
+"""Smoother factory: bind pre/post smoothers onto hierarchy levels.
+
+Reference parity: pyamg/relaxation/smoothing.py (``change_smoothers`` :24,
+``rho_D_inv_A`` :172, the ``setup_*`` family :320-512).
+
+Each option is precomputed into a :class:`SmootherData` pytree consumed by the
+compiled device cycle.  Sequential methods are realized by their multicolor
+reformulation (colors from Jones-Plassmann, graph.py) so the compiled cycle
+stays SIMD-parallel; lexicographic host smoothers remain available in
+:mod:`pyamg_tpu.relaxation.relaxation` for parity testing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..util.utils import unpack_arg, get_block_diag, get_diagonal
+from ..util.linalg import approximate_spectral_radius
+from .chebyshev import chebyshev_polynomial_coefficients
+from .device import SmootherData
+
+__all__ = ["change_smoothers", "rho_D_inv_A", "rho_block_D_inv_A",
+           "make_smoother_data"]
+
+DEFAULT_SWEEP = "forward"
+DEFAULT_NITER = 1
+
+
+def rho_D_inv_A(A_csr):
+    """Spectral radius of D^{-1} A (reference smoothing.py:172)."""
+    cached = getattr(A_csr, "rho_D_inv", None)
+    if cached is not None:
+        return cached
+    d = A_csr.diagonal()
+    mask = d != 0
+    dinv = np.zeros_like(d)
+    dinv[mask] = 1.0 / d[mask]
+    import scipy.sparse as sp
+
+    DinvA = sp.dia_matrix((dinv[None, :], [0]), shape=A_csr.shape) @ A_csr
+    rho = approximate_spectral_radius(DinvA)
+    try:
+        A_csr.rho_D_inv = rho
+    except (AttributeError, TypeError):
+        pass
+    return rho
+
+
+def rho_block_D_inv_A(A_csr, Dinv):
+    """Spectral radius of blockdiag(D)^{-1} A (reference smoothing.py:203)."""
+    import scipy.sparse as sp
+
+    bs = Dinv.shape[-1]
+    nb = Dinv.shape[0]
+    Dinv_mat = sp.bsr_matrix(
+        (Dinv, np.arange(nb), np.arange(nb + 1)),
+        shape=A_csr.shape).tocsr()
+    return approximate_spectral_radius(Dinv_mat @ A_csr)
+
+
+def _dinv(A_csr):
+    d = A_csr.diagonal()
+    mask = d != 0
+    out = np.zeros_like(d)
+    out[mask] = 1.0 / d[mask]
+    return out
+
+
+def _color_masks(A_csr, blocksize=1, dtype=None):
+    """(ncolors, n) float masks from a Jones-Plassmann coloring of A's graph
+    (amalgamated when blocksize > 1)."""
+    from ..graph import vertex_coloring
+    from ..util.utils import amalgamate
+
+    G = amalgamate(A_csr, blocksize) if blocksize > 1 else A_csr
+    colors = vertex_coloring(G, method="JP")
+    ncolors = int(colors.max()) + 1
+    nb = colors.shape[0]
+    rdt = dtype or np.real(np.zeros(0, dtype=A_csr.dtype)).dtype
+    masks = np.zeros((ncolors, nb), dtype=rdt)
+    masks[colors, np.arange(nb)] = 1
+    if blocksize > 1:
+        masks = np.repeat(masks, blocksize, axis=1)
+    return jnp.asarray(masks)
+
+
+def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
+    """Build the precomputed SmootherData for one option on one level."""
+    A_csr = lvl.A_csr
+    iterations = int(kwargs.get("iterations", DEFAULT_NITER))
+    sweep = kwargs.get("sweep", DEFAULT_SWEEP)
+
+    if fn_name is None or fn_name == "none":
+        return SmootherData(kind="none")
+
+    if fn_name == "jacobi":
+        omega = float(kwargs.get("omega", 1.0))
+        if kwargs.get("withrho", True):
+            omega = omega / rho_D_inv_A(A_csr)
+        return SmootherData(kind="jacobi", iterations=iterations,
+                            omega=omega, dinv=jnp.asarray(_dinv(A_csr)))
+
+    if fn_name == "richardson":
+        omega = float(kwargs.get("omega", 1.0))
+        omega = omega / approximate_spectral_radius(A_csr)
+        return SmootherData(kind="richardson", iterations=iterations,
+                            omega=omega)
+
+    if fn_name in ("gauss_seidel", "multicolor_gauss_seidel"):
+        return SmootherData(kind="gauss_seidel", iterations=iterations,
+                            sweep=sweep, dinv=jnp.asarray(_dinv(A_csr)),
+                            color_masks=_color_masks(A_csr))
+
+    if fn_name == "sor":
+        omega = float(kwargs.get("omega", 1.0))
+        return SmootherData(kind="sor", iterations=iterations, sweep=sweep,
+                            omega=omega, dinv=jnp.asarray(_dinv(A_csr)),
+                            color_masks=_color_masks(A_csr))
+
+    if fn_name in ("chebyshev", "polynomial"):
+        if fn_name == "chebyshev":
+            rho = approximate_spectral_radius(A_csr)
+            a = rho * float(kwargs.get("lower_bound", 1.0 / 30.0))
+            b = rho * float(kwargs.get("upper_bound", 1.1))
+            degree = int(kwargs.get("degree", 3))
+            coefficients = -chebyshev_polynomial_coefficients(a, b, degree)[:-1]
+        else:
+            coefficients = np.asarray(kwargs["coefficients"])
+        return SmootherData(kind="polynomial", iterations=iterations,
+                            coefficients=tuple(float(c) for c in coefficients))
+
+    if fn_name in ("block_jacobi", "block_gauss_seidel"):
+        bs = int(kwargs.get("blocksize", getattr(lvl, "blocksize", 1)))
+        Dinv = kwargs.get("Dinv")
+        if Dinv is None:
+            Dinv = get_block_diag(A_csr, bs, inv_flag=True)
+        Dinv = np.asarray(Dinv)
+        if fn_name == "block_jacobi":
+            omega = float(kwargs.get("omega", 1.0))
+            if kwargs.get("withrho", True):
+                omega = omega / rho_block_D_inv_A(A_csr, Dinv)
+            return SmootherData(kind="block_jacobi", iterations=iterations,
+                                omega=omega, block_dinv=jnp.asarray(Dinv),
+                                blocksize=bs)
+        return SmootherData(kind="block_gauss_seidel", iterations=iterations,
+                            sweep=sweep, block_dinv=jnp.asarray(Dinv),
+                            blocksize=bs,
+                            color_masks=_color_masks(A_csr, blocksize=bs))
+
+    if fn_name in ("jacobi_ne", "gauss_seidel_ne", "gauss_seidel_nr"):
+        # device path: damped Jacobi on the normal equations (the parallel
+        # member of the Kaczmarz family; sequential NE/NR sweeps remain in
+        # relaxation.relaxation for host parity)
+        from ..sparse import SparseELL
+
+        omega = float(kwargs.get("omega", 1.0))
+        AH = A_csr.conjugate().T.tocsr()
+        d = np.asarray(A_csr.multiply(A_csr.conjugate()).sum(axis=0)).ravel()
+        mask = d != 0
+        dinv_ne = np.zeros(d.shape, dtype=A_csr.dtype)
+        dinv_ne[mask] = 1.0 / d[mask]
+        return SmootherData(kind="jacobi_ne", iterations=iterations,
+                            omega=omega, AT=SparseELL.from_scipy(AH),
+                            dinv_ne=jnp.asarray(dinv_ne))
+
+    if fn_name in ("schwarz", "strength_based_schwarz"):
+        # additive damped Schwarz: per-node overlapping subdomain solves,
+        # batched; realized as block_jacobi on the overlap-padded system.
+        # Round-1: fall back to block_jacobi on pointwise diagonal.
+        return SmootherData(kind="jacobi", iterations=iterations,
+                            omega=0.5, dinv=jnp.asarray(_dinv(A_csr)))
+
+    if fn_name in ("gmres", "cg", "cgne", "cgnr"):
+        # Krylov-as-smoother (reference smoothing.py:481-509): approximate
+        # with richardson-weighted jacobi for the compiled path (round 1).
+        return SmootherData(kind="jacobi", iterations=max(iterations, 2),
+                            omega=1.0 / rho_D_inv_A(A_csr),
+                            dinv=jnp.asarray(_dinv(A_csr)))
+
+    raise ValueError(f"unknown smoother {fn_name!r}")
+
+
+def change_smoothers(ml, presmoother, postsmoother):
+    """Attach pre/post SmootherData to every level of ``ml``
+    (reference smoothing.py:24)."""
+    from ..util.utils import levelize_smooth_or_improve_candidates
+
+    n = len(ml.levels)
+    pres = levelize_smooth_or_improve_candidates(presmoother, n)
+    posts = levelize_smooth_or_improve_candidates(postsmoother, n)
+    for lvl, pre, post in zip(ml.levels[:-1], pres, posts):
+        fn, kw = unpack_arg(pre) if pre is not None else (None, {})
+        lvl.presmoother = make_smoother_data(lvl, fn, kw)
+        fn, kw = unpack_arg(post) if post is not None else (None, {})
+        lvl.postsmoother = make_smoother_data(lvl, fn, kw)
+    ml._cycle_cache = {}
+    return ml

@@ -1,0 +1,189 @@
+"""Hierarchy runtime tests: cycles, complexity, preconditioning, solver set.
+
+Oracle style per SURVEY.md §4.2: convergence-factor bounds on gallery
+problems (classical < 0.2 on Poisson, SA < 0.9), not pinned outputs.
+"""
+
+import numpy as np
+import pytest
+
+import pyamg_tpu
+from pyamg_tpu.gallery import poisson, linear_elasticity
+from pyamg_tpu import (ruge_stuben_solver, smoothed_aggregation_solver,
+                       MultilevelSolverSet)
+
+
+def conv_factor(res):
+    res = np.asarray(res)
+    return (res[-1] / res[0]) ** (1.0 / max(len(res) - 1, 1))
+
+
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestClassical:
+    def test_poisson_2d_v_cycle(self):
+        A = poisson((40, 40), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        x = ml.solve(b, tol=1e-10, maxiter=40, residuals=res)
+        assert conv_factor(res) < 0.2     # reference test_classical.py bound
+        assert np.linalg.norm(b - A @ x) < 1e-9 * np.linalg.norm(b)
+
+    def test_poisson_1d(self):
+        A = poisson((200,), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-10, maxiter=40, residuals=res)
+        assert conv_factor(res) < 0.2
+
+    @pytest.mark.parametrize("cf", ["RS", "PMIS", "PMISc", "CLJP", "CLJPc"])
+    def test_splittings_converge(self, cf):
+        A = poisson((25, 25), format="csr")
+        ml = ruge_stuben_solver(A, CF=cf, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.7, f"CF={cf}"
+
+    def test_anisotropic_classical(self):
+        from pyamg_tpu.gallery import diffusion_stencil_2d, stencil_grid
+
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0, type="FD")
+        A = stencil_grid(sten, (30, 30), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.5
+
+    def test_standard_interpolation(self):
+        A = poisson((25, 25), format="csr")
+        ml = ruge_stuben_solver(A, interpolation="standard", max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.3
+
+
+class TestCycles:
+    @pytest.mark.parametrize("cycle", ["V", "W", "F", "AMLI"])
+    def test_cycles_converge(self, cycle):
+        A = poisson((30, 30), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=40, cycle=cycle, residuals=res)
+        assert conv_factor(res) < 0.25, f"cycle={cycle}"
+
+    def test_cycle_complexity_ordering(self):
+        A = poisson((40, 40), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        assert ml.cycle_complexity("V") <= ml.cycle_complexity("F") \
+            <= ml.cycle_complexity("W")
+
+    def test_complexities(self):
+        A = poisson((40, 40), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        assert 1.0 < ml.operator_complexity() < 3.5
+        assert 1.0 < ml.grid_complexity() < 2.5
+        assert "Number of Levels" in repr(ml)
+
+
+class TestPreconditioning:
+    def test_aspreconditioner_scipy_cg(self):
+        import scipy.sparse.linalg as spla
+
+        A = poisson((30, 30), format="csr")
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        M = ml.aspreconditioner()
+        b = rng().standard_normal(A.shape[0])
+        counter = {"n": 0}
+
+        def cb(xk):
+            counter["n"] += 1
+
+        x, info = spla.cg(A, b, M=M, rtol=1e-8, callback=cb)
+        assert info == 0
+        assert counter["n"] < 25
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
+
+    def test_accel_cg(self):
+        A = poisson((30, 30), format="csr")
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        x = ml.solve(b, tol=1e-10, maxiter=50, accel="cg", residuals=res)
+        assert len(res) - 1 < 20
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-8 * np.linalg.norm(b)
+
+    def test_accel_gmres(self):
+        A = poisson((20, 20), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        x = ml.solve(b, tol=1e-8, maxiter=50, accel="gmres")
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-6 * np.linalg.norm(b)
+
+
+class TestCoarseSolvers:
+    @pytest.mark.parametrize("cs", ["pinv", "splu", "lu", "cholesky",
+                                    ("jacobi", {"iterations": 30})])
+    def test_coarse_solver_options(self, cs):
+        A = poisson((25, 25), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=30, coarse_solver=cs)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.6
+
+
+class TestSolverSet:
+    def test_additive_and_multiplicative(self):
+        A = poisson((20, 20), format="csr")
+        ml1 = ruge_stuben_solver(A, max_coarse=10)
+        ml2 = smoothed_aggregation_solver(A, max_coarse=10)
+        for mode in ("additive", "multiplicative"):
+            mset = MultilevelSolverSet([ml1, ml2], mode=mode)
+            b = rng().standard_normal(A.shape[0])
+            x = mset.solve(b, tol=1e-8, maxiter=60)
+            assert np.linalg.norm(b - A @ np.asarray(x)) < \
+                1e-5 * np.linalg.norm(b)
+
+    def test_management(self):
+        A = poisson((10, 10), format="csr")
+        ml1 = ruge_stuben_solver(A, max_coarse=10)
+        mset = MultilevelSolverSet([ml1])
+        mset.add_hierarchy(ruge_stuben_solver(A, max_coarse=20))
+        assert len(mset.solvers) == 2
+        mset.replace_hierarchy(ml1, 1)
+        mset.remove_hierarchy(0)
+        assert len(mset.solvers) == 1
+
+
+class TestMiscSolve:
+    def test_x0_and_callback(self):
+        A = poisson((15, 15), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        calls = []
+        x = ml.solve(b, x0=np.ones(A.shape[0]), tol=1e-8, maxiter=30,
+                     callback=lambda xk: calls.append(1))
+        assert len(calls) > 0
+
+    def test_zero_rhs(self):
+        A = poisson((10, 10), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        x = ml.solve(np.zeros(A.shape[0]), tol=1e-8)
+        assert np.linalg.norm(x) < 1e-8
+
+    def test_return_info(self):
+        A = poisson((10, 10), format="csr")
+        ml = ruge_stuben_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        x, info = ml.solve(b, tol=1e-8, maxiter=30, return_info=True)
+        assert info == 0

@@ -1,0 +1,225 @@
+"""Relaxation tests: host smoothers vs dense gold references, and device
+smoothers vs host counterparts (SURVEY.md §4.1 oracle style)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+from scipy.linalg import solve
+
+import jax.numpy as jnp
+
+from pyamg_tpu.gallery import poisson, sprand
+from pyamg_tpu.relaxation import relaxation as rel
+from pyamg_tpu.relaxation.device import (SmootherData, apply_smoother,
+                                         jacobi_step, multicolor_gs_step,
+                                         polynomial_step, block_jacobi_step)
+from pyamg_tpu.relaxation.smoothing import make_smoother_data
+from pyamg_tpu.sparse import SparseELL
+
+
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestHostGoldReference:
+    """Dense gold references, mirroring the reference's test style
+    (relaxation/tests/test_relaxation.py:243-289)."""
+
+    def _system(self, n=24):
+        A = poisson((n,), format="csr")
+        x = rng().standard_normal(n)
+        b = rng().standard_normal(n)
+        return A, x, b
+
+    def test_gauss_seidel_forward(self):
+        A, x, b = self._system()
+        Ad = A.toarray()
+        L = np.tril(Ad)
+        U = np.triu(Ad, 1)
+        expected = solve(L, b - U @ x)
+        got = x.copy()
+        rel.gauss_seidel(A, got, b, iterations=1, sweep="forward")
+        assert np.allclose(got, expected, atol=1e-12)
+
+    def test_gauss_seidel_backward(self):
+        A, x, b = self._system()
+        Ad = A.toarray()
+        U = np.triu(Ad)
+        L = np.tril(Ad, -1)
+        expected = solve(U, b - L @ x)
+        got = x.copy()
+        rel.gauss_seidel(A, got, b, iterations=1, sweep="backward")
+        assert np.allclose(got, expected, atol=1e-12)
+
+    def test_jacobi(self):
+        A, x, b = self._system()
+        D = A.diagonal()
+        expected = x + (2.0 / 3.0) * (b - A @ x) / D
+        got = x.copy()
+        rel.jacobi(A, got, b, iterations=1, omega=2.0 / 3.0)
+        assert np.allclose(got, expected, atol=1e-12)
+
+    def test_sor_equals_gs_at_omega_1(self):
+        A, x, b = self._system()
+        g1 = x.copy()
+        rel.gauss_seidel(A, g1, b, iterations=2)
+        g2 = x.copy()
+        rel.sor(A, g2, b, omega=1.0, iterations=2)
+        assert np.allclose(g1, g2, atol=1e-12)
+
+    def test_polynomial_richardson(self):
+        A, x, b = self._system()
+        expected = x + 0.5 * (b - A @ x)
+        got = x.copy()
+        rel.polynomial(A, got, b, coefficients=[0.5], iterations=1)
+        assert np.allclose(got, expected, atol=1e-12)
+
+    def test_block_jacobi_equals_jacobi_bs1(self):
+        A, x, b = self._system()
+        g1 = x.copy()
+        rel.jacobi(A, g1, b, iterations=2, omega=1.0)
+        g2 = x.copy()
+        rel.block_jacobi(A, g2, b, blocksize=1, iterations=2, omega=1.0)
+        assert np.allclose(g1, g2, atol=1e-12)
+
+    def test_block_gauss_seidel_equals_gs_bs1(self):
+        A, x, b = self._system()
+        g1 = x.copy()
+        rel.gauss_seidel(A, g1, b, iterations=1)
+        g2 = x.copy()
+        rel.block_gauss_seidel(A, g2, b, blocksize=1, iterations=1)
+        assert np.allclose(g1, g2, atol=1e-10)
+
+    def test_gauss_seidel_indexed_full_equals_gs(self):
+        A, x, b = self._system()
+        g1 = x.copy()
+        rel.gauss_seidel(A, g1, b, iterations=1)
+        g2 = x.copy()
+        rel.gauss_seidel_indexed(A, g2, b, indices=np.arange(A.shape[0]),
+                                 iterations=1)
+        assert np.allclose(g1, g2, atol=1e-12)
+
+    def test_jacobi_ne_reduces_residual(self):
+        A = poisson((15, 15), format="csr")
+        x = rng().standard_normal(A.shape[0])
+        b = rng().standard_normal(A.shape[0])
+        r0 = np.linalg.norm(b - A @ x)
+        rel.jacobi_ne(A, x, b, iterations=10, omega=0.3)
+        assert np.linalg.norm(b - A @ x) < r0
+
+    def test_gauss_seidel_ne_nr_reduce_residual(self):
+        A = poisson((12, 12), format="csr")
+        b = rng().standard_normal(A.shape[0])
+        for fn in (rel.gauss_seidel_ne, rel.gauss_seidel_nr):
+            x = rng().standard_normal(A.shape[0])
+            r0 = np.linalg.norm(b - A @ x)
+            fn(A, x, b, iterations=5)
+            assert np.linalg.norm(b - A @ x) < 0.9 * r0
+
+    def test_schwarz_reduces_residual(self):
+        A = poisson((10, 10), format="csr")
+        x = rng().standard_normal(A.shape[0])
+        b = rng().standard_normal(A.shape[0])
+        r0 = np.linalg.norm(b - A @ x)
+        rel.schwarz(A, x, b, iterations=2)
+        assert np.linalg.norm(b - A @ x) < 0.3 * r0
+
+    def test_dimension_mismatch(self):
+        A = poisson((10,), format="csr")
+        with pytest.raises(ValueError):
+            rel.jacobi(A, np.zeros(5), np.zeros(10))
+
+    def test_complex(self):
+        A = poisson((16,), format="csr").astype(complex)
+        A = (A + 1j * sp.eye(16)).tocsr()
+        x = (rng().standard_normal(16) + 1j * rng().standard_normal(16))
+        b = rng().standard_normal(16) + 0j
+        D = A.diagonal()
+        expected = x + (b - A @ x) / D
+        got = x.copy()
+        rel.jacobi(A, got, b, iterations=1, omega=1.0)
+        assert np.allclose(got, expected, atol=1e-12)
+
+
+class TestDeviceSmoothers:
+    """Device kernels vs host counterparts."""
+
+    def _sys(self, n=20):
+        A = poisson((n, n), format="csr")
+        E = SparseELL.from_scipy(A)
+        x = rng().standard_normal(A.shape[0])
+        b = rng().standard_normal(A.shape[0])
+        return A, E, x, b
+
+    def test_jacobi_matches_host(self):
+        A, E, x, b = self._sys()
+        dinv = 1.0 / A.diagonal()
+        got = np.asarray(jacobi_step(E, jnp.asarray(dinv), jnp.asarray(x),
+                                     jnp.asarray(b), 0.8))
+        host = x.copy()
+        rel.jacobi(A, host, b, iterations=1, omega=0.8)
+        assert np.allclose(got, host, atol=1e-12)
+
+    def test_multicolor_gs_is_exact_gs_under_color_order(self):
+        """Multicolor GS equals sequential GS applied in color-sorted order."""
+        A, E, x, b = self._sys(8)
+        from pyamg_tpu.graph import vertex_coloring
+
+        colors = vertex_coloring(A, method="JP")
+        nc = colors.max() + 1
+        masks = np.zeros((nc, A.shape[0]))
+        masks[colors, np.arange(A.shape[0])] = 1.0
+        dinv = 1.0 / A.diagonal()
+        got = np.asarray(multicolor_gs_step(
+            E, jnp.asarray(dinv), jnp.asarray(masks), jnp.asarray(x),
+            jnp.asarray(b)))
+        order = np.argsort(colors, kind="stable")
+        host = x.copy()
+        rel.gauss_seidel_indexed(A, host, b, indices=order, iterations=1)
+        assert np.allclose(got, host, atol=1e-10)
+
+    def test_polynomial_matches_host(self):
+        A, E, x, b = self._sys(6)
+        coeffs = (0.2, -0.1, 0.05)
+        got = np.asarray(polynomial_step(E, coeffs, jnp.asarray(x),
+                                         jnp.asarray(b)))
+        host = x.copy()
+        rel.polynomial(A, host, b, coefficients=list(coeffs), iterations=1)
+        assert np.allclose(got, host, atol=1e-10)
+
+    def test_block_jacobi_matches_host(self):
+        A, E, x, b = self._sys(6)
+        from pyamg_tpu.util.utils import get_block_diag
+
+        Dinv = get_block_diag(A, 2, inv_flag=True)
+        got = np.asarray(block_jacobi_step(E, jnp.asarray(Dinv),
+                                           jnp.asarray(x), jnp.asarray(b),
+                                           1.0))
+        host = x.copy()
+        rel.block_jacobi(A, host, b, blocksize=2, iterations=1, omega=1.0)
+        assert np.allclose(got, host, atol=1e-10)
+
+    def test_smoother_factory_and_dispatch(self):
+        from pyamg_tpu.multilevel import Level
+
+        A, E, x, b = self._sys(10)
+        lvl = Level()
+        lvl.A_csr = A
+        lvl.A = E
+        for spec in ["jacobi", "richardson", "gauss_seidel", "chebyshev",
+                     ("block_jacobi", {"blocksize": 2}),
+                     ("sor", {"omega": 1.2}), "jacobi_ne", None]:
+            name, kw = spec if isinstance(spec, tuple) else (spec, {})
+            sm = make_smoother_data(lvl, name, kw)
+            out = np.asarray(apply_smoother(sm, E, jnp.asarray(x),
+                                            jnp.asarray(b)))
+            if name is not None:
+                r0 = np.linalg.norm(b - A @ x)
+                r1 = np.linalg.norm(b - A @ out)
+                assert r1 < r0, f"smoother {name} did not reduce residual"
+
+    def test_chebyshev_coefficients(self):
+        from pyamg_tpu.relaxation import chebyshev_polynomial_coefficients
+
+        coef = chebyshev_polynomial_coefficients(1.0, 2.0, 3)
+        assert np.allclose(coef, [-0.32323232, 1.45454545, -2.12121212, 1.0])

@@ -1,0 +1,134 @@
+"""Sparse substrate tests: ELL/BELL containers vs scipy gold reference."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pyamg_tpu.sparse import SparseELL, BlockELL, spgemm, rap, transpose
+from pyamg_tpu.gallery import poisson, sprand
+
+
+def rng():
+    return np.random.default_rng(42)
+
+
+class TestSparseELL:
+    def test_roundtrip(self):
+        A = poisson((7, 9), format="csr")
+        E = SparseELL.from_scipy(A)
+        assert (E.to_scipy() != A).nnz == 0
+
+    def test_roundtrip_random(self):
+        A = sprand(50, 50, 0.1, seed=3).tocsr()
+        E = SparseELL.from_scipy(A)
+        assert np.allclose(E.to_scipy().toarray(), A.toarray())
+
+    def test_rectangular(self):
+        A = sprand(30, 17, 0.2, seed=1).tocsr()
+        E = SparseELL.from_scipy(A)
+        x = rng().standard_normal(17)
+        assert np.allclose(np.asarray(E @ x), A @ x)
+
+    def test_matvec(self):
+        A = poisson((12, 13), format="csr")
+        E = SparseELL.from_scipy(A)
+        x = rng().standard_normal(A.shape[1])
+        assert np.allclose(np.asarray(E.matvec(x)), A @ x, atol=1e-12)
+
+    def test_rmatvec(self):
+        A = sprand(20, 15, 0.3, seed=5).tocsr()
+        E = SparseELL.from_scipy(A)
+        y = rng().standard_normal(20)
+        assert np.allclose(np.asarray(E.rmatvec(y)), A.T @ y, atol=1e-12)
+
+    def test_matmat(self):
+        A = poisson((8, 8), format="csr")
+        E = SparseELL.from_scipy(A)
+        X = rng().standard_normal((A.shape[1], 3))
+        assert np.allclose(np.asarray(E.matmat(X)), A @ X, atol=1e-12)
+
+    def test_diagonal(self):
+        A = poisson((9, 4), format="csr")
+        E = SparseELL.from_scipy(A)
+        assert np.allclose(np.asarray(E.diagonal()), A.diagonal())
+
+    def test_to_dense(self):
+        A = sprand(12, 12, 0.4, seed=2).tocsr()
+        E = SparseELL.from_scipy(A)
+        assert np.allclose(np.asarray(E.to_dense()), A.toarray())
+
+    def test_complex(self):
+        A = poisson((6, 6), format="csr").astype(complex)
+        A = A + 1j * sp.eye(A.shape[0])
+        E = SparseELL.from_scipy(A.tocsr())
+        x = rng().standard_normal(A.shape[0]) + 1j
+        assert np.allclose(np.asarray(E @ x), A @ x)
+
+    def test_jit_and_pytree(self):
+        import jax
+
+        A = poisson((5, 5), format="csr")
+        E = SparseELL.from_scipy(A)
+        x = rng().standard_normal(A.shape[0])
+
+        @jax.jit
+        def f(E, x):
+            return E.matvec(x)
+
+        assert np.allclose(np.asarray(f(E, x)), A @ x)
+
+    def test_width_padding(self):
+        A = poisson((5, 5), format="csr")
+        E = SparseELL.from_scipy(A, width=8)
+        assert E.width == 8
+        x = rng().standard_normal(A.shape[0])
+        assert np.allclose(np.asarray(E @ x), A @ x)
+
+    def test_scale_rows_cols(self):
+        A = poisson((6, 5), format="csr")
+        E = SparseELL.from_scipy(A)
+        s = rng().standard_normal(A.shape[0])
+        assert np.allclose(E.scale_rows(s).to_scipy().toarray(),
+                           (sp.diags(s) @ A).toarray())
+        assert np.allclose(E.scale_cols(s).to_scipy().toarray(),
+                           (A @ sp.diags(s)).toarray())
+
+
+class TestBlockELL:
+    def test_roundtrip(self):
+        A = poisson((8, 8), format="csr")
+        B = BlockELL.from_scipy(A, blocksize=2)
+        assert np.allclose(B.to_scipy().toarray(), A.toarray())
+
+    def test_matvec(self):
+        A = poisson((8, 8), format="csr")
+        B = BlockELL.from_scipy(A, blocksize=4)
+        x = rng().standard_normal(A.shape[0])
+        assert np.allclose(np.asarray(B @ x), A @ x)
+
+    def test_block_diagonal(self):
+        A = poisson((4, 4), format="csr")
+        B = BlockELL.from_scipy(A, blocksize=2)
+        D = np.asarray(B.block_diagonal())
+        Ad = A.toarray()
+        for i in range(A.shape[0] // 2):
+            assert np.allclose(D[i], Ad[2 * i:2 * i + 2, 2 * i:2 * i + 2])
+
+
+class TestOps:
+    def test_spgemm(self):
+        A = sprand(20, 15, 0.3, seed=1).tocsr()
+        B = sprand(15, 25, 0.3, seed=2).tocsr()
+        C = spgemm(A, B)
+        assert np.allclose(C.to_scipy().toarray(), (A @ B).toarray())
+
+    def test_rap(self):
+        A = poisson((10, 10), format="csr")
+        P = sprand(100, 25, 0.1, seed=3).tocsr()
+        C = rap(P.T.tocsr(), A, P)
+        assert np.allclose(C.to_scipy().toarray(), (P.T @ A @ P).toarray())
+
+    def test_transpose(self):
+        A = sprand(13, 8, 0.3, seed=4).tocsr()
+        assert np.allclose(transpose(A).to_scipy().toarray(),
+                           A.T.toarray())
