@@ -28,7 +28,8 @@ from ..util.utils import (unpack_arg, to_csr, levelize_strength_or_aggregation,
                           eliminate_diag_dom_nodes)
 from ..sparse import SparseELL
 from .aggregate import (standard_aggregation, naive_aggregation,
-                        lloyd_aggregation, pairwise_aggregation)
+                        lloyd_aggregation, pairwise_aggregation,
+                        parallel_aggregation, grid_aggregation)
 from .tentative import fit_candidates
 from .smooth import (jacobi_prolongation_smoother,
                      richardson_prolongation_smoother,
@@ -65,7 +66,14 @@ def _strength(A, B, flag):
 def _aggregate(C, A, B, flag):
     fn, kwargs = unpack_arg(flag)
     if fn == "standard":
+        # the sequential 3-pass greedy is exact for small problems; the
+        # vectorized round-based formulation takes over at scale (same
+        # aggregate semantics, parallel execution)
+        if C.shape[0] > kwargs.pop("sequential_limit", 50000):
+            return parallel_aggregation(C, **kwargs)
         return standard_aggregation(C, **kwargs)
+    if fn in ("parallel", "mis"):
+        return parallel_aggregation(C, **kwargs)
     if fn == "naive":
         return naive_aggregation(C, **kwargs)
     if fn == "lloyd":
@@ -161,6 +169,14 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
     if symmetry == "nonsymmetric":
         levels[0].BH = BH_arr
     levels[0].symmetry = symmetry
+    # structured-grid metadata (set by the gallery, or passed via
+    # aggregate=('grid', {'grid': ..., 'block': ...})) enables the
+    # gather-free DIA/grid-op fast path on TPU
+    levels[0].grid = getattr(A_in, "grid", None)
+    agg0 = aggregate[0] if isinstance(aggregate, list) else aggregate
+    fn0, kw0 = unpack_arg(agg0)
+    if fn0 == "grid" and "grid" in kw0:
+        levels[0].grid = tuple(kw0["grid"])
 
     while (len(levels) < max_levels
            and levels[-1].A_csr.shape[0] // max(levels[-1].blocksize, 1)
@@ -172,15 +188,105 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
         if levels[-1].A_csr.shape[0] == n_prev:
             break
 
-    for lvl in levels:
-        lvl.A = SparseELL.from_scipy(lvl.A_csr)
-        if hasattr(lvl, "P_csr"):
-            lvl.P = SparseELL.from_scipy(lvl.P_csr)
-            lvl.R = SparseELL.from_scipy(lvl.R_csr)
-
+    _finalize_device_operators(levels)
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     change_smoothers(ml, presmoother, postsmoother)
     return ml
+
+
+def _finalize_device_operators(levels):
+    """Build the device representation of every level: DIA/dense/ELL for A,
+    composed gather-free grid operators for structured P/R."""
+    import jax.numpy as jnp
+    from ..sparse import (device_operator, ComposedOp, GridRepeatOp,
+                          GridPoolOp, SparseDIA)
+
+    for lvl in levels:
+        lvl.A = device_operator(lvl.A_csr)
+        if not hasattr(lvl, "P_csr"):
+            continue
+        meta = getattr(lvl, "struct_meta", None)
+        if meta is None:
+            lvl.P = device_operator(lvl.P_csr)
+            lvl.R = device_operator(lvl.R_csr)
+            continue
+        n_f, n_c = lvl.P_csr.shape
+        wmap = jnp.asarray(meta["wmap"])
+        Tdev = GridRepeatOp(wmap=wmap, fine_grid=meta["grid"],
+                            block=meta["block"], shape=(n_f, n_c))
+        Ttdev = GridPoolOp(wmap=wmap, fine_grid=meta["grid"],
+                           block=meta["block"], shape=(n_c, n_f))
+        if meta["degree"] == 0 or meta["S_csr"] is None:
+            lvl.P = Tdev
+            lvl.R = Ttdev
+        else:
+            S = SparseDIA.from_scipy(meta["S_csr"])
+            SH = SparseDIA.from_scipy(
+                meta["S_csr"].conjugate().T.tocsr())
+            chain_P = tuple([S] * meta["degree"] + [Tdev])
+            chain_R = tuple([Ttdev] + [SH] * meta["degree"])
+            lvl.P = ComposedOp(ops=chain_P, shape=(n_f, n_c))
+            lvl.R = ComposedOp(ops=chain_R, shape=(n_c, n_f))
+
+
+def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
+                       symmetry):
+    """One structured coarsening step: grid-block aggregation + (optional)
+    Jacobi/Richardson prolongation smoothing, recorded with the metadata the
+    finalize step needs to build gather-free device operators."""
+    from ..util.utils import get_diagonal
+    from ..util.linalg import approximate_spectral_radius
+    from ..relaxation.smoothing import rho_D_inv_A
+    from .tentative import fit_candidates
+
+    block = tuple(akw.get("block", (3,) * len(grid)))
+    AggOp, roots, cgrid = grid_aggregation(grid, block)
+    T, B_coarse = fit_candidates(AggOp, B)
+
+    n = A.shape[0]
+    wmap = np.zeros(n, dtype=A.dtype)
+    rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
+    wmap[rows_w] = T.data
+
+    degree = int(skw.get("degree", 1)) if sfn else 0
+    S_csr = None
+    if sfn == "jacobi":
+        omega = float(skw.get("omega", 4.0 / 3.0))
+        c = omega / rho_D_inv_A(A)
+        Dinv = get_diagonal(A, inv=True)
+        S_csr = (sp.eye(n, format="csr")
+                 - sp.dia_matrix((c * Dinv[None, :], [0]),
+                                 shape=A.shape) @ A).tocsr()
+    elif sfn == "richardson":
+        omega = float(skw.get("omega", 4.0 / 3.0))
+        c = omega / approximate_spectral_radius(A)
+        S_csr = (sp.eye(n, format="csr") - c * A).tocsr()
+
+    P = T
+    for _ in range(degree):
+        P = (S_csr @ P).tocsr()
+
+    R = P.conjugate().T.tocsr() if symmetry == "hermitian" else P.T.tocsr()
+
+    lvl.struct_meta = {"grid": tuple(grid), "block": block,
+                       "wmap": wmap, "S_csr": S_csr, "degree": degree}
+    lvl.P_csr = P
+    lvl.R_csr = R
+    if keep:
+        lvl.AggOp = AggOp
+        lvl.T = T
+
+    A_coarse = (R @ A @ P).tocsr()
+    A_coarse.eliminate_zeros()
+
+    new = Level()
+    new.A_csr = A_coarse
+    new.B = B_coarse
+    new.blocksize = 1
+    new.symmetry = symmetry
+    new.A_bsr = None
+    new.grid = cgrid
+    levels.append(new)
 
 
 def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
@@ -207,6 +313,21 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
             opH = relaxation_as_linear_operator(ic, AH, b0)
             lvl.BH = np.column_stack([opH @ lvl.BH[:, k]
                                       for k in range(lvl.BH.shape[1])])
+
+    # --- structured-grid fast path --------------------------------------
+    # grid-block aggregation keeps every level a stencil matrix: device
+    # operators become DIA + reshape/repeat grid transfers (no gathers)
+    grid = getattr(lvl, "grid", None)
+    sfn, skw = unpack_arg(smooth[i]) if smooth[i] is not None else (None, {})
+    afn, akw = unpack_arg(aggregate[i])
+    if (grid is not None and B.shape[1] == 1 and bs == 1
+            and symmetry in ("hermitian", "symmetric")
+            and afn in ("grid", "standard")
+            and sfn in (None, "jacobi", "richardson")
+            and np.prod(grid) == A.shape[0]):
+        _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
+                           symmetry)
+        return
 
     C = _strength(A_for_strength, B, strength[i])
     if diagonal_dominance:

@@ -22,6 +22,11 @@ def drake_matching(A, weights=None, **kwargs):
     covers from unmatched vertices, keep the heavier one
     (≙ smoothed_aggregation.h:1610,1744)."""
     A = to_csr(A)
+    from ..amg_core import drake_matching_native
+
+    native = drake_matching_native(A, weights)
+    if native is not None:
+        return native
     n = A.shape[0]
     indptr, indices = A.indptr, A.indices
     w = np.abs(A.data) if weights is None else np.asarray(weights)

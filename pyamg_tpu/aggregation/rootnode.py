@@ -90,11 +90,13 @@ def rootnode_solver(A, B=None, BH=None, symmetry="hermitian",
         if levels[-1].A_csr.shape[0] == n_prev:
             break
 
+    from ..sparse import device_operator
+
     for lvl in levels:
-        lvl.A = SparseELL.from_scipy(lvl.A_csr)
+        lvl.A = device_operator(lvl.A_csr)
         if hasattr(lvl, "P_csr"):
-            lvl.P = SparseELL.from_scipy(lvl.P_csr)
-            lvl.R = SparseELL.from_scipy(lvl.R_csr)
+            lvl.P = device_operator(lvl.P_csr)
+            lvl.R = device_operator(lvl.R_csr)
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     change_smoothers(ml, presmoother, postsmoother)
@@ -131,7 +133,10 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
                     B[Acsc.indices[Acsc.indptr[a]:Acsc.indptr[a + 1]], 0])))]
             for a in range(AggOp.shape[1])], dtype=np.int64)
 
-    T, dummy_Bc = fit_candidates(AggOp, B)
+    # T interpolates only the first `blocksize` candidates exactly, so the
+    # root-node block of T is square and invertible (reference
+    # rootnode.py:400); the full candidate set is injected into coarse B.
+    T, dummy_Bc = fit_candidates(AggOp, B[:, :max(bs, 1)])
     Cpt_params = get_Cpt_params(A, Cnodes, AggOp, T)
     T = scale_T(T, Cpt_params["P_I"], Cpt_params["I_F"])
     # coarse candidates by injection at the root nodes

@@ -50,11 +50,12 @@ def fit_candidates(AggOp, B, tol=1e-10):
     max_nodes = int(agg_sizes.max()) if n_agg else 0
     L = max_nodes * bs                          # padded dof rows per agg
 
-    # gather indices (n_agg, max_nodes) padded with -1
+    # gather indices (n_agg, max_nodes) padded with -1 (vectorized scatter)
     node_idx = np.full((n_agg, max_nodes), -1, dtype=np.int64)
-    for a in range(n_agg):
-        nodes = Acsc.indices[Acsc.indptr[a]:Acsc.indptr[a + 1]]
-        node_idx[a, :nodes.size] = nodes
+    agg_of_entry = np.repeat(np.arange(n_agg), agg_sizes)
+    pos_in_agg = np.arange(Acsc.indices.size) - \
+        np.repeat(Acsc.indptr[:-1], agg_sizes)
+    node_idx[agg_of_entry, pos_in_agg] = Acsc.indices
     valid_nodes = node_idx >= 0
     safe_nodes = np.where(valid_nodes, node_idx, 0)
 

@@ -1,0 +1,186 @@
+"""Native host kernels for setup-phase graph algorithms (ctypes-bound C++).
+
+Role of the reference's pyamg/amg_core SWIG extension (SURVEY.md L0) for the
+parts that stay on the host: sequential coarsening/graph algorithms.  The
+library is compiled on first use with g++ and cached next to the source;
+every binding has a pure-numpy fallback so the package works without a
+toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import warnings
+
+import numpy as np
+
+__all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
+           "naive_aggregation_native", "gauss_seidel_indexed_native",
+           "gauss_seidel_kaczmarz_native", "bellman_ford_native",
+           "bfs_levels_native", "drake_matching_native"]
+
+_HERE = os.path.dirname(__file__)
+_SO = os.path.join(_HERE, "libamg_core.so")
+_SRC = os.path.join(_HERE, "core.cpp")
+
+_lib = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            _build()
+        _lib = ctypes.CDLL(_SO)
+        _declare(_lib)
+    except Exception as e:  # pragma: no cover - toolchain missing
+        warnings.warn(f"amg_core native build unavailable ({e}); "
+                      "using numpy fallbacks")
+        _lib = False
+    return _lib
+
+
+def have_native() -> bool:
+    return bool(_load())
+
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_I = ctypes.c_int64
+_D = ctypes.c_double
+
+
+def _declare(lib):
+    lib.rs_cf_splitting.argtypes = [_I, _i64p, _i64p, _i64p, _i64p, _i32p]
+    lib.standard_aggregation.argtypes = [_I, _i64p, _i64p, _i64p, _i64p,
+                                         ctypes.POINTER(_I)]
+    lib.naive_aggregation.argtypes = [_I, _i64p, _i64p, _i64p, _i64p,
+                                      ctypes.POINTER(_I)]
+    lib.gauss_seidel_indexed.argtypes = [_I, _i64p, _i64p, _i64p, _f64p,
+                                         _f64p, _f64p]
+    lib.gauss_seidel_kaczmarz.argtypes = [_I, _i64p, _i64p, _f64p, _f64p,
+                                          _f64p, _D]
+    lib.bellman_ford.argtypes = [_I, _i64p, _i64p, _f64p, _I, _i64p, _f64p,
+                                 _i64p]
+    lib.bfs_levels.argtypes = [_I, _i64p, _i64p, _I, _i64p, _i64p,
+                               ctypes.POINTER(_I)]
+    lib.drake_matching_core.argtypes = [_I, _i64p, _i64p, _f64p, _i64p]
+
+
+def _csr_arrays(A):
+    return (np.ascontiguousarray(A.indptr, dtype=np.int64),
+            np.ascontiguousarray(A.indices, dtype=np.int64))
+
+
+def rs_cf_splitting(S, T):
+    """Exact Ruge-Stuben splitting; S = strength CSR (zero diag), T = S^T."""
+    lib = _load()
+    n = S.shape[0]
+    if not lib:
+        return None
+    Sp, Sj = _csr_arrays(S)
+    Tp, Tj = _csr_arrays(T)
+    out = np.zeros(n, dtype=np.int32)
+    lib.rs_cf_splitting(n, Sp, Sj, Tp, Tj, out)
+    return out
+
+
+def standard_aggregation_native(C):
+    lib = _load()
+    if not lib:
+        return None
+    n = C.shape[0]
+    Cp, Cj = _csr_arrays(C)
+    labels = np.zeros(n, dtype=np.int64)
+    roots = np.zeros(n, dtype=np.int64)
+    nr = _I(0)
+    lib.standard_aggregation(n, Cp, Cj, labels, roots, ctypes.byref(nr))
+    return labels, roots[:nr.value].copy()
+
+
+def naive_aggregation_native(C):
+    lib = _load()
+    if not lib:
+        return None
+    n = C.shape[0]
+    Cp, Cj = _csr_arrays(C)
+    labels = np.zeros(n, dtype=np.int64)
+    roots = np.zeros(n, dtype=np.int64)
+    nr = _I(0)
+    lib.naive_aggregation(n, Cp, Cj, labels, roots, ctypes.byref(nr))
+    return labels, roots[:nr.value].copy()
+
+
+def gauss_seidel_indexed_native(A, x, b, order):
+    lib = _load()
+    if not lib or A.dtype != np.float64 or np.iscomplexobj(x):
+        return False
+    Ap, Aj = _csr_arrays(A)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    lib.gauss_seidel_indexed(order.size, order, Ap, Aj, Ax, x,
+                             np.ascontiguousarray(b, dtype=np.float64))
+    return True
+
+
+def gauss_seidel_kaczmarz_native(A, x, b, omega=1.0):
+    lib = _load()
+    if not lib or A.dtype != np.float64 or np.iscomplexobj(x):
+        return False
+    Ap, Aj = _csr_arrays(A)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    lib.gauss_seidel_kaczmarz(A.shape[0], Ap, Aj, Ax, x,
+                              np.ascontiguousarray(b, dtype=np.float64),
+                              float(omega))
+    return True
+
+
+def bellman_ford_native(A, seeds):
+    lib = _load()
+    if not lib:
+        return None
+    n = A.shape[0]
+    Ap, Aj = _csr_arrays(A)
+    Ax = np.ascontiguousarray(np.abs(A.data), dtype=np.float64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    dist = np.zeros(n, dtype=np.float64)
+    nearest = np.zeros(n, dtype=np.int64)
+    lib.bellman_ford(n, Ap, Aj, Ax, seeds.size, seeds, dist, nearest)
+    return dist, nearest
+
+
+def bfs_levels_native(A, seed):
+    lib = _load()
+    if not lib:
+        return None
+    n = A.shape[0]
+    Ap, Aj = _csr_arrays(A)
+    level = np.zeros(n, dtype=np.int64)
+    order = np.zeros(n, dtype=np.int64)
+    cnt = _I(0)
+    lib.bfs_levels(n, Ap, Aj, int(seed), level, order, ctypes.byref(cnt))
+    return order[:cnt.value].copy(), level
+
+
+def drake_matching_native(A, weights=None):
+    lib = _load()
+    if not lib:
+        return None
+    n = A.shape[0]
+    Ap, Aj = _csr_arrays(A)
+    w = np.ascontiguousarray(
+        np.abs(A.data) if weights is None else weights, dtype=np.float64)
+    match = np.zeros(n, dtype=np.int64)
+    lib.drake_matching_core(n, Ap, Aj, w, match)
+    return match

@@ -1,0 +1,313 @@
+// Host-side native kernels for the setup phase.
+//
+// The reference implements its compute core as C++ headers bound via SWIG
+// (pyamg/amg_core/*.h).  In this framework the *solve phase* runs on TPU via
+// XLA; what remains natively hot on the host are the inherently sequential
+// setup-phase graph algorithms.  These are fresh implementations (flat
+// extern-C API over raw CSR arrays, bound via ctypes) of:
+//
+//   * rs_cf_splitting       — classical Ruge-Stuben C/F splitting
+//                             (role of ruge_stuben.h:158)
+//   * standard_aggregation  — 3-pass greedy aggregation
+//                             (role of smoothed_aggregation.h:122)
+//   * naive_aggregation     — single-pass greedy aggregation
+//                             (role of smoothed_aggregation.h:245)
+//   * gauss_seidel_indexed  — ordered in-place GS sweep
+//                             (role of relaxation.h:395)
+//   * gauss_seidel_kaczmarz — NE Gauss-Seidel row projections
+//                             (role of relaxation.h:530)
+//   * bellman_ford          — SSSP from a seed set (role of graph.h:346)
+//   * bfs_levels            — breadth-first levels (role of graph.h:607)
+//   * drake_matching_core   — greedy path-growing weighted matching
+//                             (role of smoothed_aggregation.h:1610)
+//
+// Build: g++ -O3 -march=native -shared -fPIC core.cpp -o libamg_core.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <queue>
+#include <limits>
+#include <algorithm>
+#include <cmath>
+
+using I = int64_t;
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// classical Ruge-Stuben first-pass C/F splitting.
+// S (dependencies, CSR) and T = S^T (influences, CSR) as index arrays.
+// splitting out: 1 = C, 0 = F.
+// ---------------------------------------------------------------------------
+void rs_cf_splitting(I n,
+                     const I* Sp, const I* Sj,
+                     const I* Tp, const I* Tj,
+                     int32_t* splitting) {
+    const int32_t U = -1, F = 0, C = 1;
+    std::vector<I> lambda(n);
+    for (I i = 0; i < n; i++) lambda[i] = Tp[i + 1] - Tp[i];
+
+    // bucket structure: nodes grouped by lambda value
+    I maxl = 0;
+    for (I i = 0; i < n; i++) maxl = std::max(maxl, lambda[i]);
+    // lambda can grow up to ~n; allocate generously
+    std::vector<std::vector<I>> buckets(static_cast<size_t>(n) + 2);
+    std::vector<I> version(n, 0);          // lazy-deletion versioning
+    std::vector<I> cur_lambda(n);
+    for (I i = 0; i < n; i++) {
+        cur_lambda[i] = lambda[i];
+        buckets[lambda[i]].push_back(i);
+    }
+
+    std::vector<int32_t> state(n, U);
+    for (I i = 0; i < n; i++)
+        if (lambda[i] == 0) state[i] = F;   // nothing depends on i
+
+    I top = static_cast<I>(buckets.size()) - 1;
+    while (true) {
+        // find current max-lambda undecided node (lazy deletion)
+        while (top >= 0 && buckets[top].empty()) top--;
+        if (top < 0) break;
+        I i = buckets[top].back();
+        buckets[top].pop_back();
+        if (state[i] != U || cur_lambda[i] != top) continue;  // stale
+
+        state[i] = C;
+        // dependents of i become F; their dependencies gain weight
+        for (I jj = Tp[i]; jj < Tp[i + 1]; jj++) {
+            I j = Tj[jj];
+            if (state[j] == U) {
+                state[j] = F;
+                for (I kk = Sp[j]; kk < Sp[j + 1]; kk++) {
+                    I k = Sj[kk];
+                    if (state[k] == U) {
+                        cur_lambda[k]++;
+                        if (cur_lambda[k] >= (I)buckets.size())
+                            cur_lambda[k] = (I)buckets.size() - 1;
+                        buckets[cur_lambda[k]].push_back(k);
+                        if (cur_lambda[k] > top) top = cur_lambda[k];
+                    }
+                }
+            }
+        }
+        // i's dependencies lose weight
+        for (I jj = Sp[i]; jj < Sp[i + 1]; jj++) {
+            I j = Sj[jj];
+            if (state[j] == U && cur_lambda[j] > 0) {
+                cur_lambda[j]--;
+                buckets[cur_lambda[j]].push_back(j);
+            }
+        }
+    }
+    for (I i = 0; i < n; i++)
+        splitting[i] = (state[i] == C) ? 1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// 3-pass greedy standard aggregation over a strength graph (CSR, no diag
+// needed).  labels out: aggregate id or -1 (isolated); roots out (size n,
+// first *n_roots entries valid).
+// ---------------------------------------------------------------------------
+void standard_aggregation(I n, const I* Cp, const I* Cj,
+                          I* labels, I* roots, I* n_roots) {
+    std::fill(labels, labels + n, (I)-1);
+    I next = 0, nr = 0;
+
+    // pass 1
+    for (I i = 0; i < n; i++) {
+        if (labels[i] != -1) continue;
+        bool has_nbr = false, free_nbhd = true;
+        for (I jj = Cp[i]; jj < Cp[i + 1]; jj++) {
+            I j = Cj[jj];
+            if (j == i) continue;
+            has_nbr = true;
+            if (labels[j] != -1) { free_nbhd = false; break; }
+        }
+        if (!has_nbr) { labels[i] = -2; continue; }    // isolated
+        if (free_nbhd) {
+            labels[i] = next;
+            roots[nr++] = i;
+            for (I jj = Cp[i]; jj < Cp[i + 1]; jj++) {
+                I j = Cj[jj];
+                if (j != i) labels[j] = next;
+            }
+            next++;
+        }
+    }
+    // pass 2: join a neighboring aggregate
+    std::vector<I> join(n, -1);
+    for (I i = 0; i < n; i++) {
+        if (labels[i] != -1) continue;
+        for (I jj = Cp[i]; jj < Cp[i + 1]; jj++) {
+            I j = Cj[jj];
+            if (j != i && labels[j] >= 0) { join[i] = labels[j]; break; }
+        }
+    }
+    for (I i = 0; i < n; i++)
+        if (join[i] >= 0) labels[i] = join[i];
+    // pass 3: leftovers seed new aggregates
+    for (I i = 0; i < n; i++) {
+        if (labels[i] != -1) continue;
+        labels[i] = next;
+        roots[nr++] = i;
+        for (I jj = Cp[i]; jj < Cp[i + 1]; jj++) {
+            I j = Cj[jj];
+            if (j != i && labels[j] == -1) labels[j] = next;
+        }
+        next++;
+    }
+    for (I i = 0; i < n; i++)
+        if (labels[i] == -2) labels[i] = -1;
+    *n_roots = nr;
+}
+
+// single-pass greedy aggregation
+void naive_aggregation(I n, const I* Cp, const I* Cj,
+                       I* labels, I* roots, I* n_roots) {
+    std::fill(labels, labels + n, (I)-1);
+    I next = 0, nr = 0;
+    for (I i = 0; i < n; i++) {
+        if (labels[i] != -1) continue;
+        labels[i] = next;
+        roots[nr++] = i;
+        for (I jj = Cp[i]; jj < Cp[i + 1]; jj++) {
+            I j = Cj[jj];
+            if (labels[j] == -1) labels[j] = next;
+        }
+        next++;
+    }
+    *n_roots = nr;
+}
+
+// ---------------------------------------------------------------------------
+// in-place Gauss-Seidel over an ordered index list (CSR, double)
+// ---------------------------------------------------------------------------
+void gauss_seidel_indexed(I n_idx, const I* order,
+                          const I* Ap, const I* Aj, const double* Ax,
+                          double* x, const double* b) {
+    for (I t = 0; t < n_idx; t++) {
+        I i = order[t];
+        double diag = 0.0, rsum = 0.0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            I j = Aj[jj];
+            if (j == i) diag = Ax[jj];
+            else rsum += Ax[jj] * x[j];
+        }
+        if (diag != 0.0) x[i] = (b[i] - rsum) / diag;
+    }
+}
+
+// NE Gauss-Seidel (Kaczmarz) row projections, forward order
+void gauss_seidel_kaczmarz(I n, const I* Ap, const I* Aj, const double* Ax,
+                           double* x, const double* b, double omega) {
+    for (I i = 0; i < n; i++) {
+        double rn = 0.0, ri = b[i];
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            rn += Ax[jj] * Ax[jj];
+            ri -= Ax[jj] * x[Aj[jj]];
+        }
+        if (rn == 0.0) continue;
+        double c = omega * ri / rn;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++)
+            x[Aj[jj]] += c * Ax[jj];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Bellman-Ford SSSP from a seed set over |weights|
+// ---------------------------------------------------------------------------
+void bellman_ford(I n, const I* Ap, const I* Aj, const double* Ax,
+                  I n_seeds, const I* seeds,
+                  double* dist, I* nearest) {
+    const double INF = std::numeric_limits<double>::infinity();
+    for (I i = 0; i < n; i++) { dist[i] = INF; nearest[i] = -1; }
+    std::queue<I> q;
+    std::vector<char> inq(n, 0);
+    for (I s = 0; s < n_seeds; s++) {
+        dist[seeds[s]] = 0.0;
+        nearest[seeds[s]] = seeds[s];
+        q.push(seeds[s]);
+        inq[seeds[s]] = 1;
+    }
+    while (!q.empty()) {
+        I i = q.front(); q.pop(); inq[i] = 0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            I j = Aj[jj];
+            double nd = dist[i] + std::fabs(Ax[jj]);
+            if (nd < dist[j]) {
+                dist[j] = nd;
+                nearest[j] = nearest[i];
+                if (!inq[j]) { q.push(j); inq[j] = 1; }
+            }
+        }
+    }
+}
+
+// BFS levels from a seed
+void bfs_levels(I n, const I* Ap, const I* Aj, I seed,
+                I* level, I* order, I* n_order) {
+    std::fill(level, level + n, (I)-1);
+    I cnt = 0;
+    std::queue<I> q;
+    level[seed] = 0;
+    q.push(seed);
+    while (!q.empty()) {
+        I i = q.front(); q.pop();
+        order[cnt++] = i;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            I j = Aj[jj];
+            if (level[j] < 0) { level[j] = level[i] + 1; q.push(j); }
+        }
+    }
+    *n_order = cnt;
+}
+
+// greedy path-growing weighted matching (Drake-Hougardy style): two covers,
+// heavier kept.  match out: partner or -1.
+static double grow_cover(I n, const I* Ap, const I* Aj, const double* w,
+                         const I* start_order, I* match) {
+    std::vector<char> used(n, 0);
+    std::fill(match, match + n, (I)-1);
+    double total = 0.0;
+    for (I t = 0; t < n; t++) {
+        I s = start_order[t];
+        if (used[s]) continue;
+        I x = s;
+        bool take = true;
+        while (true) {
+            used[x] = 1;
+            I best_j = -1;
+            double best_w = -1.0;
+            for (I kk = Ap[x]; kk < Ap[x + 1]; kk++) {
+                I j = Aj[kk];
+                if (j != x && !used[j] && w[kk] > best_w) {
+                    best_w = w[kk];
+                    best_j = j;
+                }
+            }
+            if (best_j < 0) break;
+            if (take) {
+                match[x] = best_j;
+                match[best_j] = x;
+                total += best_w;
+            }
+            take = !take;
+            x = best_j;
+        }
+    }
+    return total;
+}
+
+void drake_matching_core(I n, const I* Ap, const I* Aj, const double* w,
+                         I* match) {
+    std::vector<I> fwd(n), bwd(n);
+    for (I i = 0; i < n; i++) { fwd[i] = i; bwd[i] = n - 1 - i; }
+    std::vector<I> m1(n), m2(n);
+    double t1 = grow_cover(n, Ap, Aj, w, fwd.data(), m1.data());
+    double t2 = grow_cover(n, Ap, Aj, w, bwd.data(), m2.data());
+    const I* src = (t1 >= t2) ? m1.data() : m2.data();
+    std::memcpy(match, src, sizeof(I) * n);
+}
+
+}  // extern "C"

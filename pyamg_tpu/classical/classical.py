@@ -79,12 +79,14 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
         if levels[-1].A_csr.shape[0] == n_prev:
             break   # coarsening stalled
 
-    # finalize: device operators
+    # finalize: best device representation per operator (DIA/dense/ELL)
+    from ..sparse import device_operator
+
     for lvl in levels:
-        lvl.A = SparseELL.from_scipy(lvl.A_csr)
+        lvl.A = device_operator(lvl.A_csr)
         if hasattr(lvl, "P_csr"):
-            lvl.P = SparseELL.from_scipy(lvl.P_csr)
-            lvl.R = SparseELL.from_scipy(lvl.R_csr)
+            lvl.P = device_operator(lvl.P_csr)
+            lvl.R = device_operator(lvl.R_csr)
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     change_smoothers(ml, presmoother, postsmoother)

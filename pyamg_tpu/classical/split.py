@@ -41,8 +41,16 @@ def RS(S):
     """Classical Ruge-Stuben C/F splitting (first pass), exact semantics of
     ruge_stuben.h:158: pick max-lambda node as C, its dependents become F,
     and each new F node's influences gain weight.
+
+    Uses the native C++ kernel (amg_core/core.cpp) when available; the
+    Python heap implementation below is the reference/fallback.
     """
     S, T = preprocess_strength(S)
+    from ..amg_core import rs_cf_splitting as _native_rs
+
+    native = _native_rs(S, T)
+    if native is not None:
+        return native
     n = S.shape[0]
     lam = np.diff(T.indptr).astype(np.int64)
 

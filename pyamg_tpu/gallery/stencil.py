@@ -70,4 +70,9 @@ def stencil_grid(S, grid, dtype=None, format=None):
     )
     A.sum_duplicates()
     fmt = format or "csr"
-    return A.asformat(fmt)
+    A = A.asformat(fmt)
+    try:
+        A.grid = grid       # structured-grid metadata for the TPU fast path
+    except AttributeError:
+        pass
+    return A

@@ -155,6 +155,13 @@ def bellman_ford(G, seeds, maxiter=None):
     G = _graph_csr(G)
     n = G.shape[0]
     seeds = np.asarray(seeds, dtype=np.int64)
+
+    from .amg_core import bellman_ford_native
+
+    native = bellman_ford_native(G, seeds)
+    if native is not None:
+        return native
+
     dist = np.full(n, np.inf)
     nearest = np.full(n, -1, dtype=np.int64)
     dist[seeds] = 0

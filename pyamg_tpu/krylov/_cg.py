@@ -11,16 +11,12 @@ import jax.numpy as jnp
 
 from ._common import prepare, norm, finalize
 
-__all__ = ["cg"]
+__all__ = ["cg", "cg_core"]
 
 
-def cg(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
-       callback=None, residuals=None):
-    """Solve SPD/HPD A x = b with preconditioned CG; returns (x, info)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
-    normb = norm(b)
-    normb = jnp.where(normb == 0, 1.0, normb)
-    tol_t = tol * float(normb)
+def cg_core(mv, pre, x, b, tol_t, maxiter):
+    """Traceable PCG core: (x, n_iters, res_buf).  ``tol_t`` is a traced
+    absolute tolerance so solves at different tolerances share one compile."""
 
     def body(carry):
         x, r, z, p, rz, it, res_buf = carry
@@ -49,5 +45,18 @@ def cg(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
     res_buf = res_buf.at[0].set(norm(r))
 
     carry = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0, res_buf))
-    x, _, _, _, _, it, res_buf = carry
-    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+    x = carry[0]
+    it = carry[-2]
+    res_buf = carry[-1]
+    return x, it, res_buf
+
+
+def cg(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+       callback=None, residuals=None):
+    """Solve SPD/HPD A x = b with preconditioned CG; returns (x, info)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    normb = jnp.where(normb == 0, 1.0, normb)
+    tol_t = tol * normb
+    x, it, res_buf = cg_core(mv, pre, x, b, tol_t, maxiter)
+    return finalize(x, res_buf, it + 1, float(tol_t), callback, residuals)

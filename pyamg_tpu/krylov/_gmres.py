@@ -212,10 +212,10 @@ def gmres_householder(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None,
     pre = identity_M(M)
 
     def amv(v):
-        return np.asarray(mv(jnp.asarray(v)))
+        return np.array(mv(jnp.asarray(v)))    # writable host copy
 
     def mop(v):
-        return np.asarray(pre(jnp.asarray(v)))
+        return np.array(pre(jnp.asarray(v)))
 
     b = np.asarray(b).ravel()
     n = b.shape[0]

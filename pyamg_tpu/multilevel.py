@@ -135,6 +135,7 @@ class MultilevelSolver:
         self._coarse_fn = None
         self._coarse_traceable = False
         self._cycle_cache = {}
+        self._solve_cache = {}
         self.symmetry = getattr(levels[0], "symmetry", "hermitian") \
             if levels else "hermitian"
 
@@ -275,6 +276,58 @@ class MultilevelSolver:
             self._cycle_cache[cycle] = self._build_cycle(cycle)
         return self._cycle_cache[cycle]
 
+    def _get_cached_accel(self, accel, cycle, maxiter):
+        """One jitted Krylov program per (accel, cycle, maxiter)."""
+        key = (accel, str(cycle).upper(), maxiter)
+        if key not in self._solve_cache:
+            from .krylov._cg import cg_core
+
+            cores = {"cg": cg_core}
+            core = cores[accel]
+            cyc = self.cycle_fn(cycle)
+            mv = self.levels[0].A.matvec
+
+            def pre(r):
+                return cyc(jnp.zeros_like(r), r)
+
+            @jax.jit
+            def run(x0, b, tol_t):
+                return core(mv, pre, x0, b, tol_t, maxiter)
+
+            self._solve_cache[key] = run
+        return self._solve_cache[key]
+
+    def _get_cached_standalone(self, cycle, maxiter):
+        """One jitted standalone-cycling program per (cycle, maxiter)."""
+        key = ("standalone", str(cycle).upper(), maxiter)
+        if key not in self._solve_cache:
+            fn = self.cycle_fn(cycle)
+            A = self.levels[0].A
+
+            @jax.jit
+            def run(x0, b, tol_t):
+                def body(carry):
+                    x, it, res_buf = carry
+                    x = fn(x, b)
+                    r = b - A.matvec(x)
+                    it = it + 1
+                    res_buf = res_buf.at[it].set(jnp.linalg.norm(r))
+                    return (x, it, res_buf)
+
+                def cond(carry):
+                    x, it, res_buf = carry
+                    return (res_buf[it] > tol_t) & (it < maxiter)
+
+                r0 = b - A.matvec(x0)
+                res_buf = jnp.zeros(
+                    maxiter + 1,
+                    dtype=jnp.real(jnp.zeros(0, b.dtype)).dtype)
+                res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
+                return jax.lax.while_loop(cond, body, (x0, 0, res_buf))
+
+            self._solve_cache[key] = run
+        return self._solve_cache[key]
+
     # -- public solve API -------------------------------------------------
     def aspreconditioner(self, cycle="V"):
         """Return a scipy LinearOperator applying one cycle from x=0
@@ -316,6 +369,25 @@ class MultilevelSolver:
 
         if accel is not None:
             from . import krylov
+            from .krylov._common import finalize
+
+            # fused-and-cached path: one jitted program per
+            # (accel, cycle, maxiter), reused across solves (tolerance is a
+            # traced argument — no recompile when it changes)
+            if isinstance(accel, str) and accel in ("cg",) \
+                    and callback is None:
+                run = self._get_cached_accel(accel, cycle, int(maxiter))
+                normb = jnp.linalg.norm(b_d)
+                tol_t = tol * jnp.where(normb == 0, 1.0, normb)
+                xk, it, res_buf = run(x, b_d, tol_t)
+                xk, info = finalize(xk, res_buf, int(it) + 1, float(tol_t),
+                                    None, residuals)
+                if return_residuals:
+                    return xk, np.asarray(residuals if residuals is not None
+                                          else [])
+                if return_info:
+                    return xk, info
+                return xk
 
             if callable(accel):
                 kfn = accel
@@ -363,24 +435,10 @@ class MultilevelSolver:
             n_res = it + 1
             res_np = np.asarray(residuals if residuals is not None else [])
         else:
-            # fused device loop: zero host round-trips per cycle
-            def body(carry):
-                x, it, res_buf = carry
-                x = fn(x, b_d)
-                r = b_d - A.matvec(x)
-                it = it + 1
-                res_buf = res_buf.at[it].set(jnp.linalg.norm(r))
-                return (x, it, res_buf)
-
-            def cond(carry):
-                x, it, res_buf = carry
-                return (res_buf[it] > tol_t) & (it < maxiter)
-
-            r0 = b_d - A.matvec(x)
-            res_buf = jnp.zeros(maxiter + 1,
-                                dtype=jnp.real(jnp.zeros(0, b_d.dtype)).dtype)
-            res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
-            x, it, res_buf = jax.lax.while_loop(cond, body, (x, 0, res_buf))
+            # fused-and-cached device loop: zero host round-trips per cycle
+            run = self._get_cached_standalone(cycle, int(maxiter))
+            rdt = jnp.real(jnp.zeros(0, b_d.dtype)).dtype
+            x, it, res_buf = run(x, b_d, jnp.asarray(tol_t, dtype=rdt))
             it = int(it)
             res_np = np.asarray(res_buf)[:it + 1]
             if residuals is not None:

@@ -1,0 +1,5 @@
+"""Distributed (multi-chip) execution over jax.sharding meshes."""
+
+from .sharding import make_mesh, shard_solver, ShardedSolver, pad_to
+
+__all__ = ["make_mesh", "shard_solver", "ShardedSolver", "pad_to"]

@@ -1,0 +1,195 @@
+"""Multi-chip execution: row-sharded hierarchies over a device mesh.
+
+The reference is a serial library (SURVEY.md §2.3); this module is the
+designed-fresh distributed layer (§7.5): every level's operators and vectors
+are 1-D row-sharded over a ``jax.sharding.Mesh``; the padded-ELL SpMV's
+``x[cols]`` gather makes XLA insert the halo/all-gather collectives over ICI
+automatically, reductions become ``psum``-style collectives inside compiled
+Krylov loops, and coarse levels below a size threshold are replicated (the
+classic AMG agglomeration trick — here the dense coarse solve is replicated).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sparse import SparseELL
+from ..relaxation.device import SmootherData
+from ..multilevel import MultilevelSolver, Level
+
+__all__ = ["make_mesh", "shard_solver", "pad_to"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rows"):
+    """1-D device mesh over the first ``n_devices`` available devices."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    if n_devices > len(devs):
+        raise ValueError(f"requested {n_devices} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n_devices]), (axis_name,))
+
+
+def pad_to(n: int, k: int) -> int:
+    return -(-n // k) * k
+
+
+def _pad_ell(E: SparseELL, n_rows_pad: int, n_cols_pad: int) -> SparseELL:
+    """Pad an ELL operator with structurally-empty rows/columns.
+
+    Padding rows have zero data and in-bounds column index 0, so SpMV
+    results are zero there and gathers stay valid.
+    """
+    n, m = E.shape
+    w = E.width
+    data = np.zeros((n_rows_pad, w), dtype=E.dtype)
+    cols = np.zeros((n_rows_pad, w), dtype=np.int32)
+    nnz = np.zeros((n_rows_pad,), dtype=np.int32)
+    data[:n] = np.asarray(E.data)
+    cols[:n] = np.asarray(E.cols)
+    nnz[:n] = np.asarray(E.row_nnz)
+    return SparseELL(data=jnp.asarray(data), cols=jnp.asarray(cols),
+                     row_nnz=jnp.asarray(nnz),
+                     shape=(n_rows_pad, n_cols_pad))
+
+
+def _place_ell(E: SparseELL, mesh, axis) -> SparseELL:
+    sh2 = NamedSharding(mesh, P(axis, None))
+    sh1 = NamedSharding(mesh, P(axis))
+    return SparseELL(
+        data=jax.device_put(E.data, sh2),
+        cols=jax.device_put(E.cols, sh2),
+        row_nnz=jax.device_put(E.row_nnz, sh1),
+        shape=E.shape)
+
+
+def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
+    if sm is None or sm.kind == "none":
+        return sm
+    sh1 = NamedSharding(mesh, P(axis))
+    shm = NamedSharding(mesh, P(None, axis))
+    dinv = sm.dinv
+    if dinv is not None:
+        d = np.zeros(n_pad, dtype=dinv.dtype)
+        d[:dinv.shape[0]] = np.asarray(dinv)
+        dinv = jax.device_put(jnp.asarray(d), sh1)
+    masks = sm.color_masks
+    if masks is not None:
+        m = np.zeros((masks.shape[0], n_pad), dtype=masks.dtype)
+        m[:, :masks.shape[1]] = np.asarray(masks)
+        masks = jax.device_put(jnp.asarray(m), shm)
+    block_dinv = sm.block_dinv
+    if block_dinv is not None:
+        bs = block_dinv.shape[-1]
+        nb_pad = n_pad // bs
+        bd = np.zeros((nb_pad, bs, bs), dtype=block_dinv.dtype)
+        bd[:block_dinv.shape[0]] = np.asarray(block_dinv)
+        block_dinv = jax.device_put(
+            jnp.asarray(bd), NamedSharding(mesh, P(axis, None, None)))
+    if sm.kind == "jacobi_ne":
+        # NE smoother needs the transpose operator; fall back to jacobi on
+        # the sharded path (round 1)
+        return SmootherData(kind="jacobi", iterations=sm.iterations,
+                            omega=0.5, dinv=dinv)
+    return SmootherData(kind=sm.kind, iterations=sm.iterations,
+                        sweep=sm.sweep, omega=sm.omega, dinv=dinv,
+                        color_masks=masks, coefficients=sm.coefficients,
+                        block_dinv=block_dinv, blocksize=sm.blocksize)
+
+
+class ShardedSolver:
+    """A MultilevelSolver whose levels are row-sharded over a mesh.
+
+    ``solve`` pads the RHS, runs the same compiled cycle/Krylov machinery
+    (XLA partitions it over the mesh), and un-pads the result.
+    """
+
+    def __init__(self, ml: MultilevelSolver, mesh, axis_name: str = "rows"):
+        self.mesh = mesh
+        self.axis = axis_name
+        nd = mesh.devices.size
+        self.n_orig = ml.levels[0].A_csr.shape[0]
+
+        # padded sizes per level (multiple of device count; blocksize-safe)
+        sizes = []
+        for lvl in ml.levels:
+            bs = max(getattr(lvl, "blocksize", 1), 1)
+            sizes.append(pad_to(lvl.A_csr.shape[0], nd * bs))
+        self.sizes = sizes
+
+        levels = []
+        for i, lvl in enumerate(ml.levels):
+            new = Level()
+            new.A_csr = lvl.A_csr
+            n_pad = sizes[i]
+            # the sharded path uses the gather-ELL representation (built
+            # fresh from the host CSR twins, independent of the single-chip
+            # format choice)
+            A_ell = SparseELL.from_scipy(lvl.A_csr)
+            new.A = _place_ell(_pad_ell(A_ell, n_pad, n_pad), mesh, axis_name)
+            if hasattr(lvl, "P_csr") and i + 1 < len(ml.levels):
+                nc_pad = sizes[i + 1]
+                new.P = _place_ell(
+                    _pad_ell(SparseELL.from_scipy(lvl.P_csr), n_pad, nc_pad),
+                    mesh, axis_name)
+                new.R = _place_ell(
+                    _pad_ell(SparseELL.from_scipy(lvl.R_csr), nc_pad, n_pad),
+                    mesh, axis_name)
+            new.presmoother = _pad_smoother(lvl.presmoother, n_pad, mesh,
+                                            axis_name)
+            new.postsmoother = _pad_smoother(lvl.postsmoother, n_pad, mesh,
+                                             axis_name)
+            levels.append(new)
+
+        self.inner = MultilevelSolver(levels,
+                                      coarse_solver=ml.coarse_solver_spec)
+        # coarse dense inverse: padded + replicated
+        A_c = ml.levels[-1].A_csr
+        nc, nc_pad = A_c.shape[0], sizes[-1]
+        Ainv = np.zeros((nc_pad, nc_pad), dtype=A_c.dtype)
+        Ainv[:nc, :nc] = np.linalg.pinv(A_c.toarray())
+        Ainv_dev = jax.device_put(jnp.asarray(Ainv),
+                                  NamedSharding(mesh, P(None, None)))
+
+        def coarse_fn(b):
+            return Ainv_dev @ b
+
+        self.inner._coarse_fn = coarse_fn
+        self.inner._coarse_traceable = True
+
+    @property
+    def levels(self):
+        return self.inner.levels
+
+    def cycle_fn(self, cycle="V"):
+        return self.inner.cycle_fn(cycle)
+
+    def _pad_vec(self, b):
+        n_pad = self.sizes[0]
+        out = np.zeros(n_pad, dtype=np.asarray(b).dtype)
+        out[:self.n_orig] = np.asarray(b).ravel()
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.device_put(jnp.asarray(out), sh)
+
+    def solve(self, b, **kw):
+        b_pad = self._pad_vec(b)
+        with self.mesh:
+            x = self.inner.solve(b_pad, **kw)
+        return np.asarray(x)[:self.n_orig]
+
+    def __repr__(self):
+        return (f"ShardedSolver(devices={self.mesh.devices.size}, "
+                f"levels={len(self.levels)})\n" + repr(self.inner))
+
+
+def shard_solver(ml: MultilevelSolver, mesh=None, n_devices=None,
+                 axis_name: str = "rows") -> ShardedSolver:
+    """Shard an existing hierarchy row-wise over a device mesh."""
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name)
+    return ShardedSolver(ml, mesh, axis_name)

@@ -82,14 +82,17 @@ def multicolor_gs_step(A: SparseELL, dinv, color_masks, x, b, reverse=False):
 
     Per color c (in order): x |= x + mask_c * D^{-1} (b - A x).  Within a
     color no two nodes are adjacent, so the update equals a true Gauss-Seidel
-    step under the color ordering.
+    step under the color ordering.  The color loop is a ``fori_loop`` so the
+    compiled program stays small regardless of the number of colors.
     """
     ncolors = color_masks.shape[0]
-    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
-    for c in order:
+
+    def body(c, x):
+        idx = ncolors - 1 - c if reverse else c
         r = b - A.matvec(x)
-        x = x + color_masks[c] * dinv * r
-    return x
+        return x + color_masks[idx] * dinv * r
+
+    return jax.lax.fori_loop(0, ncolors, body, x)
 
 
 def polynomial_step(A: SparseELL, coefficients, x, b):
@@ -160,19 +163,23 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
 
 def _multicolor_sor(A, sm, x, b, reverse):
     ncolors = sm.color_masks.shape[0]
-    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
-    for c in order:
+
+    def body(c, x):
+        idx = ncolors - 1 - c if reverse else c
         r = b - A.matvec(x)
-        x = x + sm.omega * sm.color_masks[c] * sm.dinv * r
-    return x
+        return x + sm.omega * sm.color_masks[idx] * sm.dinv * r
+
+    return jax.lax.fori_loop(0, ncolors, body, x)
 
 
 def _multicolor_block_gs(A, sm, x, b, reverse):
     bs = sm.block_dinv.shape[-1]
     ncolors = sm.color_masks.shape[0]
-    order = range(ncolors - 1, -1, -1) if reverse else range(ncolors)
-    for c in order:
+
+    def body(c, x):
+        idx = ncolors - 1 - c if reverse else c
         r = (b - A.matvec(x)).reshape(-1, bs)
         dx = jnp.einsum("nij,nj->ni", sm.block_dinv, r).reshape(-1)
-        x = x + sm.color_masks[c] * dx
-    return x
+        return x + sm.color_masks[idx] * dx
+
+    return jax.lax.fori_loop(0, ncolors, body, x)

@@ -187,6 +187,23 @@ def gauss_seidel_indexed(A, x, b, indices, iterations=1, sweep="forward"):
     A, x_v, b_v = make_system(A, x, b)
     A = A.tocsr()
     indices = np.asarray(indices, dtype=np.int64)
+
+    from ..amg_core import gauss_seidel_indexed_native
+
+    if A.dtype == np.float64 and x_v.dtype == np.float64:
+        done = True
+        for _ in range(iterations):
+            if sweep in ("forward", "symmetric"):
+                done &= gauss_seidel_indexed_native(A, x_v, b_v, indices)
+            if sweep in ("backward", "symmetric"):
+                done &= gauss_seidel_indexed_native(A, x_v, b_v,
+                                                    indices[::-1])
+            if sweep not in ("forward", "backward", "symmetric"):
+                raise ValueError(f"invalid sweep {sweep!r}")
+        if done:
+            np.asarray(x).reshape(-1)[:] = x_v
+            return x
+
     indptr, cols, data = A.indptr, A.indices, A.data
 
     def one_pass(order):

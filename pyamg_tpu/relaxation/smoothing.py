@@ -67,14 +67,53 @@ def _dinv(A_csr):
     return out
 
 
-def _color_masks(A_csr, blocksize=1, dtype=None):
-    """(ncolors, n) float masks from a Jones-Plassmann coloring of A's graph
-    (amalgamated when blocksize > 1)."""
+def _grid_coloring(grid, offsets):
+    """Exact geometric coloring for a grid stencil: checkerboard (2 colors)
+    when the stencil is a cross, else 2^d block coloring (valid for any
+    3^d neighborhood stencil)."""
+    import itertools
+
+    grid = tuple(grid)
+    d = len(grid)
+    strides = [int(np.prod(grid[k + 1:])) for k in range(d)]
+    cross = {0}
+    for k in range(d):
+        cross.add(strides[k])
+        cross.add(-strides[k])
+    coords = np.unravel_index(np.arange(int(np.prod(grid))), grid)
+    if set(offsets) <= cross:
+        return (sum(coords) % 2).astype(np.int32)
+    color = np.zeros(int(np.prod(grid)), dtype=np.int32)
+    for k in range(d):
+        color = 2 * color + (coords[k] % 2).astype(np.int32)
+    return color
+
+
+def _color_masks(A_csr, blocksize=1, dtype=None, grid=None):
+    """(ncolors, n) float masks from a graph coloring of A — geometric
+    (2 or 2^d colors) on structured grids, Jones-Plassmann otherwise."""
     from ..graph import vertex_coloring
     from ..util.utils import amalgamate
 
     G = amalgamate(A_csr, blocksize) if blocksize > 1 else A_csr
-    colors = vertex_coloring(G, method="JP")
+    colors = None
+    if grid is not None and blocksize == 1 \
+            and int(np.prod(grid)) == G.shape[0]:
+        import itertools
+
+        coo = G.tocoo()
+        offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+        strides = [int(np.prod(tuple(grid)[k + 1:]))
+                   for k in range(len(grid))]
+        # geometric coloring is valid when every offset is a 3^d-neighborhood
+        # move: sum of delta_k * stride_k with delta in {-1, 0, 1}
+        valid_offs = {sum(d * s for d, s in zip(deltas, strides))
+                      for deltas in itertools.product((-1, 0, 1),
+                                                      repeat=len(grid))}
+        if set(int(o) for o in offs) <= valid_offs:
+            colors = _grid_coloring(grid, offs.tolist())
+    if colors is None:
+        colors = vertex_coloring(G, method="JP")
     ncolors = int(colors.max()) + 1
     nb = colors.shape[0]
     rdt = dtype or np.real(np.zeros(0, dtype=A_csr.dtype)).dtype
@@ -107,16 +146,18 @@ def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
         return SmootherData(kind="richardson", iterations=iterations,
                             omega=omega)
 
+    grid = getattr(lvl, "grid", None)
+
     if fn_name in ("gauss_seidel", "multicolor_gauss_seidel"):
         return SmootherData(kind="gauss_seidel", iterations=iterations,
                             sweep=sweep, dinv=jnp.asarray(_dinv(A_csr)),
-                            color_masks=_color_masks(A_csr))
+                            color_masks=_color_masks(A_csr, grid=grid))
 
     if fn_name == "sor":
         omega = float(kwargs.get("omega", 1.0))
         return SmootherData(kind="sor", iterations=iterations, sweep=sweep,
                             omega=omega, dinv=jnp.asarray(_dinv(A_csr)),
-                            color_masks=_color_masks(A_csr))
+                            color_masks=_color_masks(A_csr, grid=grid))
 
     if fn_name in ("chebyshev", "polynomial"):
         if fn_name == "chebyshev":
@@ -132,6 +173,12 @@ def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
 
     if fn_name in ("block_jacobi", "block_gauss_seidel"):
         bs = int(kwargs.get("blocksize", getattr(lvl, "blocksize", 1)))
+        if bs == 1:
+            # pointwise case: identical to the scalar smoothers, cheaper
+            scalar = "jacobi" if fn_name == "block_jacobi" else "gauss_seidel"
+            kwargs = {k: v for k, v in kwargs.items()
+                      if k not in ("blocksize", "Dinv")}
+            return make_smoother_data(lvl, scalar, kwargs)
         Dinv = kwargs.get("Dinv")
         if Dinv is None:
             Dinv = get_block_diag(A_csr, bs, inv_flag=True)
@@ -195,4 +242,5 @@ def change_smoothers(ml, presmoother, postsmoother):
         fn, kw = unpack_arg(post) if post is not None else (None, {})
         lvl.postsmoother = make_smoother_data(lvl, fn, kw)
     ml._cycle_cache = {}
+    ml._solve_cache = {}
     return ml

@@ -2,6 +2,11 @@
 
 from .ell import SparseELL, ell_matvec
 from .bell import BlockELL
+from .dia import SparseDIA
+from .linop import ComposedOp, GridRepeatOp, GridPoolOp, DenseOp
+from .device_op import device_operator, count_diagonals
 from .ops import spgemm, rap, transpose
 
-__all__ = ["SparseELL", "BlockELL", "ell_matvec", "spgemm", "rap", "transpose"]
+__all__ = ["SparseELL", "BlockELL", "SparseDIA", "ComposedOp",
+           "GridRepeatOp", "GridPoolOp", "DenseOp", "device_operator",
+           "count_diagonals", "ell_matvec", "spgemm", "rap", "transpose"]

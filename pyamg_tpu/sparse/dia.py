@@ -1,0 +1,145 @@
+"""Diagonal-offset (DIA) sparse storage — the TPU fast path.
+
+TPU gathers are scalar-unit bound (~8 ns/element measured on v5e), so the
+gather-based ELL SpMV cannot be the hot path.  Matrices from discretized
+PDEs on grids — and their Galerkin coarse operators under grid-block
+aggregation — have entries on a handful of fixed diagonals.  Storing one
+dense vector per diagonal turns SpMV into shifted elementwise multiply-adds:
+pure VPU traffic, no gathers, and under `jax.sharding` the shifts become
+automatic halo exchanges.
+
+Replaces the role of CSR for structured levels (reference substrate:
+scipy.sparse, SURVEY.md L1); unstructured levels fall back to
+:class:`~pyamg_tpu.sparse.ell.SparseELL`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SparseDIA"]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class SparseDIA:
+    """diags[k, i] = A[i, i + offsets[k]] (zero where absent/out of range).
+
+    Square or rectangular; ``matvec`` pads x once and accumulates k shifted
+    products.
+    """
+
+    diags: jnp.ndarray            # (k, n_rows)
+    offsets: Tuple[int, ...]      # static
+    shape: Tuple[int, int]
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (diags,) = children
+        offsets, shape = aux
+        return cls(diags=diags, offsets=offsets, shape=shape)
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def dtype(self):
+        return self.diags.dtype
+
+    @property
+    def n_offsets(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def nnz(self) -> int:
+        return int(np.count_nonzero(np.asarray(self.diags)))
+
+    # -- constructors --------------------------------------------------------
+    @staticmethod
+    def from_scipy(A, max_offsets: int = 128, dtype=None) -> "SparseDIA":
+        """Convert CSR/any scipy matrix; raises ValueError if the matrix has
+        more than ``max_offsets`` distinct diagonals."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n, m = A.shape
+        coo = A.tocoo()
+        offs = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+        uniq = np.unique(offs)
+        if uniq.size > max_offsets:
+            raise ValueError(
+                f"matrix has {uniq.size} distinct diagonals > {max_offsets}")
+        dt = np.dtype(dtype) if dtype is not None else A.dtype
+        diags = np.zeros((uniq.size, n), dtype=dt)
+        k_of = {int(o): k for k, o in enumerate(uniq)}
+        ks = np.searchsorted(uniq, offs)
+        diags[ks, coo.row] = coo.data.astype(dt)
+        return SparseDIA(diags=jnp.asarray(diags),
+                         offsets=tuple(int(o) for o in uniq),
+                         shape=(n, m))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        n, m = self.shape
+        diags = np.asarray(self.diags)
+        rows, cols, vals = [], [], []
+        for k, off in enumerate(self.offsets):
+            r = np.arange(n)
+            c = r + off
+            valid = (c >= 0) & (c < m) & (diags[k] != 0)
+            rows.append(r[valid])
+            cols.append(c[valid])
+            vals.append(diags[k][valid])
+        return sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows),
+                                    np.concatenate(cols))),
+            shape=self.shape).tocsr()
+
+    # -- compute --------------------------------------------------------------
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y[i] = sum_k diags[k, i] * x[i + offsets[k]] — shift-multiply-add,
+        no gathers."""
+        n, m = self.shape
+        lo = -min(min(self.offsets), 0)
+        hi = max(max(self.offsets), 0)
+        xpad = jnp.pad(x, (lo, hi + max(n - m, 0)))
+        y = jnp.zeros((n,), dtype=jnp.result_type(self.dtype, x.dtype))
+        for k, off in enumerate(self.offsets):
+            y = y + self.diags[k] * jax.lax.dynamic_slice_in_dim(
+                xpad, lo + off, n)
+        return y
+
+    def matmat(self, X: jnp.ndarray) -> jnp.ndarray:
+        n, m = self.shape
+        lo = -min(min(self.offsets), 0)
+        hi = max(max(self.offsets), 0)
+        Xpad = jnp.pad(X, ((lo, hi + max(n - m, 0)), (0, 0)))
+        Y = jnp.zeros((n, X.shape[1]),
+                      dtype=jnp.result_type(self.dtype, X.dtype))
+        for k, off in enumerate(self.offsets):
+            Y = Y + self.diags[k][:, None] * jax.lax.dynamic_slice_in_dim(
+                Xpad, lo + off, n, axis=0)
+        return Y
+
+    def __matmul__(self, x):
+        x = jnp.asarray(x)
+        return self.matvec(x) if x.ndim == 1 else self.matmat(x)
+
+    def diagonal(self) -> jnp.ndarray:
+        if 0 in self.offsets:
+            return self.diags[self.offsets.index(0)]
+        return jnp.zeros((self.shape[0],), dtype=self.dtype)
+
+    def astype(self, dtype) -> "SparseDIA":
+        return SparseDIA(self.diags.astype(dtype), self.offsets, self.shape)
+
+    def __repr__(self):
+        return (f"SparseDIA(shape={self.shape}, n_offsets={self.n_offsets}, "
+                f"dtype={self.dtype})")

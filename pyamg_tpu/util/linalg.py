@@ -162,13 +162,19 @@ def ishermitian(A, fast_check=True, tol=1e-6, seed=0):
 
 
 def pinv_array(a, tol=None):
-    """Batched pseudo-inverse of n (m, m) blocks, in place semantics like the
-    reference (util/linalg.py:583 → amg_core pinv_array)."""
+    """Batched pseudo-inverse of n (m, m) blocks (reference
+    util/linalg.py:583 → amg_core pinv_array) via numpy's stacked SVD."""
     a = np.asarray(a)
-    out = np.empty_like(a)
-    for i in range(a.shape[0]):
-        out[i] = np.linalg.pinv(a[i], rcond=tol if tol is not None else 1e-13)
-    return out
+    if a.shape[0] == 0:
+        return np.empty_like(a)
+    try:
+        return np.linalg.pinv(a, rcond=tol if tol is not None else 1e-13)
+    except np.linalg.LinAlgError:
+        out = np.empty_like(a)
+        for i in range(a.shape[0]):
+            out[i] = np.linalg.pinv(a[i],
+                                    rcond=tol if tol is not None else 1e-13)
+        return out
 
 
 def pinv_array_jax(blocks, rcond=1e-12):

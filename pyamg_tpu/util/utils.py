@@ -112,11 +112,9 @@ def get_block_diag(A, blocksize, inv_flag=True):
     B = sp.bsr_matrix(A, blocksize=(bs, bs))
     blocks = np.zeros((nb, bs, bs), dtype=A.dtype)
     indptr, indices, data = B.indptr, B.indices, B.data
-    for i in range(nb):
-        for jj in range(indptr[i], indptr[i + 1]):
-            if indices[jj] == i:
-                blocks[i] = data[jj]
-                break
+    brows = np.repeat(np.arange(nb), np.diff(indptr))
+    isdiag = indices == brows
+    blocks[brows[isdiag]] = data[isdiag]
     if inv_flag:
         from .linalg import pinv_array
 

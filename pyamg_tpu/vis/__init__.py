@@ -1,0 +1,7 @@
+"""Visualization: VTK export of meshes, aggregates and splittings."""
+
+from .vtk_writer import write_vtu, write_basic_mesh
+from .vis_coarse import vis_aggregate_groups, vis_splitting
+
+__all__ = ["write_vtu", "write_basic_mesh", "vis_aggregate_groups",
+           "vis_splitting"]

@@ -1,0 +1,255 @@
+"""Aggregation-layer tests: aggregate ops, tentative QR, smoothers,
+SA/rootnode/adaptive convergence sweeps (reference oracle style:
+test_aggregation.py conv factor < 0.9)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import pyamg_tpu
+from pyamg_tpu.gallery import poisson, linear_elasticity
+from pyamg_tpu.aggregation import (standard_aggregation, naive_aggregation,
+                                   lloyd_aggregation, fit_candidates,
+                                   smoothed_aggregation_solver,
+                                   rootnode_solver, adaptive_sa_solver,
+                                   asa_solver, newideal_solver)
+from pyamg_tpu.aggregation.aggregate import (parallel_aggregation,
+                                             grid_aggregation)
+from pyamg_tpu.strength import symmetric_strength_of_connection
+
+
+def rng():
+    return np.random.default_rng(0)
+
+
+def conv_factor(res):
+    res = np.asarray(res)
+    return (res[-1] / res[0]) ** (1.0 / max(len(res) - 1, 1))
+
+
+class TestAggregateOps:
+    def _strength(self, n=12):
+        A = poisson((n, n), format="csr")
+        return symmetric_strength_of_connection(A)
+
+    def test_standard_partitions(self):
+        C = self._strength()
+        AggOp, roots = standard_aggregation(C)
+        counts = np.asarray(AggOp.sum(axis=1)).ravel()
+        assert (counts <= 1).all()          # each node in <= 1 aggregate
+        assert counts.sum() == C.shape[0]   # connected: full coverage
+        assert len(roots) == AggOp.shape[1]
+
+    def test_naive_partitions(self):
+        C = self._strength()
+        AggOp, roots = naive_aggregation(C)
+        counts = np.asarray(AggOp.sum(axis=1)).ravel()
+        assert (counts == 1).all()
+
+    def test_lloyd(self):
+        C = self._strength()
+        AggOp, seeds = lloyd_aggregation(C, ratio=0.1)
+        assert AggOp.shape[1] == max(1, int(np.ceil(0.1 * C.shape[0])))
+
+    def test_parallel_matches_semantics(self):
+        C = self._strength(20)
+        AggOp, roots = parallel_aggregation(C)
+        counts = np.asarray(AggOp.sum(axis=1)).ravel()
+        assert (counts == 1).all()
+        # roots are pairwise non-adjacent (distance >= 2)
+        G = C.copy()
+        G.setdiag(0)
+        G.eliminate_zeros()
+        sub = G[roots][:, roots]
+        assert sub.nnz == 0
+
+    def test_grid_aggregation(self):
+        AggOp, roots, cgrid = grid_aggregation((9, 9), (3, 3))
+        assert AggOp.shape == (81, 9)
+        assert cgrid == (3, 3)
+        counts = np.asarray(AggOp.sum(axis=0)).ravel()
+        assert (counts == 9).all()
+
+    def test_isolated_node(self):
+        C = sp.csr_matrix(np.array([[1., 1, 0], [1, 1, 0], [0, 0, 1]]))
+        C.setdiag(1)
+        AggOp, roots = standard_aggregation(C.tocsr())
+        assert AggOp.shape[0] == 3
+
+
+class TestFitCandidates:
+    def test_reproduces_B(self):
+        AggOp = sp.csr_matrix(
+            np.array([[1., 0], [1, 0], [0, 1], [0, 1]]))
+        B = np.ones((4, 1))
+        T, Bc = fit_candidates(AggOp, B)
+        assert np.allclose(T @ Bc, B)
+
+    def test_orthonormal_columns(self):
+        C = symmetric_strength_of_connection(poisson((10, 10), format="csr"))
+        AggOp, _ = standard_aggregation(C)
+        n = C.shape[0]
+        B = np.column_stack([np.ones(n), rng().standard_normal(n)])
+        T, Bc = fit_candidates(AggOp, B)
+        TtT = (T.conjugate().T @ T).toarray()
+        assert np.allclose(TtT, np.eye(TtT.shape[0]), atol=1e-10)
+        assert np.allclose(T @ Bc, B, atol=1e-10)
+
+    def test_blocksize(self):
+        AggOp = sp.csr_matrix(np.array([[1., 0], [1, 0], [0, 1], [0, 1]]))
+        B = np.kron(np.ones((4, 1)), np.eye(2))   # 8 dofs, 2 candidates
+        T, Bc = fit_candidates(AggOp, B)
+        assert T.shape == (8, 4)
+        assert np.allclose(T @ Bc, B, atol=1e-12)
+
+
+class TestSAConvergence:
+    @pytest.mark.parametrize("opts", [
+        {},
+        {"strength": "classical"},
+        {"strength": ("symmetric", {"theta": 0.25})},
+        {"aggregate": "naive"},
+        {"smooth": ("richardson", {"omega": 4.0 / 3.0})},
+        {"smooth": ("jacobi", {"filter": True})},
+        {"smooth": ("energy", {"krylov": "cg", "maxiter": 3})},
+        {"smooth": None},
+        {"presmoother": ("jacobi", {"iterations": 2}),
+         "postsmoother": ("jacobi", {"iterations": 2})},
+        {"presmoother": "chebyshev", "postsmoother": "chebyshev"},
+        {"improve_candidates": None},
+    ])
+    def test_poisson_sweep(self, opts):
+        A = poisson((20, 20), format="csr")
+        np.random.seed(0)
+        ml = smoothed_aggregation_solver(A, max_coarse=10, **opts)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.9, opts   # reference oracle bound
+
+    def test_1d(self):
+        A = poisson((120,), format="csr")
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.9
+
+    def test_elasticity_with_rbm(self):
+        A, B = linear_elasticity((12, 12))
+        ml = smoothed_aggregation_solver(A.tocsr(), B=B, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res)
+        assert np.asarray(res)[-1] / np.asarray(res)[0] < 1e-6
+
+    def test_evolution_strength_solver(self):
+        A = poisson((16, 16), format="csr")
+        ml = smoothed_aggregation_solver(A, strength="evolution",
+                                         max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.9
+
+    def test_nonsymmetric_mode(self):
+        from pyamg_tpu.gallery import load_example
+
+        data = load_example("recirc_flow")
+        A = data["A"].tocsr()
+        ml = smoothed_aggregation_solver(
+            A, symmetry="nonsymmetric",
+            smooth=("energy", {"krylov": "gmres", "maxiter": 2}),
+            presmoother=("gauss_seidel_nr", {"sweep": "symmetric"}),
+            postsmoother=("gauss_seidel_nr", {"sweep": "symmetric"}),
+            max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=100, accel="gmres", residuals=res)
+        assert res[-1] / res[0] < 1e-4
+
+    def test_structured_grid_path(self):
+        A = poisson((27, 27), format="csr")
+        ml = smoothed_aggregation_solver(A, max_coarse=5)
+        from pyamg_tpu.sparse import SparseDIA
+
+        assert isinstance(ml.levels[0].A, (SparseDIA,))
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.6
+
+
+class TestRootnode:
+    def test_poisson(self):
+        A = poisson((16, 16), format="csr")
+        A.grid = None    # force the generic (unstructured) path
+        ml = rootnode_solver(A, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.9
+
+    def test_elasticity(self):
+        A, B = linear_elasticity((8, 8))
+        ml = rootnode_solver(A.tocsr(), B=B, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res)
+        assert res[-1] / res[0] < 1e-5
+
+
+class TestAdaptive:
+    def test_adaptive_sa(self):
+        A = poisson((16, 16), format="csr")
+        ml, work = adaptive_sa_solver(A, num_candidates=2,
+                                      candidate_iters=4, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert conv_factor(res) < 0.9
+        assert work > 0
+
+    def test_asa(self):
+        A = poisson((16, 16), format="csr")
+        ml = asa_solver(A, max_candidates=2, improvement_iters=4,
+                        max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, residuals=res)
+        assert conv_factor(res) < 0.95
+
+
+class TestNewIdeal:
+    def test_newideal_solver(self):
+        A = poisson((14, 14), format="csr")
+        ml = newideal_solver(A, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, residuals=res)
+        assert conv_factor(res) < 0.95
+
+
+class TestPairwise:
+    def test_pairwise_solver(self):
+        A = poisson((16, 16), format="csr")
+        A.grid = None
+        ml = smoothed_aggregation_solver(
+            A, aggregate=("pairwise", {"matchings": 2}), max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res)
+        assert res[-1] / res[0] < 1e-5
+
+    def test_matchings(self):
+        from pyamg_tpu.aggregation.matching import (drake_matching,
+                                                    preis_matching,
+                                                    notay_matching)
+
+        A = poisson((10, 10), format="csr")
+        for fn in (drake_matching, preis_matching, notay_matching):
+            m = fn(A)
+            # valid matching: symmetric partner assignment
+            for i, j in enumerate(m):
+                if j >= 0:
+                    assert m[j] in (i, -1) or m[j] == i

@@ -1,0 +1,125 @@
+"""Krylov suite tests: convergence on gallery problems, contract checks."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pyamg_tpu import krylov
+from pyamg_tpu.gallery import poisson, sprand
+from pyamg_tpu.sparse import SparseELL
+
+
+def rng():
+    return np.random.default_rng(0)
+
+
+def _spd(n=144):
+    A = poisson((int(np.sqrt(n)), int(np.sqrt(n))), format="csr")
+    return SparseELL.from_scipy(A), A
+
+
+def _nonsym(n=100):
+    g = int(np.sqrt(n))
+    A = poisson((g, g), format="csr")
+    # add a skew convection-like part
+    D = sp.diags(np.ones(A.shape[0] - 1), 1, shape=A.shape)
+    A = (A + 0.3 * (D - D.T)).tocsr()
+    return SparseELL.from_scipy(A), A
+
+
+class TestSPDMethods:
+    @pytest.mark.parametrize("method", ["cg", "cr", "steepest_descent",
+                                        "minimal_residual"])
+    def test_converges(self, method):
+        E, A = _spd()
+        b = rng().standard_normal(A.shape[0])
+        fn = getattr(krylov, method)
+        x, info = fn(E, b, tol=1e-8, maxiter=2000)
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b), method
+
+    def test_cg_matches_scipy(self):
+        E, A = _spd()
+        b = rng().standard_normal(A.shape[0])
+        x, info = krylov.cg(E, b, tol=1e-10, maxiter=1000)
+        x_ref = np.linalg.solve(A.toarray(), b)
+        assert np.allclose(x, x_ref, atol=1e-6)
+
+    def test_residuals_monotone_start(self):
+        E, A = _spd()
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        krylov.cg(E, b, tol=1e-8, maxiter=500, residuals=res)
+        assert res[0] >= res[-1]
+        assert len(res) > 2
+
+    def test_x0(self):
+        E, A = _spd()
+        b = rng().standard_normal(A.shape[0])
+        x_ref = np.linalg.solve(A.toarray(), b)
+        x, info = krylov.cg(E, b, x0=x_ref + 1e-8, tol=1e-10, maxiter=100)
+        assert np.allclose(x, x_ref, atol=1e-6)
+
+    def test_preconditioned(self):
+        E, A = _spd()
+        b = rng().standard_normal(A.shape[0])
+        dinv = 1.0 / A.diagonal()
+        import jax.numpy as jnp
+
+        M = lambda r: jnp.asarray(dinv) * r
+        res_p, res_n = [], []
+        krylov.cg(E, b, tol=1e-8, maxiter=1000, M=M, residuals=res_p)
+        krylov.cg(E, b, tol=1e-8, maxiter=1000, residuals=res_n)
+        assert len(res_p) <= len(res_n) + 5
+
+
+class TestNonsymmetric:
+    @pytest.mark.parametrize("method", ["gmres", "fgmres", "bicgstab",
+                                        "gmres_householder"])
+    def test_converges(self, method):
+        E, A = _nonsym()
+        b = rng().standard_normal(A.shape[0])
+        fn = getattr(krylov, method)
+        x, info = fn(E, b, tol=1e-8, maxiter=500)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-5 * np.linalg.norm(b), method
+
+    def test_gmres_restarted(self):
+        E, A = _nonsym()
+        b = rng().standard_normal(A.shape[0])
+        x, info = krylov.gmres_mgs(E, b, tol=1e-8, restrt=20, maxiter=400)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-5 * np.linalg.norm(b)
+
+    def test_gmres_dispatcher(self):
+        E, A = _nonsym()
+        b = rng().standard_normal(A.shape[0])
+        for orthog in ("mgs", "householder"):
+            x, info = krylov.gmres(E, b, tol=1e-8, maxiter=300,
+                                   orthog=orthog)
+            assert np.linalg.norm(b - A @ np.asarray(x)) < \
+                1e-5 * np.linalg.norm(b)
+        with pytest.raises(ValueError):
+            krylov.gmres(E, b, orthog="bogus")
+
+
+class TestNormalEquations:
+    def test_cgnr_cgne_square(self):
+        E, A = _nonsym(64)
+        b = rng().standard_normal(A.shape[0])
+        for fn in (krylov.cgnr, krylov.cgne):
+            x, info = fn(E, b, tol=1e-10, maxiter=3000)
+            assert np.linalg.norm(b - A @ np.asarray(x)) < \
+                1e-4 * np.linalg.norm(b), fn.__name__
+
+
+class TestComplex:
+    def test_cg_complex_hpd(self):
+        from pyamg_tpu.gallery import gauge_laplacian
+
+        A = gauge_laplacian(8, beta=0.05, seed=1)
+        E = SparseELL.from_scipy(A)
+        b = rng().standard_normal(A.shape[0]) + \
+            1j * rng().standard_normal(A.shape[0])
+        x, info = krylov.cg(E, b, tol=1e-10, maxiter=1000)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-7 * np.linalg.norm(b)

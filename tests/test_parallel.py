@@ -1,0 +1,52 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import pyamg_tpu
+from pyamg_tpu.gallery import poisson
+from pyamg_tpu.parallel import make_mesh, shard_solver
+
+
+def conv_factor(res):
+    res = np.asarray(res)
+    return (res[-1] / res[0]) ** (1.0 / max(len(res) - 1, 1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSharded:
+    def test_sharded_solve_matches_single(self):
+        A = poisson((31, 33), format="csr")     # deliberately non-divisible
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=20)
+        res1 = []
+        x1 = ml.solve(b, tol=1e-10, maxiter=40, residuals=res1)
+
+        sml = shard_solver(ml, n_devices=8)
+        res2 = []
+        x2 = sml.solve(b, tol=1e-10, maxiter=40, residuals=res2)
+        assert np.allclose(x1, x2, atol=1e-8)
+        assert abs(conv_factor(res1) - conv_factor(res2)) < 1e-6
+
+    def test_sharded_accel_cg(self):
+        A = poisson((24, 24), format="csr")
+        b = np.random.default_rng(1).standard_normal(A.shape[0])
+        ml = pyamg_tpu.ruge_stuben_solver(A, max_coarse=20)
+        sml = shard_solver(ml, n_devices=8)
+        x = sml.solve(b, tol=1e-10, maxiter=40, accel="cg")
+        assert np.linalg.norm(b - A @ x) < 1e-8 * np.linalg.norm(b)
+
+    def test_sharding_is_actually_distributed(self):
+        A = poisson((16, 16), format="csr")
+        ml = pyamg_tpu.ruge_stuben_solver(A, max_coarse=20)
+        sml = shard_solver(ml, n_devices=8)
+        data = sml.levels[0].A.data
+        assert len(data.sharding.device_set) == 8
+
+    def test_mesh_sizes(self):
+        mesh = make_mesh(4)
+        assert mesh.devices.size == 4
+        with pytest.raises(ValueError):
+            make_mesh(10**6)
