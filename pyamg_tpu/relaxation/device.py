@@ -46,22 +46,26 @@ class SmootherData:
     blocksize: int = 1                   # static
     AT: Optional[SparseELL] = None       # transpose, for NE/NR smoothers
     dinv_ne: Optional[jnp.ndarray] = None
+    subdomain_idx: Optional[jnp.ndarray] = None     # (n_dom, L) int32, -1 pad
+    subdomain_inv: Optional[jnp.ndarray] = None     # (n_dom, L, L)
 
     def tree_flatten(self):
         children = (self.dinv, self.color_masks, self.block_dinv, self.AT,
-                    self.dinv_ne)
+                    self.dinv_ne, self.subdomain_idx, self.subdomain_inv)
         aux = (self.kind, self.iterations, self.sweep, self.omega,
                self.coefficients, self.blocksize)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        dinv, color_masks, block_dinv, AT, dinv_ne = children
+        (dinv, color_masks, block_dinv, AT, dinv_ne, subdomain_idx,
+         subdomain_inv) = children
         kind, iterations, sweep, omega, coefficients, blocksize = aux
         return cls(kind=kind, iterations=iterations, sweep=sweep, omega=omega,
                    dinv=dinv, color_masks=color_masks,
                    coefficients=coefficients, block_dinv=block_dinv,
-                   blocksize=blocksize, AT=AT, dinv_ne=dinv_ne)
+                   blocksize=blocksize, AT=AT, dinv_ne=dinv_ne,
+                   subdomain_idx=subdomain_idx, subdomain_inv=subdomain_inv)
 
 
 # ---------------------------------------------------------------------------
@@ -112,6 +116,47 @@ def block_jacobi_step(A: SparseELL, block_dinv, x, b, omega=1.0):
     return x + omega * dx
 
 
+def schwarz_step(A, subdomain_idx, subdomain_inv, x, b, omega=1.0):
+    """Weighted (partition-of-unity) additive overlapping Schwarz — the
+    parallel counterpart of the reference's multiplicative sweep
+    (relaxation.h:936), with each dof's correction averaged over the
+    subdomains containing it (restricted-additive-Schwarz weighting, which
+    keeps the additive iteration contractive).
+
+    Batched dense subdomain solves on the MXU + one gather/scatter pair.
+    """
+    r = b - A.matvec(x)
+    safe = jnp.maximum(subdomain_idx, 0)
+    valid = (subdomain_idx >= 0).astype(r.dtype)
+    r_loc = r[safe] * valid                                 # (n_dom, L)
+    dx_loc = jnp.einsum("dij,dj->di", subdomain_inv, r_loc) * valid
+    dx = jnp.zeros_like(x).at[safe.reshape(-1)].add(
+        (dx_loc * valid).reshape(-1))
+    count = jnp.zeros_like(x).at[safe.reshape(-1)].add(valid.reshape(-1))
+    dx = dx / jnp.maximum(count, 1)
+    return x + omega * dx
+
+
+def krylov_smoother_step(A, x, b, kind="cg", iterations=2):
+    """Fixed-iteration Krylov smoothing (reference smoothing.py:481-509
+    setup_cg/setup_gmres): a few unpreconditioned CG / MINRES-like steps,
+    fully traced (no convergence test)."""
+    r = b - A.matvec(x)
+    p = r
+    rz = jnp.vdot(r, r)
+    for _ in range(iterations):
+        Ap = A.matvec(p)
+        d = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(d == 0, 1, d)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rz_new = jnp.vdot(r, r)
+        beta = rz_new / jnp.where(rz == 0, 1, rz)
+        p = r + beta * p
+        rz = rz_new
+    return x
+
+
 def jacobi_ne_step(A: SparseELL, AT: SparseELL, dinv_ne, x, b, omega=1.0):
     """Jacobi on the normal equations: x + omega D(A^H A)^{-1} A^H (b - Ax)."""
     r = b - A.matvec(x)
@@ -150,6 +195,12 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
                 x = _multicolor_block_gs(A, sm, x, b, reverse=True)
         elif sm.kind == "jacobi_ne":
             x = jacobi_ne_step(A, sm.AT, sm.dinv_ne, x, b, sm.omega)
+        elif sm.kind == "schwarz":
+            x = schwarz_step(A, sm.subdomain_idx, sm.subdomain_inv, x, b,
+                             sm.omega)
+        elif sm.kind in ("cg_smoother", "gmres_smoother", "cgnr_smoother",
+                         "cgne_smoother"):
+            x = krylov_smoother_step(A, x, b, iterations=max(1, 2))
         elif sm.kind == "sor":
             # device SOR = multicolor GS with over-relaxation weight
             if sm.sweep in ("forward", "symmetric"):

@@ -212,18 +212,39 @@ def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
                             dinv_ne=jnp.asarray(dinv_ne))
 
     if fn_name in ("schwarz", "strength_based_schwarz"):
-        # additive damped Schwarz: per-node overlapping subdomain solves,
-        # batched; realized as block_jacobi on the overlap-padded system.
-        # Round-1: fall back to block_jacobi on pointwise diagonal.
-        return SmootherData(kind="jacobi", iterations=iterations,
-                            omega=0.5, dinv=jnp.asarray(_dinv(A_csr)))
+        # damped additive overlapping Schwarz: batched dense subdomain
+        # solves (≙ relaxation.h:936, additive variant for SIMD execution)
+        from .relaxation import schwarz_parameters
+        from ..strength import classical_strength_of_connection
+
+        base = A_csr
+        if fn_name == "strength_based_schwarz":
+            base = classical_strength_of_connection(A_csr, 0.0)
+        sub, sub_ptr, inv, inv_ptr = schwarz_parameters(
+            A_csr, kwargs.get("subdomain"), kwargs.get("subdomain_ptr"),
+            kwargs.get("inv_subblock"), kwargs.get("inv_subblock_ptr"))
+        n_dom = sub_ptr.shape[0] - 1
+        sizes = np.diff(sub_ptr)
+        L = int(sizes.max()) if n_dom else 1
+        idx = np.full((n_dom, L), -1, dtype=np.int32)
+        binv = np.zeros((n_dom, L, L), dtype=A_csr.dtype)
+        for d in range(n_dom):
+            s = sizes[d]
+            idx[d, :s] = sub[sub_ptr[d]:sub_ptr[d + 1]]
+            binv[d, :s, :s] = inv[inv_ptr[d]:inv_ptr[d + 1]].reshape(s, s)
+        omega = float(kwargs.get("omega", 1.0))
+        return SmootherData(kind="schwarz", iterations=iterations,
+                            omega=omega,
+                            subdomain_idx=jnp.asarray(idx),
+                            subdomain_inv=jnp.asarray(binv))
 
     if fn_name in ("gmres", "cg", "cgne", "cgnr"):
-        # Krylov-as-smoother (reference smoothing.py:481-509): approximate
-        # with richardson-weighted jacobi for the compiled path (round 1).
-        return SmootherData(kind="jacobi", iterations=max(iterations, 2),
-                            omega=1.0 / rho_D_inv_A(A_csr),
-                            dinv=jnp.asarray(_dinv(A_csr)))
+        # Krylov-as-smoother (reference smoothing.py:481-509): a fixed
+        # number of fully-traced Krylov steps
+        return SmootherData(kind=f"{fn_name}_smoother"
+                            if fn_name in ("cg", "gmres", "cgne", "cgnr")
+                            else "cg_smoother",
+                            iterations=max(iterations, 1))
 
     raise ValueError(f"unknown smoother {fn_name!r}")
 
@@ -243,4 +264,5 @@ def change_smoothers(ml, presmoother, postsmoother):
         lvl.postsmoother = make_smoother_data(lvl, fn, kw)
     ml._cycle_cache = {}
     ml._solve_cache = {}
+    ml._smoother_config = (presmoother, postsmoother)
     return ml

@@ -218,6 +218,29 @@ class TestDeviceSmoothers:
                 r1 = np.linalg.norm(b - A @ out)
                 assert r1 < r0, f"smoother {name} did not reduce residual"
 
+    def test_schwarz_device_smoother_converges(self):
+        import pyamg_tpu
+
+        A = poisson((20, 20), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, presmoother="schwarz", postsmoother="schwarz", max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert (res[-1] / res[0]) ** (1 / max(len(res) - 1, 1)) < 0.7
+
+    def test_krylov_smoother_converges(self):
+        import pyamg_tpu
+
+        A = poisson((20, 20), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, presmoother=("cg", {"iterations": 2}),
+            postsmoother=("cg", {"iterations": 2}), max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+        assert (res[-1] / res[0]) ** (1 / max(len(res) - 1, 1)) < 0.5
+
     def test_chebyshev_coefficients(self):
         from pyamg_tpu.relaxation import chebyshev_polynomial_coefficients
 

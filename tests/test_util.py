@@ -1,0 +1,296 @@
+"""Utility-layer tests: linalg, scalings, checkpoint, profiling, graph,
+blackbox, vis, complexity."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import pyamg_tpu
+from pyamg_tpu.gallery import poisson
+from pyamg_tpu.util import linalg as ula
+from pyamg_tpu.util import utils as uut
+
+
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestLinalg:
+    def test_norm(self):
+        x = rng().standard_normal(50)
+        assert np.isclose(ula.norm(x), np.linalg.norm(x))
+
+    def test_approximate_spectral_radius(self):
+        A = poisson((20, 20), format="csr")
+        rho = ula.approximate_spectral_radius(A)
+        exact = np.abs(np.linalg.eigvalsh(A.toarray())).max()
+        assert abs(rho - exact) / exact < 0.05
+        # cached on the matrix
+        assert A.rho == rho
+
+    def test_ishermitian(self):
+        A = poisson((10, 10), format="csr")
+        assert ula.ishermitian(A)
+        B = A.copy()
+        B[0, 1] = 99.0
+        assert not ula.ishermitian(B.tocsr(), fast_check=False)
+
+    def test_pinv_array(self):
+        blocks = rng().standard_normal((7, 3, 3))
+        out = ula.pinv_array(blocks)
+        for i in range(7):
+            assert np.allclose(out[i], np.linalg.pinv(blocks[i]), atol=1e-10)
+
+    def test_pinv_array_jax(self):
+        blocks = rng().standard_normal((5, 2, 2))
+        out = np.asarray(ula.pinv_array_jax(blocks))
+        for i in range(5):
+            assert np.allclose(out[i], np.linalg.pinv(blocks[i]), atol=1e-8)
+
+    def test_condest(self):
+        A = np.diag([1.0, 10.0, 100.0])
+        assert np.isclose(ula.cond(A), 100.0)
+
+
+class TestUtils:
+    def test_scalings(self):
+        A = poisson((8, 8), format="csr")
+        v = rng().random(A.shape[0]) + 0.5
+        assert np.allclose(uut.scale_rows(A, v).toarray(),
+                           np.diag(v) @ A.toarray())
+        assert np.allclose(uut.scale_columns(A, v).toarray(),
+                           A.toarray() @ np.diag(v))
+        ds, dsi, DAD = uut.symmetric_rescaling(A)
+        assert np.allclose(DAD.diagonal(), 1.0)
+
+    def test_get_block_diag(self):
+        A = poisson((8, 8), format="csr")
+        D = uut.get_block_diag(A, 2, inv_flag=False)
+        Ad = A.toarray()
+        for i in range(3):
+            assert np.allclose(D[i], Ad[2 * i:2 * i + 2, 2 * i:2 * i + 2])
+
+    def test_filter_matrix_rows(self):
+        A = sp.csr_matrix(np.array([[2.0, -1, -0.01], [-1, 2, 0],
+                                    [-0.01, 0, 2]]))
+        F = uut.filter_matrix_rows(A, 0.5)
+        assert F[0, 2] == 0
+        assert F[0, 1] != 0
+
+    def test_truncate_rows(self):
+        A = sp.csr_matrix(np.array([[3.0, 2, 1, 0.5]]))
+        T = uut.truncate_rows(A, 2)
+        assert T.nnz == 2
+        assert T[0, 0] == 3.0 and T[0, 1] == 2.0
+
+    def test_coord2rbm(self):
+        V = rng().standard_normal((10, 3))
+        B = uut.coord2rbm(V)
+        assert B.shape == (30, 6)
+
+    def test_filter_operator_preserves_product(self):
+        A = sp.csr_matrix(rng().standard_normal((12, 6)))
+        C = A.copy()
+        C.data = np.where(np.abs(C.data) > 0.5, C.data, 0)
+        C.eliminate_zeros()
+        B = rng().standard_normal((6, 2))
+        Bf = A @ B
+        F = uut.filter_operator(A, C, B, Bf)
+        assert np.allclose(F @ B, Bf, atol=1e-8)
+
+    def test_satisfy_constraints(self):
+        from pyamg_tpu.aggregation.smooth import satisfy_constraints
+        from pyamg_tpu.util.utils import compute_BtBinv
+
+        U = sp.csr_matrix(rng().standard_normal((10, 6)))
+        B = rng().standard_normal((6, 2))
+        BtBinv = compute_BtBinv(B, U)
+        U2 = satisfy_constraints(U, B, BtBinv)
+        assert np.abs(np.asarray(U2 @ B)).max() < 1e-10
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from pyamg_tpu.util import save_hierarchy, load_hierarchy
+
+        A = poisson((20, 20), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=20)
+        b = rng().standard_normal(A.shape[0])
+        x1 = ml.solve(b, tol=1e-8, maxiter=40)
+
+        path = os.path.join(tmp_path, "h.npz")
+        save_hierarchy(ml, path)
+        ml2 = load_hierarchy(path)
+        assert len(ml2.levels) == len(ml.levels)
+        x2 = ml2.solve(b, tol=1e-8, maxiter=40)
+        assert np.linalg.norm(b - A @ x2) < 1e-6 * np.linalg.norm(b)
+
+
+class TestProfiling:
+    def test_profile_cycles(self):
+        from pyamg_tpu.util import profile_cycles
+
+        A = poisson((16, 16), format="csr")
+        ml = pyamg_tpu.ruge_stuben_solver(A, max_coarse=20)
+        stats = profile_cycles(ml, n_cycles=3, warmup=1)
+        assert stats["seconds_per_cycle"] > 0
+        assert stats["dofs_per_second"] > 0
+
+    def test_hierarchy_spectrum(self):
+        from pyamg_tpu.util import hierarchy_spectrum
+
+        A = poisson((8, 8), format="csr")
+        ml = pyamg_tpu.ruge_stuben_solver(A, max_coarse=10)
+        spec = hierarchy_spectrum(ml)
+        assert len(spec) == len(ml.levels)
+        assert abs(spec[0]["max"]) > 0
+
+
+class TestGraph:
+    def test_mis(self):
+        from pyamg_tpu.graph import maximal_independent_set
+
+        A = poisson((10, 10), format="csr")
+        for algo in ("serial", "parallel"):
+            mis = maximal_independent_set(A, algo=algo)
+            # independent: no two selected nodes adjacent
+            sel = np.flatnonzero(mis)
+            G = A.copy()
+            G.setdiag(0)
+            G.eliminate_zeros()
+            assert G[sel][:, sel].nnz == 0
+            # maximal: every unselected node has a selected neighbor
+            for i in np.flatnonzero(mis == 0):
+                nbrs = G.indices[G.indptr[i]:G.indptr[i + 1]]
+                assert mis[nbrs].any()
+
+    def test_coloring_valid(self):
+        from pyamg_tpu.graph import vertex_coloring
+
+        A = poisson((12, 12), format="csr")
+        G = A.copy()
+        G.setdiag(0)
+        G.eliminate_zeros()
+        for method in ("JP", "LDF", "FF"):
+            colors = vertex_coloring(A, method=method)
+            rows = np.repeat(np.arange(A.shape[0]), np.diff(G.indptr))
+            assert (colors[rows] != colors[G.indices]).all(), method
+
+    def test_bellman_ford(self):
+        from pyamg_tpu.graph import bellman_ford
+
+        A = poisson((30,), format="csr")
+        dist, nearest = bellman_ford(A, [0])
+        assert dist[0] == 0
+        assert np.all(np.diff(dist) > 0)
+
+    def test_bfs_and_cc(self):
+        from pyamg_tpu.graph import breadth_first_search, \
+            connected_components
+
+        A = sp.block_diag([poisson((10,)), poisson((7,))], format="csr")
+        labels = connected_components(A)
+        assert len(np.unique(labels)) == 2
+        order, level = breadth_first_search(A, 0)
+        assert len(order) == 10      # only the first component
+
+    def test_lloyd_cluster(self):
+        from pyamg_tpu.graph import lloyd_cluster
+
+        A = poisson((8, 8), format="csr")
+        dist, clusters, seeds = lloyd_cluster(A, 4)
+        assert len(np.unique(clusters[clusters >= 0])) <= 4
+
+    def test_rcm(self):
+        from pyamg_tpu.graph import symmetric_rcm
+
+        A = poisson((12, 12), format="csr")
+        B, perm = symmetric_rcm(A)
+        assert B.shape == A.shape
+        assert sorted(perm.tolist()) == list(range(A.shape[0]))
+
+
+class TestBlackbox:
+    def test_solve_poisson(self):
+        A = poisson((30, 30), format="csr")
+        b = np.arange(A.shape[0], dtype=float)
+        x = pyamg_tpu.solve(A, b, verb=False, tol=1e-8)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-6 * np.linalg.norm(b)
+
+    def test_solver_reuse(self):
+        A = poisson((20, 20), format="csr")
+        b = rng().standard_normal(A.shape[0])
+        x, ml = pyamg_tpu.solve(A, b, verb=False, return_solver=True)
+        x2 = pyamg_tpu.solve(A, 2 * b, verb=False, existing_solver=ml)
+        assert np.linalg.norm(2 * b - A @ np.asarray(x2)) < \
+            1e-4 * np.linalg.norm(b)
+
+    def test_config(self):
+        A = poisson((30, 30), format="csr")
+        config = pyamg_tpu.solver_configuration(A, verb=False)
+        assert config["symmetry"] == "hermitian"
+        ml = pyamg_tpu.solver(A, config)
+        assert len(ml.levels) >= 2
+
+
+class TestVis:
+    def test_vtu_roundtrip(self, tmp_path):
+        from pyamg_tpu.gallery import regular_triangle_mesh
+        from pyamg_tpu.vis import write_basic_mesh
+
+        V, E = regular_triangle_mesh(4, 4)
+        path = os.path.join(tmp_path, "m.vtu")
+        write_basic_mesh(V, E, mesh_type="tri",
+                         cdata=np.arange(E.shape[0], dtype=float)[None, :],
+                         fname=path)
+        text = open(path).read()
+        assert "UnstructuredGrid" in text
+        assert "connectivity" in text
+
+    def test_vis_aggregates(self, tmp_path):
+        from pyamg_tpu.gallery import regular_triangle_mesh
+        from pyamg_tpu.vis import vis_aggregate_groups
+        from pyamg_tpu.strength import symmetric_strength_of_connection
+        from pyamg_tpu.aggregation import standard_aggregation
+        from pyamg_tpu.gallery import load_example
+
+        data = load_example("unit_square")
+        C = symmetric_strength_of_connection(data["A"].tocsr())
+        AggOp, _ = standard_aggregation(C)
+        path = os.path.join(tmp_path, "agg.vtu")
+        vis_aggregate_groups(data["vertices"], data["elements"], AggOp,
+                             fname=path)
+        assert os.path.getsize(path) > 0
+
+
+class TestComplexity:
+    def test_models(self):
+        from pyamg_tpu.complexity import setup_complexity, cycle_complexity
+
+        A = poisson((20, 20), format="csr")
+        ml = pyamg_tpu.ruge_stuben_solver(A, max_coarse=20)
+        assert setup_complexity(ml) > 1.0
+        assert cycle_complexity(ml, "V") > 1.0
+        assert cycle_complexity(ml, "W") >= cycle_complexity(ml, "V")
+
+
+class TestBSRUtils:
+    def test_get_row(self):
+        from pyamg_tpu.util.bsr_utils import bsr_get_row
+
+        A = poisson((8, 8), format="csr").tobsr(blocksize=(2, 2))
+        vals, cols = bsr_get_row(A, 5)
+        dense_row = A.tocsr()[5].toarray().ravel()
+        expect_cols = np.flatnonzero(dense_row)
+        assert sorted(cols.tolist()) == sorted(expect_cols.tolist())
+
+    def test_write_scalar(self):
+        from pyamg_tpu.util.bsr_utils import bsr_row_write_scalar
+
+        A = poisson((8, 8), format="csr").tobsr(blocksize=(2, 2))
+        bsr_row_write_scalar(A, 3, 7.0)
+        row = A.tocsr()[3]
+        assert (row.data == 7.0).all()
