@@ -1,10 +1,10 @@
 """Headline benchmark: 1M-unknown 2D Poisson solved to 1e-10 rel. residual.
 
 Matches BASELINE.json's metric ("V-cycle ms and DoFs/sec at 1M-unknown
-Poisson") and config 3-ish: smoothed aggregation (structured grid fast path,
-DIA operators), CG-preconditioned, float32 V-cycles on the TPU inside a
-float64 defect-correction outer loop (TPU-native mixed precision: the f32
-hierarchy is a preconditioner; accuracy comes from the f64 outer residual).
+Poisson"): smoothed aggregation (structured grid fast path, DIA operators),
+CG-preconditioned, float32 V-cycles inside a float64 defect-correction outer
+loop — all device-resident (TPU-native mixed precision: the f32 hierarchy is
+a preconditioner; accuracy comes from the f64 outer residual).
 
 vs_baseline: the same hierarchy applied on CPU via scipy CSR ops (the
 reference's substrate) preconditioning scipy CG — an apples-to-apples
@@ -19,20 +19,22 @@ import time
 
 import numpy as np
 
-# persistent XLA compile cache: first-ever run pays the (slow, remote) TPU
-# compile; later runs load the serialized executable
-os.makedirs(os.path.join(os.path.dirname(__file__) or ".", ".jax_cache"),
-            exist_ok=True)
+# f64 on device for the outer defect-correction; persistent compile cache
+# (first-ever run pays the slow remote TPU compile, later runs reload)
+_HERE = os.path.dirname(os.path.abspath(__file__))
+os.makedirs(os.path.join(_HERE, ".jax_cache"), exist_ok=True)
 import jax  # noqa: E402
 
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__) or ".",
-                               ".jax_cache"))
+                  os.path.join(_HERE, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+import jax.numpy as jnp  # noqa: E402
 
 GRID = (1024, 1024)
 TOL = 1e-10
+INNER_MAXITER = 40
 
 
 def build_problem():
@@ -48,40 +50,52 @@ def build_problem():
 def build_solver(A):
     import pyamg_tpu
 
-    return pyamg_tpu.smoothed_aggregation_solver(
+    ml = pyamg_tpu.smoothed_aggregation_solver(
         A, max_coarse=500,
         presmoother=("gauss_seidel", {"sweep": "symmetric"}),
         postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
         improve_candidates=None)
+    ml.astype(jnp.float32)         # f32 device hierarchy (preconditioner)
+    return ml
 
 
-def tpu_solve(ml, A, b):
-    """f64 defect correction around f32 device PCG; returns (x, seconds,
-    n_inner_iters)."""
-    import jax.numpy as jnp
+def make_tpu_solver(ml, A):
+    """Device-resident mixed-precision solve: f64 outer defect correction
+    around the cached f32 PCG program.  Returns solve(b) -> (x, iters)."""
+    from pyamg_tpu.sparse import SparseDIA
 
-    normb = np.linalg.norm(b)
-    x = np.zeros_like(b)
-    iters = 0
-    t0 = time.time()
-    for _ in range(4):
-        r = b - A @ x                     # f64 on host
-        relr = np.linalg.norm(r) / normb
-        if relr < TOL:
-            break
-        res = []
-        dx = ml.solve(r.astype(np.float32), tol=max(1e-6, TOL / relr / 10),
-                      maxiter=60, accel="cg", residuals=res)
-        iters += max(len(res) - 1, 0)
-        x = x + np.asarray(dx, dtype=np.float64)
-    elapsed = time.time() - t0
-    return x, elapsed, iters
+    A64 = SparseDIA.from_scipy(A)          # f64 on device (outer residual)
+    run = ml._get_cached_accel("cg", "V", INNER_MAXITER)
+
+    @jax.jit
+    def outer_residual(b64, x64):
+        r = b64 - A64.matvec(x64)
+        return r, jnp.linalg.norm(r)
+
+    def solve(b):
+        b64 = jnp.asarray(b, dtype=jnp.float64)
+        normb = float(jnp.linalg.norm(b64))
+        x64 = jnp.zeros_like(b64)
+        iters = 0
+        for _ in range(5):
+            r64, nr = outer_residual(b64, x64)
+            relr = float(nr) / normb
+            if relr < TOL:
+                break
+            inner_tol = max(1e-6, TOL / relr / 10.0)
+            tol_t = jnp.asarray(inner_tol * float(nr), dtype=jnp.float32)
+            r32 = r64.astype(jnp.float32)
+            dx32, it, _res = run(jnp.zeros_like(r32), r32, tol_t)
+            iters += int(it)
+            x64 = x64 + dx32.astype(jnp.float64)
+        return x64, iters
+
+    return solve
 
 
 def cpu_reference_solve(ml, A, b):
     """Same hierarchy, applied with scipy CSR ops on the CPU (float64):
     stand-in for the reference's C++/scipy execution path."""
-    import scipy.sparse as sp
     from scipy.sparse.linalg import cg as scipy_cg, LinearOperator
 
     levels = []
@@ -119,18 +133,22 @@ def main():
     A, b = build_problem()
     n = A.shape[0]
     ml = build_solver(A)
+    solve = make_tpu_solver(ml, A)
 
-    # warm-up: compile the device programs once (excluded from timing)
-    _ = tpu_solve(ml, A, b)
+    # warm-up: compile once (excluded from timing)
+    _ = solve(b)
 
-    x, t_tpu, inner_iters = tpu_solve(ml, A, b)
+    t0 = time.time()
+    x, inner_iters = solve(b)
+    x = np.asarray(x)
+    t_tpu = time.time() - t0
     relres = float(np.linalg.norm(b - A @ x) / np.linalg.norm(b))
     assert relres < 5 * TOL, f"did not converge: {relres}"
 
     x_cpu, t_cpu = cpu_reference_solve(ml, A, b)
 
     dofs_per_sec = n / t_tpu
-    vcycle_ms = t_tpu / max(inner_iters, 1) * 1000.0
+    per_iter_ms = t_tpu / max(inner_iters, 1) * 1000.0
 
     print(json.dumps({
         "metric": "poisson_1M_SA_PCG_to_1e-10_dofs_per_sec",
@@ -139,10 +157,10 @@ def main():
         "vs_baseline": round(t_cpu / t_tpu, 2),
         "detail": {
             "n": n,
-            "tpu_solve_s": round(t_tpu, 3),
+            "tpu_solve_s": round(t_tpu, 4),
             "cpu_scipy_solve_s": round(t_cpu, 3),
             "pcg_iterations": inner_iters,
-            "per_iteration_ms": round(vcycle_ms, 2),
+            "per_iteration_ms": round(per_iter_ms, 2),
             "final_relres": relres,
             "levels": len(ml.levels),
             "operator_complexity": round(ml.operator_complexity(), 3),

@@ -202,8 +202,13 @@ class MultilevelSolver:
     def _get_coarse_fn(self):
         if self._coarse_fn is None:
             A_c = self.levels[-1].A_csr
-            self._coarse_fn, self._coarse_traceable = \
-                self._coarse.prepare(A_c)
+            raw, traceable = self._coarse.prepare(A_c)
+
+            def fn(b):
+                out = raw(b)
+                return out.astype(b.dtype)      # keep the carry dtype stable
+
+            self._coarse_fn, self._coarse_traceable = fn, traceable
         return self._coarse_fn
 
     def _build_cycle(self, cycle: str):
@@ -269,6 +274,25 @@ class MultilevelSolver:
             return recurse(0, x, b, cycle)
 
         return jax.jit(one_cycle)
+
+    def astype(self, dtype):
+        """Cast every device operator and smoother to ``dtype`` in place
+        (mixed-precision hierarchies: e.g. an f32 preconditioner built from
+        an f64 setup).  Host CSR twins keep their original dtype."""
+        for lvl in self.levels:
+            lvl.A = lvl.A.astype(dtype)
+            if hasattr(lvl, "P") and lvl.P is not None:
+                lvl.P = lvl.P.astype(dtype)
+                lvl.R = lvl.R.astype(dtype)
+            if lvl.presmoother is not None:
+                lvl.presmoother = lvl.presmoother.astype(dtype)
+            if lvl.postsmoother is not None:
+                lvl.postsmoother = lvl.postsmoother.astype(dtype)
+        self._cycle_cache = {}
+        self._solve_cache = {}
+        self._coarse_fn = None
+        self._op_dtype = dtype
+        return self
 
     def cycle_fn(self, cycle="V"):
         cycle = str(cycle).upper()
@@ -360,9 +384,14 @@ class MultilevelSolver:
         """
         A = self.levels[0].A
         dtype = A.dtype
-        b_d = jnp.asarray(np.ravel(np.asarray(b)), dtype=dtype)
-        x = (jnp.zeros_like(b_d) if x0 is None
-             else jnp.asarray(np.ravel(np.asarray(x0)), dtype=dtype))
+
+        def _to_dev(v):
+            if isinstance(v, jnp.ndarray):
+                return v.reshape(-1).astype(dtype)
+            return jnp.asarray(np.ravel(np.asarray(v)), dtype=dtype)
+
+        b_d = _to_dev(b)
+        x = jnp.zeros_like(b_d) if x0 is None else _to_dev(x0)
 
         if maxiter is None:
             maxiter = 100

@@ -67,6 +67,19 @@ class SmootherData:
                    blocksize=blocksize, AT=AT, dinv_ne=dinv_ne,
                    subdomain_idx=subdomain_idx, subdomain_inv=subdomain_inv)
 
+    def astype(self, dtype):
+        cast = lambda a: None if a is None else a.astype(dtype)  # noqa: E731
+        return SmootherData(
+            kind=self.kind, iterations=self.iterations, sweep=self.sweep,
+            omega=self.omega, dinv=cast(self.dinv),
+            color_masks=cast(self.color_masks),
+            coefficients=self.coefficients,
+            block_dinv=cast(self.block_dinv), blocksize=self.blocksize,
+            AT=None if self.AT is None else self.AT.astype(dtype),
+            dinv_ne=cast(self.dinv_ne),
+            subdomain_idx=self.subdomain_idx,    # indices stay integer
+            subdomain_inv=cast(self.subdomain_inv))
+
 
 # ---------------------------------------------------------------------------
 # individual smoother steps (pure functions)

@@ -51,6 +51,10 @@ class ComposedOp:
             x = op.matvec(x)
         return x
 
+    def astype(self, dtype):
+        return ComposedOp(ops=tuple(op.astype(dtype) for op in self.ops),
+                          shape=self.shape)
+
     def __matmul__(self, x):
         return self.matvec(jnp.asarray(x))
 
@@ -95,6 +99,11 @@ class GridRepeatOp:
     @property
     def coarse_grid(self):
         return tuple(-(-g // b) for g, b in zip(self.fine_grid, self.block))
+
+    def astype(self, dtype):
+        return GridRepeatOp(wmap=self.wmap.astype(dtype),
+                            fine_grid=self.fine_grid, block=self.block,
+                            shape=self.shape)
 
     def matvec(self, xc):
         cg = self.coarse_grid
@@ -150,6 +159,11 @@ class GridPoolOp:
     def coarse_grid(self):
         return tuple(-(-g // b) for g, b in zip(self.fine_grid, self.block))
 
+    def astype(self, dtype):
+        return GridPoolOp(wmap=self.wmap.astype(dtype),
+                          fine_grid=self.fine_grid, block=self.block,
+                          shape=self.shape)
+
     def matvec(self, xf):
         w = (jnp.conj(self.wmap) * xf).reshape(self.fine_grid)
         cg = self.coarse_grid
@@ -192,6 +206,9 @@ class DenseOp:
     @property
     def dtype(self):
         return self.mat.dtype
+
+    def astype(self, dtype):
+        return DenseOp(mat=self.mat.astype(dtype), shape=self.shape)
 
     def matvec(self, x):
         return self.mat @ x

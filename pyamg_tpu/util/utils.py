@@ -379,19 +379,29 @@ def filter_operator(A, C, B, Bf, BtBinv=None):
 def compute_BtBinv(B, sparsity):
     """Per-row Gram inverses: for each row i of the sparsity pattern, the
     pseudo-inverse of B[cols(i)]^H B[cols(i)]
-    (reference util/utils.py:1617 → amg_core calc_BtB + pinv_array)."""
+    (reference util/utils.py:1617 → amg_core calc_BtB + pinv_array).
+
+    Vectorized as one padded batched Gram + batched pinv — the same batched
+    formulation the device path uses."""
     from .linalg import pinv_array
 
     S = to_csr(sparsity)
     B = np.asarray(B)
     k = B.shape[1]
     n = S.shape[0]
-    out = np.zeros((n, k, k), dtype=B.dtype)
-    for i in range(n):
-        cols = S.indices[S.indptr[i]:S.indptr[i + 1]]
-        Bi = B[cols]
-        out[i] = Bi.conj().T @ Bi
-    return pinv_array(out)
+    nnz_row = np.diff(S.indptr)
+    L = int(nnz_row.max()) if n else 0
+    if L == 0:
+        return np.zeros((n, k, k), dtype=B.dtype)
+    rows = np.repeat(np.arange(n), nnz_row)
+    offs = np.arange(S.nnz) - np.repeat(S.indptr[:-1], nnz_row)
+    cols = np.zeros((n, L), dtype=np.int64)
+    valid = np.zeros((n, L), dtype=bool)
+    cols[rows, offs] = S.indices
+    valid[rows, offs] = True
+    Bp = B[cols] * valid[:, :, None]            # (n, L, k)
+    gram = np.einsum("nlj,nlk->njk", Bp.conj(), Bp)
+    return pinv_array(gram)
 
 
 def scale_T(T, P_I, I_F):
