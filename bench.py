@@ -60,35 +60,52 @@ def build_solver(A):
 
 
 def make_tpu_solver(ml, A):
-    """Device-resident mixed-precision solve: f64 outer defect correction
-    around the cached f32 PCG program.  Returns solve(b) -> (x, iters)."""
+    """Fully-fused mixed-precision solve: the f64 defect-correction outer
+    loop AND the f32 PCG inner loop compile into ONE XLA program — a single
+    device dispatch and a single host fetch per solve."""
     from pyamg_tpu.sparse import SparseDIA
+    from pyamg_tpu.krylov._cg import cg_core
 
     A64 = SparseDIA.from_scipy(A)          # f64 on device (outer residual)
-    run = ml._get_cached_accel("cg", "V", INNER_MAXITER)
+    cyc = ml.cycle_fn("V")
+    mv32 = ml.levels[0].A.matvec
+
+    def pre(r):
+        return cyc(jnp.zeros_like(r), r)
+
+    MAX_ROUNDS = 4
 
     @jax.jit
-    def outer_residual(b64, x64):
-        r = b64 - A64.matvec(x64)
-        return r, jnp.linalg.norm(r)
+    def full_solve(b64):
+        normb = jnp.linalg.norm(b64)
+        tol_abs = TOL * normb
+
+        def body(carry):
+            x64, _nr_est, rounds, iters = carry
+            r64 = b64 - A64.matvec(x64)          # one f64 matvec per round
+            nr = jnp.linalg.norm(r64)
+            r32 = r64.astype(jnp.float32)
+            tol_t = (1e-6 * nr).astype(jnp.float32)
+            dx32, it, res_buf = cg_core(mv32, pre, jnp.zeros_like(r32),
+                                        r32, tol_t, INNER_MAXITER)
+            x64 = x64 + dx32.astype(jnp.float64)
+            # post-update residual estimate from the inner solve
+            nr_est = res_buf[it].astype(jnp.float64)
+            return (x64, nr_est, rounds + 1, iters + it)
+
+        def cond(carry):
+            _x64, nr_est, rounds, _iters = carry
+            return (nr_est > 0.5 * tol_abs) & (rounds < MAX_ROUNDS)
+
+        x0 = jnp.zeros_like(b64)
+        carry = (x0, normb, 0, 0)
+        x64, nr_est, rounds, iters = jax.lax.while_loop(cond, body, carry)
+        return x64, rounds, iters
 
     def solve(b):
         b64 = jnp.asarray(b, dtype=jnp.float64)
-        normb = float(jnp.linalg.norm(b64))
-        x64 = jnp.zeros_like(b64)
-        iters = 0
-        for _ in range(5):
-            r64, nr = outer_residual(b64, x64)
-            relr = float(nr) / normb
-            if relr < TOL:
-                break
-            inner_tol = max(1e-6, TOL / relr / 10.0)
-            tol_t = jnp.asarray(inner_tol * float(nr), dtype=jnp.float32)
-            r32 = r64.astype(jnp.float32)
-            dx32, it, _res = run(jnp.zeros_like(r32), r32, tol_t)
-            iters += int(it)
-            x64 = x64 + dx32.astype(jnp.float64)
-        return x64, iters
+        x64, rounds, iters = full_solve(b64)
+        return x64, int(iters)
 
     return solve
 

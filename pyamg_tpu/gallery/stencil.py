@@ -28,7 +28,7 @@ def stencil_grid(S, grid, dtype=None, format=None):
 
     Examples
     --------
-    >>> stencil_grid([-1, 2, -1], (4,)).toarray()
+    >>> stencil_grid([-1.0, 2.0, -1.0], (4,)).toarray()
     array([[ 2., -1.,  0.,  0.],
            [-1.,  2., -1.,  0.],
            [ 0., -1.,  2., -1.],
