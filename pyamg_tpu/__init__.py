@@ -8,7 +8,8 @@ host-staged setup with parallel-friendly coarsening algorithms.
 Reference parity: pyamg/__init__.py:61-65 top-level API.
 """
 
-from . import gallery, util, relaxation, classical, aggregation, krylov
+from . import (gallery, util, relaxation, classical, aggregation, krylov,
+               graph, vis, parallel, complexity, amg_core, sparse, strength)
 from .multilevel import (MultilevelSolver, multilevel_solver,
                          coarse_grid_solver, MultilevelSolverSet,
                          multilevel_solver_set)
@@ -25,6 +26,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "gallery", "util", "relaxation", "classical", "aggregation", "krylov",
+    "graph", "vis", "parallel", "complexity", "amg_core", "sparse",
+    "strength",
     "MultilevelSolver", "multilevel_solver", "coarse_grid_solver",
     "MultilevelSolverSet", "multilevel_solver_set", "ruge_stuben_solver",
     "smoothed_aggregation_solver", "rootnode_solver", "adaptive_sa_solver",

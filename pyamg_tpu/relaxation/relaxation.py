@@ -254,6 +254,18 @@ def gauss_seidel_ne(A, x, b, iterations=1, sweep="forward", omega=1.0):
     sequential row projections."""
     A, x_v, b_v = make_system(A, x, b)
     A = A.tocsr()
+
+    from ..amg_core import gauss_seidel_kaczmarz_native
+
+    if (A.dtype == np.float64 and x_v.dtype == np.float64
+            and sweep == "forward"):
+        ok = True
+        for _ in range(iterations):
+            ok &= gauss_seidel_kaczmarz_native(A, x_v, b_v, omega)
+        if ok:
+            np.asarray(x).reshape(-1)[:] = x_v
+            return x
+
     indptr, cols, data = A.indptr, A.indices, A.data
     row_norms = np.asarray(A.multiply(A.conjugate()).sum(axis=1)).ravel().real
 
