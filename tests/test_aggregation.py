@@ -180,6 +180,52 @@ class TestSAConvergence:
         assert conv_factor(res) < 0.6
 
 
+class TestDeviceSetup:
+    def test_matches_host_setup(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation import structured_sa_setup
+
+        g = (36, 36)
+        A = poisson(g, format="csr")
+        ml_dev = structured_sa_setup(A, g, dtype=jnp.float64)
+        ml_host = smoothed_aggregation_solver(
+            A, max_coarse=200, improve_candidates=None,
+            presmoother=("gauss_seidel", {"sweep": "symmetric"}),
+            postsmoother=("gauss_seidel", {"sweep": "symmetric"}))
+        assert [l.A.shape[0] for l in ml_dev.levels] == \
+            [l.A.shape[0] for l in ml_host.levels]
+        Ad = ml_dev.levels[1].A.to_scipy().toarray()
+        Ah = ml_host.levels[1].A_csr.toarray()
+        # only the spectral-radius estimate differs (power vs Arnoldi)
+        assert np.abs(Ad - Ah).max() < 0.05 * np.abs(Ah).max()
+
+    def test_device_setup_solves(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation import structured_sa_setup
+
+        g = (32, 32)
+        A = poisson(g, format="csr")
+        ml = structured_sa_setup(A, g, dtype=jnp.float64)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        x = ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-6 * np.linalg.norm(b)
+        assert len(res) - 1 < 25
+
+    def test_3d(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation import structured_sa_setup
+
+        g = (12, 12, 12)
+        A = poisson(g, format="csr")
+        ml = structured_sa_setup(A, g, max_coarse=50, dtype=jnp.float64)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, residuals=res)
+        assert conv_factor(res) < 0.9
+
+
 class TestRootnode:
     def test_poisson(self):
         A = poisson((16, 16), format="csr")
