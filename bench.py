@@ -67,18 +67,22 @@ def make_tpu_solver(ml, A):
     from pyamg_tpu.krylov._cg import cg_core
 
     A64 = SparseDIA.from_scipy(A)          # f64 on device (outer residual)
-    cyc = ml.cycle_fn("V")
-    mv32 = ml.levels[0].A.matvec
-
-    def pre(r):
-        return cyc(jnp.zeros_like(r), r)
-
+    raw_cyc = ml._raw_cycle("V")
+    hier = ml._dev()
     MAX_ROUNDS = 4
 
+    # NOTE: the hierarchy and A64 are ARGUMENTS, not closure constants —
+    # closure-captured arrays would be embedded into the serialized HLO.
     @jax.jit
-    def full_solve(b64):
+    def full_solve(hier, A64, b64):
         normb = jnp.linalg.norm(b64)
         tol_abs = TOL * normb
+
+        def mv32(v):
+            return hier["As"][0].matvec(v)
+
+        def pre(r):
+            return raw_cyc(hier, jnp.zeros_like(r), r)
 
         def body(carry):
             x64, _nr_est, rounds, iters = carry
@@ -103,7 +107,7 @@ def make_tpu_solver(ml, A):
         return x64, rounds, iters
 
     def solve(b64):
-        x64, rounds, iters = full_solve(b64)
+        x64, rounds, iters = full_solve(hier, A64, b64)
         return x64, int(iters)     # the int() forces completion
 
     return solve

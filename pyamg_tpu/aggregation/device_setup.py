@@ -213,45 +213,53 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
     if block is None:
         block = (3,) * d
 
+    @partial(jax.jit, static_argnames=("cur_grid", "blk", "deg"))
+    def build_level(A_l, B_l, cur_grid, blk, deg):
+        """One whole level of device setup as a single compiled program."""
+        n = int(np.prod(cur_grid))
+        dvec = A_l.diagonal()
+        dinv = jnp.where(dvec != 0, 1.0 / jnp.where(dvec != 0, dvec, 1), 0.0)
+        rho = device_power_rho(A_l, dinv)
+        S = device_smoothing_factor(A_l, omega / rho)
+        ST = dia_transpose(S)
+
+        cgrid = tuple(-(-g // b) for g, b in zip(cur_grid, blk))
+        nc = int(np.prod(cgrid))
+
+        pool1 = GridPoolOp(wmap=jnp.ones((n,), dtype), fine_grid=cur_grid,
+                           block=blk, shape=(nc, n))
+        rep1 = GridRepeatOp(wmap=jnp.ones((n,), dtype), fine_grid=cur_grid,
+                            block=blk, shape=(n, nc))
+        agg_nrm2 = pool1.matvec(jnp.abs(B_l) ** 2)
+        agg_nrm = jnp.sqrt(jnp.maximum(agg_nrm2, 1e-30))
+        wmap = B_l * rep1.matvec(1.0 / agg_nrm)
+        B_c = agg_nrm
+
+        T = GridRepeatOp(wmap=wmap, fine_grid=cur_grid, block=blk,
+                         shape=(n, nc))
+        Tt = GridPoolOp(wmap=wmap, fine_grid=cur_grid, block=blk,
+                        shape=(nc, n))
+        if deg > 0:
+            P = ComposedOp(ops=tuple([S] * deg + [T]), shape=(n, nc))
+            R = ComposedOp(ops=tuple([Tt] + [ST] * deg), shape=(nc, n))
+        else:
+            P, R = T, Tt
+
+        A_c = device_rap(P, R, A_l, cgrid)
+        return P, R, A_c, B_c, dinv
+
     levels = []
     B = jnp.ones((A_dev.shape[0],), dtype=dtype)
     cur_grid = grid
 
     while len(levels) < max_levels - 1 and A_dev.shape[0] > max_coarse:
-        n = A_dev.shape[0]
         lvl = Level()
         lvl.A = A_dev
         lvl.grid = cur_grid
 
-        dvec = A_dev.diagonal()
-        dinv = jnp.where(dvec != 0, 1.0 / jnp.where(dvec != 0, dvec, 1), 0.0)
-        rho = device_power_rho(A_dev, dinv)
-        S = device_smoothing_factor(A_dev, omega / rho)
-        ST = dia_transpose(S)
-
+        P, R, A_c, B_c, dinv = build_level(A_dev, B, cur_grid, block,
+                                           degree)
         cgrid = tuple(-(-g // b) for g, b in zip(cur_grid, block))
-        nc = int(np.prod(cgrid))
-
-        # tentative weights: per-aggregate normalization of B (K=1 QR)
-        pool1 = GridPoolOp(wmap=jnp.ones((n,), dtype), fine_grid=cur_grid,
-                           block=block, shape=(nc, n))
-        rep1 = GridRepeatOp(wmap=jnp.ones((n,), dtype), fine_grid=cur_grid,
-                            block=block, shape=(n, nc))
-        agg_nrm2 = pool1.matvec(jnp.abs(B) ** 2)
-        agg_nrm = jnp.sqrt(jnp.maximum(agg_nrm2, 1e-30))
-        wmap = B * rep1.matvec(1.0 / agg_nrm)
-        B_c = agg_nrm
-
-        T = GridRepeatOp(wmap=wmap, fine_grid=cur_grid, block=block,
-                         shape=(n, nc))
-        Tt = GridPoolOp(wmap=wmap, fine_grid=cur_grid, block=block,
-                        shape=(nc, n))
-        if degree > 0:
-            P = ComposedOp(ops=tuple([S] * degree + [T]), shape=(n, nc))
-            R = ComposedOp(ops=tuple([Tt] + [ST] * degree), shape=(nc, n))
-        else:
-            P, R = T, Tt
-
         lvl.P = P
         lvl.R = R
 
@@ -266,9 +274,6 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
         lvl.presmoother = sm
         lvl.postsmoother = sm
 
-        # Galerkin product on device
-        A_c = device_rap(P, R, A_dev, cgrid)
-
         levels.append(lvl)
         A_dev = A_c
         B = B_c
@@ -280,16 +285,10 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
     last.grid = cur_grid
     levels.append(last)
 
-    # host twins (repr/complexity/coarse factorization); coarsest is small
-    for lvl in levels:
-        lvl.A_csr = lvl.A.to_scipy()
-        if hasattr(lvl, "P") and lvl.P is not None and \
-                not hasattr(lvl, "P_csr"):
-            try:
-                lvl.P_csr = lvl.P.to_scipy()
-                lvl.R_csr = lvl.R.to_scipy()
-            except Exception:
-                pass
+    # host twin only for the (small) coarsest level — it feeds the dense
+    # coarse factorization; finer twins would cost large D2H transfers and
+    # are reconstructable on demand via .A.to_scipy()
+    levels[-1].A_csr = levels[-1].A.to_scipy()
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     ml._smoother_config = (("gauss_seidel", {"sweep": presmoother_sweep}),) * 2

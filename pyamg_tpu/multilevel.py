@@ -51,7 +51,11 @@ class Level:
 
     @property
     def nnz(self):
-        return self.A_csr.nnz if hasattr(self, "A_csr") else self.A.nnz
+        if hasattr(self, "A_csr"):
+            return self.A_csr.nnz
+        if getattr(self, "_nnz_cache", None) is None:
+            self._nnz_cache = self.A.nnz     # may transfer once (lazy)
+        return self._nnz_cache
 
 
 def _as_device_level(A_csr, **extra) -> Level:
@@ -136,6 +140,7 @@ class MultilevelSolver:
         self._coarse_traceable = False
         self._cycle_cache = {}
         self._solve_cache = {}
+        self._devh = None
         self.symmetry = getattr(levels[0], "symmetry", "hermitian") \
             if levels else "hermitian"
 
@@ -211,50 +216,87 @@ class MultilevelSolver:
             self._coarse_fn, self._coarse_traceable = fn, traceable
         return self._coarse_fn
 
-    def _build_cycle(self, cycle: str):
-        """Build (and jit) x, b -> x performing one cycle at level 0."""
-        coarse_fn = self._get_coarse_fn()
-        traceable = self._coarse_traceable
-        levels = self.levels
+    def _dev(self):
+        """The hierarchy as ONE pytree, passed as an *argument* to every
+        compiled program (never closed over: large closure constants would
+        be embedded into the serialized HLO)."""
+        if getattr(self, "_devh", None) is None:
+            coarse_mat = getattr(self, "_coarse_mat_override", None)
+            traceable = False
+            if coarse_mat is None:
+                import scipy.sparse as sp
 
-        def solve_coarse(b):
-            if traceable:
-                return coarse_fn(b)
-            # non-traceable coarse solver: pure_callback round trip
-            return jax.pure_callback(
-                lambda bb: np.asarray(coarse_fn(bb), dtype=bb.dtype),
-                jax.ShapeDtypeStruct(b.shape, b.dtype), b)
+                if (isinstance(self.coarse_solver_spec, str)
+                        and self.coarse_solver_spec in
+                        ("pinv", "pinv2", "cholesky", "lu", "splu")):
+                    Ainv = np.linalg.pinv(self.levels[-1].A_csr.toarray())
+                    dt = getattr(self, "_op_dtype", None)
+                    if dt is not None:
+                        Ainv = Ainv.astype(np.dtype(str(jnp.dtype(dt))))
+                    coarse_mat = jnp.asarray(Ainv)
+                    traceable = True
+            else:
+                traceable = True
+            self._devh = {
+                "As": tuple(l.A for l in self.levels),
+                "Ps": tuple(getattr(l, "P", None) for l in self.levels[:-1]),
+                "Rs": tuple(getattr(l, "R", None) for l in self.levels[:-1]),
+                "pres": tuple(l.presmoother for l in self.levels),
+                "posts": tuple(l.postsmoother for l in self.levels),
+                "coarse": coarse_mat,
+            }
+            self._coarse_mat_traceable = traceable
+        return self._devh
 
-        def recurse(lvl: int, x, b, kind: str):
-            level = levels[lvl]
-            A = level.A
-            if lvl == len(levels) - 1:
-                return solve_coarse(b)
-            x = apply_smoother(level.presmoother, A, x, b)
+    def _raw_cycle(self, cycle: str):
+        """Jitted ``f(hier, x, b)`` for one cycle; hier is the pytree arg."""
+        cycle = str(cycle).upper()
+        key = ("raw", cycle)
+        if key in self._cycle_cache:
+            return self._cycle_cache[key]
+
+        self._dev()                       # sets _coarse_mat_traceable
+        nlev = len(self.levels)
+        if self._coarse_mat_traceable:
+            def solve_coarse(hier, b):
+                return (hier["coarse"] @ b).astype(b.dtype)
+        else:
+            coarse_fn = self._get_coarse_fn()
+
+            def solve_coarse(hier, b):
+                return jax.pure_callback(
+                    lambda bb: np.asarray(coarse_fn(bb), dtype=bb.dtype),
+                    jax.ShapeDtypeStruct(b.shape, b.dtype), b)
+
+        def recurse(hier, lvl: int, x, b, kind: str):
+            A = hier["As"][lvl]
+            if lvl == nlev - 1:
+                return solve_coarse(hier, b)
+            x = apply_smoother(hier["pres"][lvl], A, x, b)
             r = b - A.matvec(x)
-            bc = level.R.matvec(r)
-            xc = jnp.zeros(levels[lvl + 1].A.shape[0], dtype=b.dtype)
-            if lvl + 1 == len(levels) - 1:
-                xc = solve_coarse(bc)
+            bc = hier["Rs"][lvl].matvec(r)
+            xc = jnp.zeros(hier["As"][lvl + 1].shape[0], dtype=b.dtype)
+            if lvl + 1 == nlev - 1:
+                xc = solve_coarse(hier, bc)
             elif kind == "V":
-                xc = recurse(lvl + 1, xc, bc, "V")
+                xc = recurse(hier, lvl + 1, xc, bc, "V")
             elif kind == "W":
-                xc = recurse(lvl + 1, xc, bc, "W")
-                xc = recurse(lvl + 1, xc, bc, "W")
+                xc = recurse(hier, lvl + 1, xc, bc, "W")
+                xc = recurse(hier, lvl + 1, xc, bc, "W")
             elif kind == "F":
-                xc = recurse(lvl + 1, xc, bc, "F")
-                xc = recurse(lvl + 1, xc, bc, "V")
+                xc = recurse(hier, lvl + 1, xc, bc, "F")
+                xc = recurse(hier, lvl + 1, xc, bc, "V")
             elif kind == "AMLI":
                 # AMLI: 2 coarse iterations, A-conjugate directions
                 # (reference multilevel.py:520-539)
-                Ac = levels[lvl + 1].A
-                p0 = recurse(lvl + 1, jnp.zeros_like(bc), bc, "AMLI")
+                Ac = hier["As"][lvl + 1]
+                p0 = recurse(hier, lvl + 1, jnp.zeros_like(bc), bc, "AMLI")
                 Ap0 = Ac.matvec(p0)
                 alpha0 = jnp.vdot(p0, bc) / jnp.where(
                     jnp.vdot(p0, Ap0) == 0, 1, jnp.vdot(p0, Ap0))
                 xc = alpha0 * p0
                 rc = bc - alpha0 * Ap0
-                p1 = recurse(lvl + 1, jnp.zeros_like(bc), rc, "AMLI")
+                p1 = recurse(hier, lvl + 1, jnp.zeros_like(bc), rc, "AMLI")
                 Ap1 = Ac.matvec(p1)
                 beta = jnp.vdot(p0, Ap1) / jnp.where(
                     jnp.vdot(p0, Ap0) == 0, 1, jnp.vdot(p0, Ap0))
@@ -266,14 +308,24 @@ class MultilevelSolver:
                 xc = xc + alpha1 * p1
             else:
                 raise TypeError(f"unrecognized cycle type {kind!r}")
-            x = x + level.P.matvec(xc)
-            x = apply_smoother(level.postsmoother, A, x, b)
+            x = x + hier["Ps"][lvl].matvec(xc)
+            x = apply_smoother(hier["posts"][lvl], A, x, b)
             return x
 
-        def one_cycle(x, b):
-            return recurse(0, x, b, cycle)
+        def one_cycle(hier, x, b):
+            return recurse(hier, 0, x, b, cycle)
 
-        return jax.jit(one_cycle)
+        fn = jax.jit(one_cycle)
+        self._cycle_cache[key] = fn
+        return fn
+
+    def _build_cycle(self, cycle: str):
+        raw = self._raw_cycle(cycle)
+
+        def bound(x, b):
+            return raw(self._dev(), x, b)
+
+        return bound
 
     def astype(self, dtype):
         """Cast every device operator and smoother to ``dtype`` in place
@@ -291,6 +343,7 @@ class MultilevelSolver:
         self._cycle_cache = {}
         self._solve_cache = {}
         self._coarse_fn = None
+        self._devh = None
         self._op_dtype = dtype
         return self
 
@@ -300,39 +353,52 @@ class MultilevelSolver:
             self._cycle_cache[cycle] = self._build_cycle(cycle)
         return self._cycle_cache[cycle]
 
-    def _get_cached_accel(self, accel, cycle, maxiter):
-        """One jitted Krylov program per (accel, cycle, maxiter)."""
+    def _raw_accel(self, accel, cycle, maxiter):
+        """Jitted ``run(hier, x0, b, tol_t)`` Krylov program; the hierarchy
+        is an argument (no large closure constants in the HLO)."""
         key = (accel, str(cycle).upper(), maxiter)
         if key not in self._solve_cache:
             from .krylov._cg import cg_core
 
             cores = {"cg": cg_core}
             core = cores[accel]
-            cyc = self.cycle_fn(cycle)
-            mv = self.levels[0].A.matvec
-
-            def pre(r):
-                return cyc(jnp.zeros_like(r), r)
+            raw_cyc = self._raw_cycle(cycle)
 
             @jax.jit
-            def run(x0, b, tol_t):
+            def run(hier, x0, b, tol_t):
+                def mv(v):
+                    return hier["As"][0].matvec(v)
+
+                def pre(r):
+                    return raw_cyc(hier, jnp.zeros_like(r), r)
+
                 return core(mv, pre, x0, b, tol_t, maxiter)
 
             self._solve_cache[key] = run
         return self._solve_cache[key]
 
+    def _get_cached_accel(self, accel, cycle, maxiter):
+        run = self._raw_accel(accel, cycle, maxiter)
+        hier = self._dev()
+
+        def bound(x0, b, tol_t):
+            return run(hier, x0, b, tol_t)
+
+        return bound
+
     def _get_cached_standalone(self, cycle, maxiter):
         """One jitted standalone-cycling program per (cycle, maxiter)."""
         key = ("standalone", str(cycle).upper(), maxiter)
         if key not in self._solve_cache:
-            fn = self.cycle_fn(cycle)
-            A = self.levels[0].A
+            raw_cyc = self._raw_cycle(cycle)
 
             @jax.jit
-            def run(x0, b, tol_t):
+            def run_raw(hier, x0, b, tol_t):
+                A = hier["As"][0]
+
                 def body(carry):
                     x, it, res_buf = carry
-                    x = fn(x, b)
+                    x = raw_cyc(hier, x, b)
                     r = b - A.matvec(x)
                     it = it + 1
                     res_buf = res_buf.at[it].set(jnp.linalg.norm(r))
@@ -349,8 +415,14 @@ class MultilevelSolver:
                 res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
                 return jax.lax.while_loop(cond, body, (x0, 0, res_buf))
 
-            self._solve_cache[key] = run
-        return self._solve_cache[key]
+            self._solve_cache[key] = run_raw
+        run_raw = self._solve_cache[key]
+        hier = self._dev()
+
+        def bound(x0, b, tol_t):
+            return run_raw(hier, x0, b, tol_t)
+
+        return bound
 
     # -- public solve API -------------------------------------------------
     def aspreconditioner(self, cycle="V"):

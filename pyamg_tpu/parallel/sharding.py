@@ -155,12 +155,7 @@ class ShardedSolver:
         Ainv[:nc, :nc] = np.linalg.pinv(A_c.toarray())
         Ainv_dev = jax.device_put(jnp.asarray(Ainv),
                                   NamedSharding(mesh, P(None, None)))
-
-        def coarse_fn(b):
-            return Ainv_dev @ b
-
-        self.inner._coarse_fn = coarse_fn
-        self.inner._coarse_traceable = True
+        self.inner._coarse_mat_override = Ainv_dev
 
     @property
     def levels(self):

@@ -264,5 +264,6 @@ def change_smoothers(ml, presmoother, postsmoother):
         lvl.postsmoother = make_smoother_data(lvl, fn, kw)
     ml._cycle_cache = {}
     ml._solve_cache = {}
+    ml._devh = None
     ml._smoother_config = (presmoother, postsmoother)
     return ml

@@ -1,0 +1,80 @@
+"""Pallas TPU kernels for the DIA SpMV hot path.
+
+The XLA formulation of the DIA matvec materializes a padded copy of x and k
+shifted element-wise products (~50 GB/s effective on v5e).  This kernel
+fuses everything into one pass using Pallas' automatic pipelining: the padded
+x is fed three times with shifted BlockSpec index maps (previous / current /
+next tile), so each output tile sees a contiguous 3T window of x in VMEM and
+every diagonal becomes a static slice of that window — no gathers, each HBM
+byte of x read ~3x, diags once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dia_matvec_pallas", "pallas_available"]
+
+_TILE = 65536          # rows per grid step (multiple of 1024)
+
+
+def pallas_available() -> bool:
+    try:
+        import jax.experimental.pallas  # noqa: F401
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@partial(jax.jit, static_argnames=("offsets",))
+def dia_matvec_pallas(diags, offsets, x):
+    """y[i] = sum_k diags[k, i] * x[i + offsets[k]] via a fused Pallas kernel.
+
+    Requirements: max|offset| <= _TILE; float32/bfloat16 1-D operands.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    k = len(offsets)
+    T = _TILE
+    n_pad = -(-n // T) * T
+    grid = n_pad // T
+
+    # pad x with one full tile on each side (so index maps i, i+1, i+2 are
+    # always in range) plus the row padding
+    xpad = jnp.zeros((n_pad + 2 * T,), dtype=x.dtype)
+    xpad = jax.lax.dynamic_update_slice(xpad, x, (T,))
+    dpad = jnp.zeros((k, n_pad), dtype=diags.dtype)
+    dpad = jax.lax.dynamic_update_slice(dpad, diags, (0, 0))
+
+    def kernel(xm_ref, xc_ref, xp_ref, d_ref, o_ref):
+        w = jnp.concatenate([xm_ref[:], xc_ref[:], xp_ref[:]])
+        acc = jnp.zeros((T,), dtype=o_ref.dtype)
+        for kk, off in enumerate(offsets):
+            acc = acc + d_ref[kk, :] * w[T + off:2 * T + off]   # static slice
+        o_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((T,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T,), lambda i: (i + 1,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T,), lambda i: (i + 2,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad,), x.dtype),
+    )(xpad, xpad, xpad, dpad)
+    return out[:n]
