@@ -61,7 +61,7 @@ def main():
     # 1. classical AMG on 500x500 Poisson
     def build1():
         A = poisson((100, 100) if s else (500, 500), format="csr")
-        ml = pyamg_tpu.ruge_stuben_solver(A, CF="PMIS")
+        ml = pyamg_tpu.ruge_stuben_solver(A, CF="RS")
         return A, ml, A @ rng.random(A.shape[0])
 
     def solve1(ctx):
@@ -83,7 +83,7 @@ def main():
         A = stencil_grid(sten, g, format="csr")
         strength = ("evolution", {"k": 2, "epsilon": 4.0}) if s else \
             ("classical", {"theta": 0.25})   # evolution is host-heavy at 1M
-        ml = pyamg_tpu.ruge_stuben_solver(A, strength=strength, CF="PMIS")
+        ml = pyamg_tpu.ruge_stuben_solver(A, strength=strength, CF="RS")
         return A, ml, A @ rng.random(A.shape[0])
 
     def solve2(ctx):

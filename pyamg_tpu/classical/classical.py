@@ -65,12 +65,16 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
     >>> A = poisson((10, 10), format='csr')
     >>> ml = ruge_stuben_solver(A, max_coarse=3)
     """
+    grid_meta = getattr(A, "grid", None)     # before format conversion
     A = to_csr(A).astype(A.dtype)
     if A.shape[0] != A.shape[1]:
         raise ValueError("expected square matrix")
 
     levels = [Level()]
     levels[0].A_csr = A
+    if grid_meta is None and isinstance(CF, tuple):
+        grid_meta = unpack_arg(CF)[1].get("grid")
+    levels[0].grid = tuple(grid_meta) if grid_meta is not None else None
 
     while (len(levels) < max_levels
            and levels[-1].A_csr.shape[0] > max_coarse):
@@ -100,7 +104,16 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep):
     C = _strength_matrix(A, strength)
 
     fn, kwargs = unpack_arg(CF)
-    if fn == "RS":
+    cgrid = None
+    if fn == "grid":
+        grid = getattr(levels[-1], "grid", None) or kwargs.get("grid")
+        if grid is not None and int(np.prod(grid)) == A.shape[0] \
+                and len(levels) == 1:
+            splitting, cgrid = split.grid_splitting(grid)
+        else:
+            # coarse levels (or missing metadata): parallel PMIS fallback
+            splitting = split.PMIS(C)
+    elif fn == "RS":
         splitting = split.RS(C, **kwargs)
     elif fn == "PMIS":
         splitting = split.PMIS(C, **kwargs)
@@ -140,3 +153,4 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep):
     A_coarse.eliminate_zeros()
     levels.append(Level())
     levels[-1].A_csr = A_coarse
+    levels[-1].grid = cgrid

@@ -21,8 +21,29 @@ import scipy.sparse as sp
 
 from ..util.utils import to_csr
 
-__all__ = ["RS", "PMIS", "PMISc", "CLJP", "CLJPc", "MIS",
+__all__ = ["RS", "PMIS", "PMISc", "CLJP", "CLJPc", "MIS", "grid_splitting",
            "preprocess_strength"]
+
+
+def grid_splitting(grid):
+    """Geometric red-black coarsening on a structured grid: C points at
+    even coordinate-parity (the splitting classical RS converges to on
+    cross-stencil problems — every F point keeps a full set of C
+    neighbors, so direct interpolation is well-posed).
+
+    The deterministic coarse ordering keeps the number of distinct
+    Galerkin diagonals small, so coarse operators stay on the DIA fast
+    path.  Returns (splitting, coarse_grid=None — the C set is a rotated
+    lattice, not a rectangular grid).
+    """
+    grid = tuple(int(g) for g in grid)
+    N = int(np.prod(grid))
+    coords = np.unravel_index(np.arange(N), grid)
+    parity = np.zeros(N, dtype=np.int64)
+    for c in coords:
+        parity += c
+    isC = (parity % 2) == 0
+    return isC.astype(np.int32), None
 
 F_NODE, C_NODE, U_NODE = 0, 1, -1
 

@@ -201,13 +201,8 @@ def minimal_residual(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
     return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
 
 
-def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
-             callback=None, residuals=None):
-    """BiCGStab for nonsymmetric systems (reference _bicgstab.py:10)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
-    normb = norm(b)
-    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
-
+def bicgstab_core(mv, pre, x, b, tol_t, maxiter):
+    """Traceable BiCGStab core: (x, n_iters, res_buf)."""
     r = b - mv(x)
     rhat = r
     p = r
@@ -241,5 +236,14 @@ def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
         return (res_buf[it] > tol_t) & (it < maxiter)
 
     carry = _run(cond, body, (x, r, p, rho, 0, res_buf), -2)
-    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    return carry[0], carry[-2], carry[-1]
+
+
+def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+             callback=None, residuals=None):
+    """BiCGStab for nonsymmetric systems (reference _bicgstab.py:10)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+    x, it, res_buf = bicgstab_core(mv, pre, x, b, tol_t, maxiter)
     return finalize(x, res_buf, it + 1, tol_t, callback, residuals)

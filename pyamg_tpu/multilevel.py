@@ -13,7 +13,6 @@ no host round-trips inside a cycle.  The compiled cycle is cached per
 
 from __future__ import annotations
 
-import math
 from typing import Any, List, Optional
 
 import jax
@@ -32,11 +31,11 @@ __all__ = ["Level", "MultilevelSolver", "multilevel_solver",
 class Level:
     """One level of the hierarchy.
 
-    Holds the device operators (padded-ELL) used by the compiled cycle, the
-    host CSR twin used by the (host-staged) setup phase, and any
-    setup byproducts (``B``, ``C``, ``AggOp``, ``T``, ``splitting``) kept for
-    inspection, mirroring the reference's ``level`` struct
-    (multilevel.py:45-68).
+    Holds the device operators (DIA / dense / padded-ELL / composed grid
+    ops) used by the compiled cycle, the host CSR twin used by the
+    (host-staged) setup phase, and any setup byproducts (``B``, ``C``,
+    ``AggOp``, ``T``, ``splitting``) kept for inspection, mirroring the
+    reference's ``level`` struct (multilevel.py:45-68).
     """
 
     A: SparseELL
@@ -56,13 +55,6 @@ class Level:
         if getattr(self, "_nnz_cache", None) is None:
             self._nnz_cache = self.A.nnz     # may transfer once (lazy)
         return self._nnz_cache
-
-
-def _as_device_level(A_csr, **extra) -> Level:
-    lvl = Level(**extra)
-    lvl.A_csr = A_csr.tocsr()
-    lvl.A = SparseELL.from_scipy(lvl.A_csr)
-    return lvl
 
 
 def coarse_grid_solver(solver):
@@ -359,8 +351,9 @@ class MultilevelSolver:
         key = (accel, str(cycle).upper(), maxiter)
         if key not in self._solve_cache:
             from .krylov._cg import cg_core
+            from .krylov._cgs_family import bicgstab_core
 
-            cores = {"cg": cg_core}
+            cores = {"cg": cg_core, "bicgstab": bicgstab_core}
             core = cores[accel]
             raw_cyc = self._raw_cycle(cycle)
 
@@ -475,7 +468,7 @@ class MultilevelSolver:
             # fused-and-cached path: one jitted program per
             # (accel, cycle, maxiter), reused across solves (tolerance is a
             # traced argument — no recompile when it changes)
-            if isinstance(accel, str) and accel in ("cg",) \
+            if isinstance(accel, str) and accel in ("cg", "bicgstab") \
                     and callback is None:
                 run = self._get_cached_accel(accel, cycle, int(maxiter))
                 normb = jnp.linalg.norm(b_d)

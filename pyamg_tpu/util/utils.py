@@ -439,15 +439,16 @@ def get_Cpt_params(A, Cnodes, AggOp, T):
 
     n_fine, n_coarse = T.shape
     # P_I: (n_fine, n_coarse) injection; row Cpts[i] has 1 in the coarse
-    # column that T associates with that root node.
-    # coarse dof for root node: column of T with the entry at that row
-    P_I = sp.lil_matrix((n_fine, n_coarse))
+    # column that T associates with that root node (first stored column of
+    # that row) — vectorized over all root dofs.
     Tcsr = T.tocsr()
-    for p in Cpts:
-        cols = Tcsr.indices[Tcsr.indptr[p]:Tcsr.indptr[p + 1]]
-        if cols.size:
-            P_I[p, cols[0]] = 1.0
-    P_I = P_I.tocsr()
+    has_entry = np.diff(Tcsr.indptr) > 0
+    first_col = np.zeros(n_fine, dtype=np.int64)
+    first_col[has_entry] = Tcsr.indices[Tcsr.indptr[:-1][has_entry]]
+    sel = Cpts[has_entry[Cpts]]
+    P_I = sp.coo_matrix(
+        (np.ones(sel.size), (sel, first_col[sel])),
+        shape=(n_fine, n_coarse)).tocsr()
 
     def diag_mask(idx):
         d = np.zeros(n_fine)
