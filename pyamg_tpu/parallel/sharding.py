@@ -22,7 +22,8 @@ from ..sparse import SparseELL
 from ..relaxation.device import SmootherData
 from ..multilevel import MultilevelSolver, Level
 
-__all__ = ["make_mesh", "shard_solver", "pad_to"]
+__all__ = ["make_mesh", "shard_solver", "ShardedSolver", "pad_to",
+           "shard_structured_solver", "StructuredShardedSolver"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "rows"):
@@ -188,3 +189,86 @@ def shard_solver(ml: MultilevelSolver, mesh=None, n_devices=None,
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name)
     return ShardedSolver(ml, mesh, axis_name)
+
+
+class StructuredShardedSolver:
+    """Row-sharding for fully-structured (DIA + grid-op) hierarchies.
+
+    Instead of rebuilding gather-ELL operators, the existing device pytree
+    is re-placed with ``NamedSharding``s (vectors/diagonals split over rows;
+    small coarse operators replicated).  XLA turns the DIA shifts into
+    halo ``collective_permute``s over ICI and partitions the grid
+    reshape/repeat/pool transfers.  Requires the leading grid dimension of
+    every sharded level to be divisible by the device count (levels that
+    are not divisible are replicated — they are small).
+    """
+
+    def __init__(self, ml: MultilevelSolver, mesh=None, n_devices=None,
+                 axis_name: str = "rows", min_shard_rows: int = 4096):
+        if mesh is None:
+            mesh = make_mesh(n_devices, axis_name)
+        self.mesh = mesh
+        self.axis = axis_name
+        self.ml = ml
+        nd = mesh.devices.size
+
+        hier = ml._dev()
+        repl = NamedSharding(mesh, P())
+
+        def spec_for(leaf):
+            shape = getattr(leaf, "shape", None)
+            if shape is None:
+                return repl
+            # shard the axis whose extent is a multiple of the device count
+            if len(shape) == 1 and shape[0] % nd == 0 \
+                    and shape[0] >= min_shard_rows:
+                return NamedSharding(mesh, P(axis_name))
+            if len(shape) == 2 and shape[1] % nd == 0 \
+                    and shape[1] >= min_shard_rows:
+                return NamedSharding(mesh, P(None, axis_name))
+            if len(shape) == 3 and shape[0] % nd == 0 \
+                    and shape[0] >= min_shard_rows:
+                return NamedSharding(mesh, P(axis_name, None, None))
+            return repl
+
+        self._hier = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, spec_for(leaf)), hier)
+        self.n = ml.levels[0].A.shape[0]
+        if self.n % nd:
+            raise ValueError(
+                f"fine-level size {self.n} not divisible by {nd} devices")
+
+    @property
+    def levels(self):
+        return self.ml.levels
+
+    def solve(self, b, tol=1e-8, maxiter=100, cycle="V", accel="cg",
+              residuals=None):
+        from .sharding import NamedSharding as _NS  # noqa: F401
+
+        run = self.ml._raw_accel(accel, cycle, int(maxiter)) \
+            if accel in ("cg", "bicgstab") else None
+        b_d = jax.device_put(
+            jnp.asarray(np.ravel(np.asarray(b)),
+                        dtype=self.ml.levels[0].A.dtype),
+            NamedSharding(self.mesh, P(self.axis)))
+        if run is None:
+            raise ValueError("StructuredShardedSolver supports accel in "
+                             "('cg', 'bicgstab')")
+        normb = jnp.linalg.norm(b_d)
+        tol_t = tol * jnp.where(normb == 0, 1.0, normb)
+        x, it, res_buf = run(self._hier, jnp.zeros_like(b_d), b_d, tol_t)
+        it = int(it)
+        if residuals is not None:
+            residuals.extend([float(v) for v in np.asarray(res_buf)[:it + 1]])
+        return np.asarray(x)
+
+
+def shard_structured_solver(ml, mesh=None, n_devices=None,
+                            axis_name: str = "rows",
+                            min_shard_rows: int = 4096):
+    """Shard a structured (DIA/grid-op) hierarchy by re-placing its device
+    pytree with NamedShardings."""
+    return StructuredShardedSolver(ml, mesh=mesh, n_devices=n_devices,
+                                   axis_name=axis_name,
+                                   min_shard_rows=min_shard_rows)

@@ -45,6 +45,19 @@ class TestSharded:
         data = sml.levels[0].A.data
         assert len(data.sharding.device_set) == 8
 
+    def test_structured_sharded_matches_single(self):
+        from pyamg_tpu.parallel import shard_structured_solver
+
+        A = poisson((48, 48), format="csr")     # 2304 % 8 == 0
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, max_coarse=50, improve_candidates=None)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        x1 = ml.solve(b, tol=1e-10, maxiter=50, accel="cg")
+        sml = shard_structured_solver(ml, n_devices=8, axis_name="rows", min_shard_rows=256)
+        res = []
+        x2 = sml.solve(b, tol=1e-10, maxiter=50, residuals=res)
+        assert np.allclose(x1, x2, atol=1e-8)
+
     def test_mesh_sizes(self):
         mesh = make_mesh(4)
         assert mesh.devices.size == 4
