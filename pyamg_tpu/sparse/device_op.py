@@ -14,8 +14,14 @@ from .linop import DenseOp
 
 __all__ = ["device_operator", "count_diagonals"]
 
-DIA_MAX_OFFSETS = 96
-DENSE_MAX = 2048
+# TPU cost model: a k-offset DIA matvec costs ~k streamed vectors, a dense
+# matvec n^2 MACs on the MXU, an ELL gather ~8 ns/entry on the scalar unit.
+# Gathers lose to DIA up to hundreds of offsets (memory waste permitting)
+# and to dense for n <= ~4k.
+DIA_MAX_OFFSETS = 512
+DIA_MEM_BUDGET = 10          # accept k*n up to this multiple of nnz
+DIA_MEM_FLOOR = 64_000_000   # ... or up to this many stored entries
+DENSE_MAX = 4096
 
 
 def count_diagonals(A_csr) -> int:
@@ -31,12 +37,11 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
 
     A_csr = sp.csr_matrix(A_csr)
     n, m = A_csr.shape
-    try:
-        if count_diagonals(A_csr) <= dia_max_offsets:
-            return SparseDIA.from_scipy(A_csr, max_offsets=dia_max_offsets,
-                                        dtype=dtype)
-    except ValueError:
-        pass
+    k = count_diagonals(A_csr)
+    mem_ok = k * n <= max(DIA_MEM_BUDGET * max(A_csr.nnz, 1), DIA_MEM_FLOOR)
+    if k <= dia_max_offsets and mem_ok:
+        return SparseDIA.from_scipy(A_csr, max_offsets=dia_max_offsets,
+                                    dtype=dtype)
     if n <= dense_max and m <= dense_max:
         import jax.numpy as jnp
 
