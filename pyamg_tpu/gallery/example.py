@@ -134,6 +134,52 @@ def _bar():
     return {"A": A.tocsr(), "B": B}
 
 
+@_register("airfoil")
+def _airfoil():
+    """Unstructured-mesh stand-in: P1 Laplacian on a Delaunay triangulation
+    of an annulus (a hole in the domain, like a wing section)."""
+    import scipy.sparse as sp
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(7)
+    # annulus point cloud: inner boundary ring + outer ring + interior
+    t = np.linspace(0, 2 * np.pi, 48, endpoint=False)
+    inner = 0.3 * np.stack([np.cos(t), 0.4 * np.sin(t)], axis=1)
+    outer = 1.5 * np.stack([np.cos(t), np.sin(t)], axis=1)
+    pts = rng.uniform(-1.5, 1.5, size=(900, 2))
+    r = np.sqrt(pts[:, 0] ** 2 + (pts[:, 1] / 0.4) ** 2)
+    keep = (r > 0.34) & (np.linalg.norm(pts, axis=1) < 1.45)
+    vertices = np.concatenate([inner, outer, pts[keep]], axis=0)
+    tri = Delaunay(vertices)
+    # drop triangles inside the hole (centroid test)
+    cent = vertices[tri.simplices].mean(axis=1)
+    rc = np.sqrt(cent[:, 0] ** 2 + (cent[:, 1] / 0.4) ** 2)
+    elements = tri.simplices[rc > 0.3]
+
+    n = vertices.shape[0]
+    rows, cols, vals = [], [], []
+    for trie in elements:
+        V = vertices[trie]
+        T = (V[1:] - V[0]).T
+        det = np.linalg.det(T)
+        if abs(det) < 1e-12:
+            continue
+        area = abs(det) / 2.0
+        g = np.zeros((3, 2))
+        g[1:] = np.linalg.inv(T)
+        g[0] = -g[1:].sum(axis=0)
+        Ke = area * (g @ g.T)
+        rows.append(np.repeat(trie, 3))
+        cols.append(np.tile(trie, 3))
+        vals.append(Ke.ravel())
+    A = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    A = A + 1e-8 * sp.eye(n, format="csr")   # remove the constant nullspace
+    return {"A": A, "vertices": vertices, "elements": elements,
+            "B": np.ones((n, 1))}
+
+
 def load_example(name, data_dir=None):
     """Load one of the curated example problems as a dict with key 'A' (and
     typically 'B', 'vertices', 'elements' where applicable).

@@ -148,7 +148,7 @@ class TestSprand:
 class TestLoadExample:
     def test_generated_examples(self):
         for name in ("unit_square", "unit_cube", "helmholtz_2D",
-                     "recirc_flow", "bar"):
+                     "recirc_flow", "bar", "airfoil"):
             data = load_example(name)
             assert "A" in data
             assert data["A"].shape[0] > 0
