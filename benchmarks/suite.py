@@ -83,7 +83,9 @@ def main():
         A = stencil_grid(sten, g, format="csr")
         strength = ("evolution", {"k": 2, "epsilon": 4.0}) if s else \
             ("classical", {"theta": 0.25})   # evolution is host-heavy at 1M
-        ml = pyamg_tpu.ruge_stuben_solver(A, strength=strength, CF="RS")
+        ml = pyamg_tpu.ruge_stuben_solver(
+            A, strength=strength, CF="RS",
+            presmoother="zebra", postsmoother="zebra")
         return A, ml, A @ rng.random(A.shape[0])
 
     def solve2(ctx):
@@ -141,8 +143,9 @@ def main():
         g = (64, 64) if s else (256, 256)
         sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
         A = stencil_grid(sten, g, format="csr")
-        ml, work = pyamg_tpu.adaptive_sa_solver(A, num_candidates=2,
-                                                max_coarse=100)
+        ml, work = pyamg_tpu.adaptive_sa_solver(
+            A, num_candidates=2, max_coarse=100,
+            prepostsmoother="zebra")   # line relaxation for anisotropy
         return A, ml, A @ rng.random(A.shape[0])
 
     def solve5(ctx):

@@ -48,24 +48,30 @@ class SmootherData:
     dinv_ne: Optional[jnp.ndarray] = None
     subdomain_idx: Optional[jnp.ndarray] = None     # (n_dom, L) int32, -1 pad
     subdomain_inv: Optional[jnp.ndarray] = None     # (n_dom, L, L)
+    line_tri: Optional[jnp.ndarray] = None   # (3, nlines, L) dl/d/du
+    grid: Tuple[int, ...] = ()               # static, for line smoothers
+    line_axis: int = -1                      # static
 
     def tree_flatten(self):
         children = (self.dinv, self.color_masks, self.block_dinv, self.AT,
-                    self.dinv_ne, self.subdomain_idx, self.subdomain_inv)
+                    self.dinv_ne, self.subdomain_idx, self.subdomain_inv,
+                    self.line_tri)
         aux = (self.kind, self.iterations, self.sweep, self.omega,
-               self.coefficients, self.blocksize)
+               self.coefficients, self.blocksize, self.grid, self.line_axis)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (dinv, color_masks, block_dinv, AT, dinv_ne, subdomain_idx,
-         subdomain_inv) = children
-        kind, iterations, sweep, omega, coefficients, blocksize = aux
+         subdomain_inv, line_tri) = children
+        (kind, iterations, sweep, omega, coefficients, blocksize, grid,
+         line_axis) = aux
         return cls(kind=kind, iterations=iterations, sweep=sweep, omega=omega,
                    dinv=dinv, color_masks=color_masks,
                    coefficients=coefficients, block_dinv=block_dinv,
                    blocksize=blocksize, AT=AT, dinv_ne=dinv_ne,
-                   subdomain_idx=subdomain_idx, subdomain_inv=subdomain_inv)
+                   subdomain_idx=subdomain_idx, subdomain_inv=subdomain_inv,
+                   line_tri=line_tri, grid=grid, line_axis=line_axis)
 
     def astype(self, dtype):
         cast = lambda a: None if a is None else a.astype(dtype)  # noqa: E731
@@ -78,7 +84,9 @@ class SmootherData:
             AT=None if self.AT is None else self.AT.astype(dtype),
             dinv_ne=cast(self.dinv_ne),
             subdomain_idx=self.subdomain_idx,    # indices stay integer
-            subdomain_inv=cast(self.subdomain_inv))
+            subdomain_inv=cast(self.subdomain_inv),
+            line_tri=cast(self.line_tri), grid=self.grid,
+            line_axis=self.line_axis)
 
 
 # ---------------------------------------------------------------------------
@@ -127,6 +135,76 @@ def block_jacobi_step(A: SparseELL, block_dinv, x, b, omega=1.0):
     r = (b - A.matvec(x)).reshape(-1, bs)
     dx = jnp.einsum("nij,nj->ni", block_dinv, r).reshape(-1)
     return x + omega * dx
+
+
+def batched_tridiag_pcr(dl, d, du, B):
+    """Batched tridiagonal solve by parallel cyclic reduction.
+
+    dl/d/du/B: (nlines, L).  log2(L) fully-vectorized elimination rounds —
+    the TPU-native replacement for per-line Thomas sweeps.  Out-of-range
+    neighbors are identity rows via zero-padding.
+    """
+    L = d.shape[-1]
+
+    def shift(a, s):
+        # a[..., i + s] with zero fill
+        if s == 0:
+            return a
+        if s > 0:
+            return jnp.concatenate(
+                [a[..., s:], jnp.zeros(a.shape[:-1] + (s,), a.dtype)], -1)
+        return jnp.concatenate(
+            [jnp.zeros(a.shape[:-1] + (-s,), a.dtype), a[..., :s]], -1)
+
+    def shift_d(a, s):
+        # like shift but fills with 1 (identity diagonal)
+        if s == 0:
+            return a
+        if s > 0:
+            return jnp.concatenate(
+                [a[..., s:], jnp.ones(a.shape[:-1] + (s,), a.dtype)], -1)
+        return jnp.concatenate(
+            [jnp.ones(a.shape[:-1] + (-s,), a.dtype), a[..., :s]], -1)
+
+    s = 1
+    while s < L:
+        dm = shift_d(d, -s)
+        dp = shift_d(d, s)
+        alpha = -dl / dm
+        beta = -du / dp
+        d = d + alpha * shift(du, -s) + beta * shift(dl, s)
+        B = B + alpha * shift(B, -s) + beta * shift(B, s)
+        dl = alpha * shift(dl, -s)
+        du = beta * shift(du, s)
+        s *= 2
+    return B / d
+
+
+def line_relaxation_step(A, sm: "SmootherData", x, b, zebra_phase=None):
+    """Damped line-Jacobi (or one zebra half-sweep): exact tridiagonal
+    solves along the ``line_axis`` grid direction.
+
+    The TPU-native counterpart of line/block Gauss-Seidel for anisotropic
+    problems: all lines solve simultaneously via cyclic reduction.
+    ``zebra_phase``: None = all lines (line Jacobi), 0/1 = even/odd lines
+    only (zebra line Gauss-Seidel).
+    """
+    grid = sm.grid
+    axis = sm.line_axis % len(grid)
+    r = b - A.matvec(x)
+    Rg = r.reshape(grid)
+    Rg = jnp.moveaxis(Rg, axis, -1)
+    lead_shape = Rg.shape[:-1]
+    L = Rg.shape[-1]
+    R2 = Rg.reshape(-1, L)
+    dl, d, du = sm.line_tri[0], sm.line_tri[1], sm.line_tri[2]
+    dx = batched_tridiag_pcr(dl, d, du, R2)
+    if zebra_phase is not None:
+        nlines = dx.shape[0]
+        mask = (jnp.arange(nlines) % 2 == zebra_phase)
+        dx = dx * mask[:, None].astype(dx.dtype)
+    dxg = jnp.moveaxis(dx.reshape(lead_shape + (L,)), -1, axis)
+    return x + sm.omega * dxg.reshape(-1)
 
 
 def schwarz_step(A, subdomain_idx, subdomain_inv, x, b, omega=1.0):
@@ -211,6 +289,15 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
         elif sm.kind == "schwarz":
             x = schwarz_step(A, sm.subdomain_idx, sm.subdomain_inv, x, b,
                              sm.omega)
+        elif sm.kind == "line_jacobi":
+            x = line_relaxation_step(A, sm, x, b)
+        elif sm.kind in ("zebra", "line_gauss_seidel"):
+            order = (1, 0) if sm.sweep == "backward" else (0, 1)
+            for ph in order:
+                x = line_relaxation_step(A, sm, x, b, zebra_phase=ph)
+            if sm.sweep == "symmetric":
+                for ph in (1, 0):
+                    x = line_relaxation_step(A, sm, x, b, zebra_phase=ph)
         elif sm.kind in ("cg_smoother", "gmres_smoother", "cgnr_smoother",
                          "cgne_smoother"):
             x = krylov_smoother_step(A, x, b, iterations=max(1, 2))

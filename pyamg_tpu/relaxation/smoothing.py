@@ -211,6 +211,48 @@ def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
                             omega=omega, AT=SparseELL.from_scipy(AH),
                             dinv_ne=jnp.asarray(dinv_ne))
 
+    if fn_name in ("line_jacobi", "zebra", "line_gauss_seidel"):
+        # exact tridiagonal solves along one grid axis (TPU-native line
+        # relaxation for anisotropic problems; batched cyclic reduction)
+        if grid is None or int(np.prod(grid)) != A_csr.shape[0]:
+            # level lost its grid structure (e.g. classical coarse levels):
+            # fall back to multicolor GS, which needs no geometry
+            return make_smoother_data(lvl, "gauss_seidel",
+                                      {"iterations": iterations,
+                                       "sweep": sweep})
+        grid = tuple(int(g) for g in grid)
+        dgrid = len(grid)
+        strides = [int(np.prod(grid[k + 1:])) for k in range(dgrid)]
+        axis = kwargs.get("axis")
+        if axis is None:
+            # strongest coupling direction
+            coup = [np.abs(A_csr.diagonal(s)).sum() for s in strides]
+            axis = int(np.argmax(coup))
+        axis = axis % dgrid
+        stride = strides[axis]
+        n = A_csr.shape[0]
+        L = grid[axis]
+
+        d_flat = A_csr.diagonal().astype(A_csr.dtype)
+        du_flat = np.zeros(n, dtype=A_csr.dtype)
+        du_flat[:n - stride] = A_csr.diagonal(stride)
+        dl_flat = np.zeros(n, dtype=A_csr.dtype)
+        dl_flat[stride:] = A_csr.diagonal(-stride)
+        coords = np.unravel_index(np.arange(n), grid)
+        du_flat[coords[axis] == L - 1] = 0.0
+        dl_flat[coords[axis] == 0] = 0.0
+
+        def lines(v):
+            return np.moveaxis(v.reshape(grid), axis, -1).reshape(-1, L)
+
+        tri = np.stack([lines(dl_flat), lines(d_flat), lines(du_flat)])
+        omega = float(kwargs.get("omega",
+                                 0.7 if fn_name == "line_jacobi" else 1.0))
+        kind = "line_jacobi" if fn_name == "line_jacobi" else "zebra"
+        return SmootherData(kind=kind, iterations=iterations, sweep=sweep,
+                            omega=omega, line_tri=jnp.asarray(tri),
+                            grid=grid, line_axis=axis)
+
     if fn_name in ("schwarz", "strength_based_schwarz"):
         # damped additive overlapping Schwarz: batched dense subdomain
         # solves (≙ relaxation.h:936, additive variant for SIMD execution)

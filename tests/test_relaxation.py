@@ -241,6 +241,42 @@ class TestDeviceSmoothers:
         ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
         assert (res[-1] / res[0]) ** (1 / max(len(res) - 1, 1)) < 0.5
 
+    def test_pcr_tridiag_exact(self):
+        from pyamg_tpu.relaxation.device import batched_tridiag_pcr
+
+        r = rng()
+        L, nl = 17, 5
+        dl = r.random((nl, L))
+        dl[:, 0] = 0
+        du = r.random((nl, L))
+        du[:, -1] = 0
+        d = 4 + r.random((nl, L))
+        B = r.random((nl, L))
+        X = np.asarray(batched_tridiag_pcr(
+            jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+            jnp.asarray(B)))
+        for i in range(nl):
+            T = sp.diags([dl[i, 1:], d[i], du[i, :-1]], [-1, 0, 1]).toarray()
+            assert np.allclose(T @ X[i], B[i], atol=1e-9)
+
+    def test_zebra_beats_point_gs_on_anisotropy(self):
+        import pyamg_tpu
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+
+        sten = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
+        A = stencil_grid(sten, (48, 48), format="csr")
+        b = rng().standard_normal(A.shape[0])
+
+        def cf(sm):
+            ml = pyamg_tpu.smoothed_aggregation_solver(
+                A, presmoother=sm, postsmoother=sm, max_coarse=20)
+            res = []
+            ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
+            return (res[-1] / res[0]) ** (1 / max(len(res) - 1, 1))
+
+        assert cf("zebra") < 0.1
+        assert cf("line_jacobi") < 0.5
+
     def test_chebyshev_coefficients(self):
         from pyamg_tpu.relaxation import chebyshev_polynomial_coefficients
 
