@@ -83,9 +83,9 @@ def main():
         A = stencil_grid(sten, g, format="csr")
         strength = ("evolution", {"k": 2, "epsilon": 4.0}) if s else \
             ("classical", {"theta": 0.25})   # evolution is host-heavy at 1M
-        ml = pyamg_tpu.ruge_stuben_solver(
-            A, strength=strength, CF="RS",
-            presmoother="zebra", postsmoother="zebra")
+        # rotated (pi/4) anisotropy: axis-aligned line relaxation does not
+        # help; keep symmetric multicolor GS
+        ml = pyamg_tpu.ruge_stuben_solver(A, strength=strength, CF="RS")
         return A, ml, A @ rng.random(A.shape[0])
 
     def solve2(ctx):

@@ -22,6 +22,10 @@ def _relax_homogeneous(A, x, method, iterations):
     from ..relaxation import relaxation as rel
 
     fn, kwargs = unpack_arg(method)
+    if not hasattr(rel, fn):
+        # device-only smoother names (zebra, chebyshev, ...) fall back to
+        # Gauss-Seidel for the host-side candidate relaxation
+        fn, kwargs = "gauss_seidel", {"sweep": "symmetric"}
     fn = getattr(rel, fn)
     b = np.zeros(A.shape[0], dtype=A.dtype)
     kwargs = dict(kwargs)

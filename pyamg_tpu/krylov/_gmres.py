@@ -151,11 +151,13 @@ def _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback, residuals,
                 flexible):
     mv, pre, b, x, _ = prepare(A, b, x0, maxiter or b.shape[0], M)
     n = b.shape[0]
-    if restrt is None:
-        restrt = min(n, 30) if maxiter is None else min(n, maxiter)
-    restrt = int(min(restrt, n))
     if maxiter is None:
-        maxiter = n
+        maxiter = min(n, 300)
+    if restrt is None:
+        # reference semantics (_gmres.py): no restart — the Krylov space
+        # spans the full iteration budget
+        restrt = min(n, int(maxiter))
+    restrt = int(min(restrt, n))
     max_outer = max(1, -(-int(maxiter) // restrt))
 
     normb = float(norm(b))

@@ -326,6 +326,9 @@ def relaxation_as_linear_operator(method, A, b):
     from ..relaxation import relaxation as rel
 
     fn_name, kwargs = unpack_arg(method)
+    if not hasattr(rel, fn_name):
+        # device-only smoother names fall back to Gauss-Seidel on host
+        fn_name, kwargs = "gauss_seidel", {"sweep": "symmetric"}
     fn = getattr(rel, fn_name)
     b = np.asarray(b)
 
