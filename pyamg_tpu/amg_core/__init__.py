@@ -19,7 +19,8 @@ import numpy as np
 __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "naive_aggregation_native", "gauss_seidel_indexed_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
-           "bfs_levels_native", "drake_matching_native"]
+           "bfs_levels_native", "drake_matching_native",
+           "masked_spgemm_native"]
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libamg_core.so")
@@ -76,6 +77,8 @@ def _declare(lib):
     lib.bfs_levels.argtypes = [_I, _i64p, _i64p, _I, _i64p, _i64p,
                                ctypes.POINTER(_I)]
     lib.drake_matching_core.argtypes = [_I, _i64p, _i64p, _f64p, _i64p]
+    lib.masked_spgemm.argtypes = [_I, _i64p, _i64p, _f64p, _i64p, _i64p,
+                                  _f64p, _i64p, _i64p, _f64p]
 
 
 def _csr_arrays(A):
@@ -171,6 +174,36 @@ def bfs_levels_native(A, seed):
     cnt = _I(0)
     lib.bfs_levels(n, Ap, Aj, int(seed), level, order, ctypes.byref(cnt))
     return order[:cnt.value].copy(), level
+
+
+def masked_spgemm_native(A, B, pattern):
+    """C = (A @ B) restricted to ``pattern``'s sparsity (CSR in/out);
+    returns None without the native library or for non-float64 data."""
+    lib = _load()
+    if not lib:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    if A.dtype != np.float64 or np.iscomplexobj(A.data):
+        return None
+    Bc = sp.csc_matrix(B)
+    if Bc.dtype != np.float64:
+        return None
+    C = sp.csr_matrix(pattern).copy()
+    C.sort_indices()
+    A.sort_indices()
+    Bc.sort_indices()
+    Ap, Aj = _csr_arrays(A)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    Bp = np.ascontiguousarray(Bc.indptr, dtype=np.int64)
+    Bi = np.ascontiguousarray(Bc.indices, dtype=np.int64)
+    Bx = np.ascontiguousarray(Bc.data, dtype=np.float64)
+    Cp, Cj = _csr_arrays(C)
+    Cx = np.zeros(C.nnz, dtype=np.float64)
+    lib.masked_spgemm(A.shape[0], Ap, Aj, Ax, Bp, Bi, Bx, Cp, Cj, Cx)
+    C.data = Cx
+    return C
 
 
 def drake_matching_native(A, weights=None):

@@ -310,4 +310,36 @@ void drake_matching_core(I n, const I* Ap, const I* Aj, const double* w,
     std::memcpy(match, src, sizeof(I) * n);
 }
 
+// ---------------------------------------------------------------------------
+// masked (pattern-restricted) sparse product: C_ij = <A_{i,:}, B_{:,j}> for
+// (i, j) in the pattern of C only (role of incomplete_mat_mult_csr,
+// evolution_strength.h:676).  B is supplied column-wise (CSC arrays = CSR of
+// B^T).  All index arrays sorted.
+// ---------------------------------------------------------------------------
+void masked_spgemm(I n_row,
+                   const I* Ap, const I* Aj, const double* Ax,
+                   const I* Bp, const I* Bi, const double* Bx,
+                   const I* Cp, const I* Cj, double* Cx) {
+    for (I i = 0; i < n_row; i++) {
+        for (I cc = Cp[i]; cc < Cp[i + 1]; cc++) {
+            I j = Cj[cc];
+            double acc = 0.0;
+            I ka = Ap[i], ea = Ap[i + 1];
+            I kb = Bp[j], eb = Bp[j + 1];
+            while (ka < ea && kb < eb) {
+                I ca = Aj[ka], rb = Bi[kb];
+                if (ca == rb) {
+                    acc += Ax[ka] * Bx[kb];
+                    ka++; kb++;
+                } else if (ca < rb) {
+                    ka++;
+                } else {
+                    kb++;
+                }
+            }
+            Cx[cc] = acc;
+        }
+    }
+}
+
 }  // extern "C"

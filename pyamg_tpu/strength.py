@@ -168,18 +168,24 @@ def distance_strength_of_connection(A, V, theta=2.0, relative_drop=True):
 
 def _masked_power(Atilde_T, nsquare, mask):
     """(Atilde^T)^(2^nsquare) with the final product restricted to the mask
-    pattern (≙ incomplete_mat_mult_csr, evolution_strength.h:676 — here the
-    full product is formed then masked; numerically identical)."""
+    pattern (≙ incomplete_mat_mult_csr, evolution_strength.h:676).
+
+    The last squaring uses the native masked SpGEMM when available (only the
+    pattern entries are computed); otherwise full-product-then-mask."""
+    from .amg_core import masked_spgemm_native
+
     M = Atilde_T
     for _ in range(max(nsquare - 1, 0)):
         M = (M @ M).tocsr()
+    pattern = mask.copy()
+    pattern.data = np.ones_like(pattern.data)
     if nsquare > 0:
-        pattern = mask.copy()
-        pattern.data = np.ones_like(pattern.data)
-        M = (M @ M).multiply(pattern).tocsr()
+        native = masked_spgemm_native(M, M, pattern)
+        if native is not None:
+            M = native
+        else:
+            M = (M @ M).multiply(pattern).tocsr()
     else:
-        pattern = mask.copy()
-        pattern.data = np.ones_like(pattern.data)
         M = M.multiply(pattern).tocsr()
     M.eliminate_zeros()
     M.sort_indices()
