@@ -230,8 +230,9 @@ def schwarz_step(A, subdomain_idx, subdomain_inv, x, b, omega=1.0):
 
 def krylov_smoother_step(A, x, b, kind="cg", iterations=2):
     """Fixed-iteration Krylov smoothing (reference smoothing.py:481-509
-    setup_cg/setup_gmres): a few unpreconditioned CG / MINRES-like steps,
-    fully traced (no convergence test)."""
+    setup_cg/setup_gmres), fully traced (no convergence test)."""
+    if kind in ("gmres", "gmres_smoother"):
+        return _gmres_smoother_step(A, x, b, k=max(iterations, 1))
     r = b - A.matvec(x)
     p = r
     rz = jnp.vdot(r, r)
@@ -246,6 +247,30 @@ def krylov_smoother_step(A, x, b, kind="cg", iterations=2):
         p = r + beta * p
         rz = rz_new
     return x
+
+
+def _gmres_smoother_step(A, x, b, k=2):
+    """k-step unrestarted GMRES from the current iterate, fully unrolled
+    (k is small and static): minimizes ||b - A(x + Vy)|| over the k-dim
+    Krylov space — suitable for nonsymmetric smoothing."""
+    r = b - A.matvec(x)
+    beta = jnp.linalg.norm(r)
+    safe = jnp.where(beta == 0, 1, beta)
+    V = [r / safe]
+    H = jnp.zeros((k + 1, k), dtype=r.dtype)
+    for j in range(k):
+        w = A.matvec(V[j])
+        for i in range(j + 1):
+            hij = jnp.vdot(V[i], w)
+            H = H.at[i, j].set(hij)
+            w = w - hij * V[i]
+        hn = jnp.linalg.norm(w)
+        H = H.at[j + 1, j].set(hn)
+        V.append(w / jnp.where(hn == 0, 1, hn))
+    e1 = jnp.zeros(k + 1, dtype=r.dtype).at[0].set(beta)
+    y, *_ = jnp.linalg.lstsq(H, e1)
+    Vm = jnp.stack(V[:k])                  # (k, n)
+    return x + Vm.T @ y
 
 
 def jacobi_ne_step(A: SparseELL, AT: SparseELL, dinv_ne, x, b, omega=1.0):
@@ -300,7 +325,12 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
                     x = line_relaxation_step(A, sm, x, b, zebra_phase=ph)
         elif sm.kind in ("cg_smoother", "gmres_smoother", "cgnr_smoother",
                          "cgne_smoother"):
-            x = krylov_smoother_step(A, x, b, iterations=max(1, 2))
+            # fixed Krylov depth 2 per application; sm.iterations controls
+            # the number of applications (outer loop)
+            x = krylov_smoother_step(
+                A, x, b,
+                kind="gmres" if sm.kind == "gmres_smoother" else "cg",
+                iterations=2)
         elif sm.kind == "sor":
             # device SOR = multicolor GS with over-relaxation weight
             if sm.sweep in ("forward", "symmetric"):

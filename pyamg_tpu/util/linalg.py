@@ -99,6 +99,9 @@ def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
         imax = int(np.argmax(np.abs(evals)))
         new_rho = float(np.abs(evals[imax]))
         vec = (V[:m].T @ evecs[:, imax])
+        if not np.iscomplexobj(np.zeros(0, dtype=V.dtype)):
+            # real operator: restart with the real part of the Ritz vector
+            vec = np.real(vec)
         if rho > 0 and abs(new_rho - rho) / new_rho < tol:
             rho = new_rho
             break
