@@ -241,6 +241,23 @@ class TestDeviceSmoothers:
         ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
         assert (res[-1] / res[0]) ** (1 / max(len(res) - 1, 1)) < 0.5
 
+    def test_multicolor_gs_backward_matches_reverse_order(self):
+        A, E, x, b = self._sys(8)
+        from pyamg_tpu.graph import vertex_coloring
+
+        colors = vertex_coloring(A, method="JP")
+        nc = colors.max() + 1
+        masks = np.zeros((nc, A.shape[0]))
+        masks[colors, np.arange(A.shape[0])] = 1.0
+        dinv = 1.0 / A.diagonal()
+        got = np.asarray(multicolor_gs_step(
+            E, jnp.asarray(dinv), jnp.asarray(masks), jnp.asarray(x),
+            jnp.asarray(b), reverse=True))
+        order = np.argsort(colors, kind="stable")[::-1]
+        host = x.copy()
+        rel.gauss_seidel_indexed(A, host, b, indices=order, iterations=1)
+        assert np.allclose(got, host, atol=1e-10)
+
     def test_pcr_tridiag_exact(self):
         from pyamg_tpu.relaxation.device import batched_tridiag_pcr
 
