@@ -9,7 +9,6 @@ current solver on the homogeneous system.
 from __future__ import annotations
 
 import numpy as np
-import scipy.sparse as sp
 
 from ..util.utils import to_csr, unpack_arg
 from .aggregation import smoothed_aggregation_solver

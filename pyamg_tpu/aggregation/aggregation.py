@@ -26,7 +26,6 @@ from ..util.utils import (unpack_arg, to_csr, levelize_strength_or_aggregation,
                           levelize_smooth_or_improve_candidates,
                           relaxation_as_linear_operator,
                           eliminate_diag_dom_nodes)
-from ..sparse import SparseELL
 from .aggregate import (standard_aggregation, naive_aggregation,
                         lloyd_aggregation, pairwise_aggregation,
                         parallel_aggregation, grid_aggregation)

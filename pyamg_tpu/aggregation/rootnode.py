@@ -19,7 +19,6 @@ from ..util.utils import (unpack_arg, to_csr, levelize_strength_or_aggregation,
                           levelize_smooth_or_improve_candidates,
                           relaxation_as_linear_operator, get_Cpt_params,
                           scale_T)
-from ..sparse import SparseELL
 from .aggregation import _strength, _aggregate
 from .tentative import fit_candidates
 from .smooth import energy_prolongation_smoother

@@ -20,7 +20,7 @@ import scipy.sparse as sp
 
 from ..multilevel import MultilevelSolver, Level
 from ..relaxation.smoothing import change_smoothers
-from ..util.utils import to_csr, unpack_arg
+from ..util.utils import to_csr
 from .aggregation import _strength, _aggregate
 
 __all__ = ["newideal_solver", "ben_ideal_interpolation"]

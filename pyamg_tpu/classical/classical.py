@@ -9,7 +9,6 @@ device pytree executed by the compiled cycle in multilevel.py.
 from __future__ import annotations
 
 import numpy as np
-import scipy.sparse as sp
 
 from ..multilevel import MultilevelSolver, Level
 from ..relaxation.smoothing import change_smoothers
@@ -20,7 +19,6 @@ from ..strength import (classical_strength_of_connection,
                         energy_based_strength_of_connection,
                         algebraic_distance, affinity_distance)
 from ..util.utils import unpack_arg, to_csr
-from ..sparse import SparseELL
 from . import split
 from .interpolate import direct_interpolation, standard_interpolation
 

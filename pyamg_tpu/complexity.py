@@ -6,8 +6,6 @@ Reference parity: pyamg/Jacob_complexity.py (``setup_complexity`` :14,
 
 from __future__ import annotations
 
-import numpy as np
-
 __all__ = ["setup_complexity", "cycle_complexity"]
 
 

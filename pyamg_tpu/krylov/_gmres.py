@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ._common import prepare, norm, finalize, identity_M, make_matvec
+from ._common import prepare, norm, identity_M, make_matvec
 
 __all__ = ["gmres", "gmres_mgs", "gmres_householder", "fgmres"]
 

@@ -13,14 +13,14 @@ no host round-trips inside a cycle.  The compiled cycle is cached per
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .sparse import SparseELL
-from .relaxation.device import SmootherData, apply_smoother
+from .relaxation.device import apply_smoother
 from .util.utils import unpack_arg
 
 __all__ = ["Level", "MultilevelSolver", "multilevel_solver",

@@ -21,8 +21,8 @@ Every function is pure (x in, x out) and traceable; smoother *state*
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

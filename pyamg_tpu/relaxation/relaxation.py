@@ -16,7 +16,6 @@ import numpy as np
 import scipy.sparse as sp
 
 from ..util.utils import to_csr, get_block_diag
-from ..util import linalg as _linalg
 
 __all__ = [
     "make_system", "sor", "gauss_seidel", "jacobi", "polynomial",

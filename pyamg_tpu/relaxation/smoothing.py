@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..util.utils import unpack_arg, get_block_diag, get_diagonal
+from ..util.utils import unpack_arg, get_block_diag
 from ..util.linalg import approximate_spectral_radius
 from .chebyshev import chebyshev_polynomial_coefficients
 from .device import SmootherData

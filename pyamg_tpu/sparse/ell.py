@@ -21,9 +21,8 @@ pyamg/amg_core (SURVEY.md L0).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,8 +9,6 @@ kernel (reference: ``incomplete_mat_mult_csr`` evolution_strength.h:676).
 
 from __future__ import annotations
 
-import numpy as np
-
 from .ell import SparseELL
 from .bell import BlockELL
 

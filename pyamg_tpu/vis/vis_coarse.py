@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .vtk_writer import write_basic_mesh, write_vtu
+from .vtk_writer import write_basic_mesh
 
 __all__ = ["vis_aggregate_groups", "vis_splitting"]
 
