@@ -52,7 +52,7 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
                        presmoother=("gauss_seidel", {"sweep": "symmetric"}),
                        postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
                        max_levels=10, max_coarse=500, keep=False,
-                       coarse_solver="pinv", **kwargs):
+                       coarse_solver="pinv", coarse_filter=None, **kwargs):
     """Create a classical AMG solver (multilevel hierarchy).
 
     Examples
@@ -77,7 +77,8 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
     while (len(levels) < max_levels
            and levels[-1].A_csr.shape[0] > max_coarse):
         n_prev = levels[-1].A_csr.shape[0]
-        _extend_hierarchy(levels, strength, CF, interpolation, keep)
+        _extend_hierarchy(levels, strength, CF, interpolation, keep,
+                          coarse_filter)
         if levels[-1].A_csr.shape[0] == n_prev:
             break   # coarsening stalled
 
@@ -95,7 +96,8 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
     return ml
 
 
-def _extend_hierarchy(levels, strength, CF, interpolation, keep):
+def _extend_hierarchy(levels, strength, CF, interpolation, keep,
+                      coarse_filter=None):
     """One coarsening step (reference classical.py:120)."""
     A = levels[-1].A_csr
 
@@ -149,6 +151,17 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep):
 
     A_coarse = (R @ A @ P).tocsr()
     A_coarse.eliminate_zeros()
+    if coarse_filter:
+        # drop weak Galerkin fill-in, lumping it onto the diagonal
+        # (keeps row sums: preserves the near-nullspace action;
+        # ≙ util/utils filter_matrix_rows, reference util/utils.py:2009) —
+        # controls the coarse-operator densification classical AMG shows on
+        # rotated anisotropy, keeping coarse levels on the DIA fast path
+        from ..util.utils import filter_matrix_rows
+
+        theta = coarse_filter if isinstance(coarse_filter, float) \
+            else 1e-2
+        A_coarse = filter_matrix_rows(A_coarse, theta, lump=True)
     levels.append(Level())
     levels[-1].A_csr = A_coarse
     levels[-1].grid = cgrid

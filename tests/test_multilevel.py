@@ -60,6 +60,22 @@ class TestClassical:
         ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
         assert conv_factor(res) < 0.5
 
+    def test_coarse_filter_keeps_convergence(self):
+        from pyamg_tpu.gallery import diffusion_stencil_2d, stencil_grid
+
+        sten = diffusion_stencil_2d(epsilon=0.01, theta=np.pi / 4,
+                                    type="FD")
+        A = stencil_grid(sten, (48, 48), format="csr")
+        b = rng().standard_normal(A.shape[0])
+        res_f, res_n = [], []
+        ml_f = ruge_stuben_solver(A, coarse_filter=0.02, max_coarse=20)
+        ml_f.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res_f)
+        ml_n = ruge_stuben_solver(A, max_coarse=20)
+        ml_n.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res_n)
+        # filtering must not blow up the iteration count
+        assert len(res_f) <= len(res_n) + 10
+        assert res_f[-1] / res_f[0] < 1e-6
+
     def test_standard_interpolation(self):
         A = poisson((25, 25), format="csr")
         ml = ruge_stuben_solver(A, interpolation="standard", max_coarse=20)
