@@ -113,7 +113,8 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
                                                     None),
                                 max_levels=10, max_coarse=500,
                                 diagonal_dominance=False, keep=False,
-                                coarse_solver="pinv", **kwargs):
+                                coarse_solver="pinv", coarse_filter=None,
+                                **kwargs):
     """Create a smoothed-aggregation AMG solver
     (reference aggregation.py:30).
 
@@ -183,7 +184,7 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
         n_prev = levels[-1].A_csr.shape[0]
         _extend_sa_hierarchy(levels, strength, aggregate, smooth,
                              improve_candidates, diagonal_dominance, keep,
-                             symmetry)
+                             symmetry, coarse_filter)
         if levels[-1].A_csr.shape[0] == n_prev:
             break
 
@@ -290,7 +291,7 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
 
 def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
                          improve_candidates, diagonal_dominance, keep,
-                         symmetry):
+                         symmetry, coarse_filter=None):
     """One SA coarsening step (reference aggregation.py:293)."""
     lvl = levels[-1]
     A = lvl.A_csr
@@ -369,6 +370,14 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
 
     A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
     A_coarse.eliminate_zeros()
+    if coarse_filter:
+        # drop weak Galerkin fill-in with diagonal lumping (row sums kept;
+        # ≙ filter_matrix_rows util/utils.py:2009) — bounds coarse-operator
+        # densification, keeping levels on the DIA fast path
+        from ..util.utils import filter_matrix_rows
+
+        theta = coarse_filter if isinstance(coarse_filter, float) else 1e-2
+        A_coarse = filter_matrix_rows(A_coarse, theta, lump=True)
 
     new = Level()
     new.A_csr = A_coarse
