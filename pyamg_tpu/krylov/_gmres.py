@@ -147,6 +147,43 @@ def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False):
     return x_new, res_hist, k, beta
 
 
+def gmres_core(mv, pre, x, b, tol_t, maxiter, restrt=30, flexible=False):
+    """Traceable restarted-GMRES core: (x, n_iters, res_buf).
+
+    The restart loop is a ``lax.while_loop`` around the traceable Arnoldi
+    cycle, so an entire preconditioned GMRES solve is one XLA program
+    (cacheable via MultilevelSolver._raw_accel like cg/bicgstab).
+    """
+    restrt = int(min(restrt, b.shape[0], maxiter))
+    max_outer = max(1, -(-int(maxiter) // restrt))
+    rdtype = jnp.real(b).dtype
+    res_buf = jnp.zeros(maxiter + 1, dtype=rdtype)
+    r0 = b - mv(x)
+    res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
+
+    def body(carry):
+        x, it, res_buf, outer, last = carry
+        x_new, res_hist, k, beta = _arnoldi_cycle(mv, pre, x, b, restrt,
+                                                  tol_t, flexible=flexible)
+        # write this cycle's residual history at offset it+1 (masked)
+        idx = it + 1 + jnp.arange(restrt)
+        valid = jnp.arange(restrt) < k
+        idx = jnp.where(valid, idx, maxiter)     # park invalid writes
+        res_buf = res_buf.at[jnp.minimum(idx, maxiter)].set(
+            jnp.where(valid, res_hist, res_buf[jnp.minimum(idx, maxiter)]))
+        last_new = jnp.where(k > 0, res_hist[jnp.maximum(k - 1, 0)], last)
+        return (x_new, it + k, res_buf, outer + 1, last_new)
+
+    def cond(carry):
+        _x, it, _res, outer, last = carry
+        return (last > tol_t) & (outer < max_outer) & (it < maxiter)
+
+    beta0 = res_buf[0]
+    carry = (x, 0, res_buf, 0, beta0)
+    x, it, res_buf, _outer, _last = jax.lax.while_loop(cond, body, carry)
+    return x, it, res_buf
+
+
 def _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback, residuals,
                 flexible):
     mv, pre, b, x, _ = prepare(A, b, x0, maxiter or b.shape[0], M)

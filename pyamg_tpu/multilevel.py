@@ -350,10 +350,21 @@ class MultilevelSolver:
         is an argument (no large closure constants in the HLO)."""
         key = (accel, str(cycle).upper(), maxiter)
         if key not in self._solve_cache:
+            import functools
+
             from .krylov._cg import cg_core
             from .krylov._cgs_family import bicgstab_core
+            from .krylov._gmres import gmres_core
 
-            cores = {"cg": cg_core, "bicgstab": bicgstab_core}
+            cores = {
+                "cg": cg_core,
+                "bicgstab": bicgstab_core,
+                "gmres": functools.partial(gmres_core,
+                                           restrt=min(30, maxiter)),
+                "fgmres": functools.partial(gmres_core,
+                                            restrt=min(30, maxiter),
+                                            flexible=True),
+            }
             core = cores[accel]
             raw_cyc = self._raw_cycle(cycle)
 
@@ -468,7 +479,8 @@ class MultilevelSolver:
             # fused-and-cached path: one jitted program per
             # (accel, cycle, maxiter), reused across solves (tolerance is a
             # traced argument — no recompile when it changes)
-            if isinstance(accel, str) and accel in ("cg", "bicgstab") \
+            if isinstance(accel, str) \
+                    and accel in ("cg", "bicgstab", "gmres", "fgmres") \
                     and callback is None:
                 run = self._get_cached_accel(accel, cycle, int(maxiter))
                 normb = jnp.linalg.norm(b_d)
