@@ -128,6 +128,23 @@ class TestCheckpoint:
         assert np.linalg.norm(b - A @ x2) < 1e-6 * np.linalg.norm(b)
 
 
+class TestCheckpointStructured:
+    def test_structured_hierarchy_roundtrip(self, tmp_path):
+        from pyamg_tpu.util import save_hierarchy, load_hierarchy
+
+        A = poisson((24, 24), format="csr")   # structured path (grid attr)
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=20)
+        from pyamg_tpu.sparse import ComposedOp
+
+        assert isinstance(ml.levels[0].P, ComposedOp)
+        path = os.path.join(tmp_path, "sh.npz")
+        save_hierarchy(ml, path)
+        ml2 = load_hierarchy(path)
+        b = rng().standard_normal(A.shape[0])
+        x = ml2.solve(b, tol=1e-8, maxiter=60)
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
+
+
 class TestProfiling:
     def test_profile_cycles(self):
         from pyamg_tpu.util import profile_cycles
