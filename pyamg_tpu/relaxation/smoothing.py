@@ -126,6 +126,9 @@ def _color_masks(A_csr, blocksize=1, dtype=None, grid=None):
 
 def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
     """Build the precomputed SmootherData for one option on one level."""
+    if not hasattr(lvl, "A_csr"):
+        # device-built hierarchies materialize host twins lazily
+        lvl.A_csr = lvl.A.to_scipy()
     A_csr = lvl.A_csr
     iterations = int(kwargs.get("iterations", DEFAULT_NITER))
     sweep = kwargs.get("sweep", DEFAULT_SWEEP)
