@@ -213,6 +213,28 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
     if block is None:
         block = (3,) * d
 
+    # Exactness guard for the comb-probe RAP: the coarse stencil must fit
+    # the 3^d coarse neighborhood.  P = S^degree T spreads each coarse
+    # basis function `degree` fine cells beyond its block, so the coarse
+    # row support stays within one coarse cell iff 2*degree < min(block);
+    # and A itself must live on the fine 3^d stencil.  Violations would
+    # silently produce a wrong Galerkin operator, so they are errors.
+    if 2 * degree >= min(block):
+        raise ValueError(
+            f"structured_sa_setup: comb-probe RAP is exact only when "
+            f"2*degree < min(block); got degree={degree}, block={block}. "
+            f"Use a larger block or the host-staged "
+            f"smoothed_aggregation_solver for this configuration.")
+    strides0 = [int(np.prod(grid[k + 1:])) for k in range(d)]
+    valid_offs = {sum(dd * s for dd, s in zip(deltas, strides0))
+                  for deltas in itertools.product((-1, 0, 1), repeat=d)}
+    if not set(A_dev.offsets) <= valid_offs:
+        bad = sorted(set(A_dev.offsets) - valid_offs)
+        raise ValueError(
+            f"structured_sa_setup: A has offsets {bad} outside the 3^{d} "
+            f"stencil of grid {grid}; the comb-probe RAP would be inexact. "
+            f"Use the host-staged smoothed_aggregation_solver instead.")
+
     @partial(jax.jit, static_argnames=("cur_grid", "blk", "deg"))
     def build_level(A_l, B_l, cur_grid, blk, deg):
         """One whole level of device setup as a single compiled program."""

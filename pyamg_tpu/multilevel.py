@@ -486,11 +486,12 @@ class MultilevelSolver:
                 normb = jnp.linalg.norm(b_d)
                 tol_t = tol * jnp.where(normb == 0, 1.0, normb)
                 xk, it, res_buf = run(x, b_d, tol_t)
+                if return_residuals and residuals is None:
+                    residuals = []
                 xk, info = finalize(xk, res_buf, int(it) + 1, float(tol_t),
                                     None, residuals)
                 if return_residuals:
-                    return xk, np.asarray(residuals if residuals is not None
-                                          else [])
+                    return xk, np.asarray(residuals)
                 if return_info:
                     return xk, info
                 return xk

@@ -70,10 +70,18 @@ def _place_ell(E: SparseELL, mesh, axis) -> SparseELL:
 
 
 def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
+    """Pad/re-place every piece of smoother state for the sharded cycle.
+
+    All smoother kinds are carried faithfully; configurations that cannot
+    survive row padding (line smoothers on a level whose size changed) fail
+    loudly instead of silently degrading.
+    """
     if sm is None or sm.kind == "none":
         return sm
+    nd = mesh.devices.size
     sh1 = NamedSharding(mesh, P(axis))
     shm = NamedSharding(mesh, P(None, axis))
+    repl = NamedSharding(mesh, P())
     dinv = sm.dinv
     if dinv is not None:
         d = np.zeros(n_pad, dtype=dinv.dtype)
@@ -92,15 +100,47 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
         bd[:block_dinv.shape[0]] = np.asarray(block_dinv)
         block_dinv = jax.device_put(
             jnp.asarray(bd), NamedSharding(mesh, P(axis, None, None)))
-    if sm.kind == "jacobi_ne":
-        # NE smoother needs the transpose operator; fall back to jacobi on
-        # the sharded path (round 1)
-        return SmootherData(kind="jacobi", iterations=sm.iterations,
-                            omega=0.5, dinv=dinv)
+    AT = sm.AT
+    dinv_ne = sm.dinv_ne
+    if AT is not None:
+        AT = _place_ell(_pad_ell(AT, n_pad, n_pad), mesh, axis)
+    if dinv_ne is not None:
+        d = np.zeros(n_pad, dtype=dinv_ne.dtype)
+        d[:dinv_ne.shape[0]] = np.asarray(dinv_ne)
+        dinv_ne = jax.device_put(jnp.asarray(d), sh1)
+    subdomain_idx, subdomain_inv = sm.subdomain_idx, sm.subdomain_inv
+    if subdomain_idx is not None:
+        # indices address original rows (< n <= n_pad): still valid; shard
+        # the batched dense solves over the subdomain axis when possible
+        n_dom = subdomain_idx.shape[0]
+        sdom = (NamedSharding(mesh, P(axis, None)) if n_dom % nd == 0
+                else repl)
+        sinv = (NamedSharding(mesh, P(axis, None, None)) if n_dom % nd == 0
+                else repl)
+        subdomain_idx = jax.device_put(subdomain_idx, sdom)
+        subdomain_inv = jax.device_put(subdomain_inv, sinv)
+    line_tri = sm.line_tri
+    if line_tri is not None:
+        n_grid = int(np.prod(sm.grid)) if sm.grid else -1
+        if n_grid != n_pad:
+            raise ValueError(
+                f"cannot shard a {sm.kind!r} line smoother on a level padded "
+                f"from {n_grid} to {n_pad} rows: the grid reshape would be "
+                f"invalid. Use a problem size divisible by the device count "
+                f"or StructuredShardedSolver.")
+        nlines = line_tri.shape[1]
+        stri = (NamedSharding(mesh, P(None, axis, None))
+                if nlines % nd == 0 else repl)
+        line_tri = jax.device_put(line_tri, stri)
     return SmootherData(kind=sm.kind, iterations=sm.iterations,
                         sweep=sm.sweep, omega=sm.omega, dinv=dinv,
                         color_masks=masks, coefficients=sm.coefficients,
-                        block_dinv=block_dinv, blocksize=sm.blocksize)
+                        block_dinv=block_dinv, blocksize=sm.blocksize,
+                        AT=AT, dinv_ne=dinv_ne,
+                        subdomain_idx=subdomain_idx,
+                        subdomain_inv=subdomain_inv,
+                        line_tri=line_tri, grid=sm.grid,
+                        line_axis=sm.line_axis)
 
 
 class ShardedSolver:
@@ -244,20 +284,28 @@ class StructuredShardedSolver:
 
     def solve(self, b, tol=1e-8, maxiter=100, cycle="V", accel="cg",
               residuals=None):
-        from .sharding import NamedSharding as _NS  # noqa: F401
-
-        run = self.ml._raw_accel(accel, cycle, int(maxiter)) \
-            if accel in ("cg", "bicgstab") else None
+        if accel is not None and accel not in ("cg", "bicgstab",
+                                               "gmres", "fgmres"):
+            raise ValueError("StructuredShardedSolver supports accel in "
+                             "('cg', 'bicgstab', 'gmres', 'fgmres', None)")
         b_d = jax.device_put(
             jnp.asarray(np.ravel(np.asarray(b)),
                         dtype=self.ml.levels[0].A.dtype),
             NamedSharding(self.mesh, P(self.axis)))
-        if run is None:
-            raise ValueError("StructuredShardedSolver supports accel in "
-                             "('cg', 'bicgstab')")
         normb = jnp.linalg.norm(b_d)
         tol_t = tol * jnp.where(normb == 0, 1.0, normb)
-        x, it, res_buf = run(self._hier, jnp.zeros_like(b_d), b_d, tol_t)
+        if accel is None:
+            # the standalone fused program takes the hierarchy pytree as an
+            # argument, so it shards exactly like the accel cores
+            key = ("standalone", str(cycle).upper(), int(maxiter))
+            self.ml._get_cached_standalone(cycle, int(maxiter))
+            run = self.ml._solve_cache[key]
+            rdt = jnp.real(jnp.zeros(0, b_d.dtype)).dtype
+            x, it, res_buf = run(self._hier, jnp.zeros_like(b_d), b_d,
+                                 jnp.asarray(tol_t, dtype=rdt))
+        else:
+            run = self.ml._raw_accel(accel, cycle, int(maxiter))
+            x, it, res_buf = run(self._hier, jnp.zeros_like(b_d), b_d, tol_t)
         it = int(it)
         if residuals is not None:
             residuals.extend([float(v) for v in np.asarray(res_buf)[:it + 1]])

@@ -274,10 +274,64 @@ def _gmres_smoother_step(A, x, b, k=2):
 
 
 def jacobi_ne_step(A: SparseELL, AT: SparseELL, dinv_ne, x, b, omega=1.0):
-    """Jacobi on the normal equations: x + omega D(A^H A)^{-1} A^H (b - Ax)."""
+    """Jacobi on the normal equations A A^H (Cimmino / parallel Kaczmarz):
+    x + omega A^H diag(A A^H)^{-1} (b - Ax)   (≙ relaxation.h:466).
+
+    ``AT`` is A^H; ``dinv_ne`` holds the inverted *row* 2-norms of A.
+    """
     r = b - A.matvec(x)
-    return x + omega * dinv_ne * AT.matvec(jnp.conj(r) if
-                                           jnp.iscomplexobj(r) else r)
+    return x + omega * AT.matvec(dinv_ne * r)
+
+
+def jacobi_nr_step(A: SparseELL, AT: SparseELL, dinv_ne, x, b, omega=1.0):
+    """Jacobi on the normal residual equations A^H A:
+    x + omega diag(A^H A)^{-1} A^H (b - Ax)   (≙ relaxation.h:595 semantics).
+
+    ``dinv_ne`` holds the inverted *column* 2-norms of A.
+    """
+    r = b - A.matvec(x)
+    return x + omega * dinv_ne * AT.matvec(r)
+
+
+def cgnr_smoother_step(A, AT, x, b, iterations=2):
+    """Fixed-depth CG on the normal equations A^H A x = A^H b — the genuine
+    CGNR smoother (reference smoothing.py:481-509 setup_cgnr), fully traced.
+    Correct for nonsymmetric/complex A (unlike plain CG steps)."""
+    r = b - A.matvec(x)
+    z = AT.matvec(r)                     # normal-equation residual
+    p = z
+    zz = jnp.vdot(z, z)
+    for _ in range(max(iterations, 1)):
+        Ap = A.matvec(p)
+        d = jnp.vdot(Ap, Ap)
+        alpha = zz / jnp.where(d == 0, 1, d)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = AT.matvec(r)
+        zz_new = jnp.vdot(z, z)
+        beta = zz_new / jnp.where(zz == 0, 1, zz)
+        p = z + beta * p
+        zz = zz_new
+    return x
+
+
+def cgne_smoother_step(A, AT, x, b, iterations=2):
+    """Fixed-depth CGNE (Craig's method): CG on A A^H y = b with x = A^H y,
+    minimizing the error norm — the genuine CGNE smoother
+    (reference smoothing.py:481-509 setup_cgne), fully traced."""
+    r = b - A.matvec(x)
+    p = AT.matvec(r)
+    rr = jnp.vdot(r, r)
+    for _ in range(max(iterations, 1)):
+        d = jnp.vdot(p, p)
+        alpha = rr / jnp.where(d == 0, 1, d)
+        x = x + alpha * p
+        r = r - alpha * A.matvec(p)
+        rr_new = jnp.vdot(r, r)
+        beta = rr_new / jnp.where(rr == 0, 1, rr)
+        p = AT.matvec(r) + beta * p
+        rr = rr_new
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +365,8 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
                 x = _multicolor_block_gs(A, sm, x, b, reverse=True)
         elif sm.kind == "jacobi_ne":
             x = jacobi_ne_step(A, sm.AT, sm.dinv_ne, x, b, sm.omega)
+        elif sm.kind == "jacobi_nr":
+            x = jacobi_nr_step(A, sm.AT, sm.dinv_ne, x, b, sm.omega)
         elif sm.kind == "schwarz":
             x = schwarz_step(A, sm.subdomain_idx, sm.subdomain_inv, x, b,
                              sm.omega)
@@ -323,14 +379,17 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
             if sm.sweep == "symmetric":
                 for ph in (1, 0):
                     x = line_relaxation_step(A, sm, x, b, zebra_phase=ph)
-        elif sm.kind in ("cg_smoother", "gmres_smoother", "cgnr_smoother",
-                         "cgne_smoother"):
+        elif sm.kind in ("cg_smoother", "gmres_smoother"):
             # fixed Krylov depth 2 per application; sm.iterations controls
             # the number of applications (outer loop)
             x = krylov_smoother_step(
                 A, x, b,
                 kind="gmres" if sm.kind == "gmres_smoother" else "cg",
                 iterations=2)
+        elif sm.kind == "cgnr_smoother":
+            x = cgnr_smoother_step(A, sm.AT, x, b, iterations=2)
+        elif sm.kind == "cgne_smoother":
+            x = cgne_smoother_step(A, sm.AT, x, b, iterations=2)
         elif sm.kind == "sor":
             # device SOR = multicolor GS with over-relaxation weight
             if sm.sweep in ("forward", "symmetric"):

@@ -201,16 +201,26 @@ def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
     if fn_name in ("jacobi_ne", "gauss_seidel_ne", "gauss_seidel_nr"):
         # device path: damped Jacobi on the normal equations (the parallel
         # member of the Kaczmarz family; sequential NE/NR sweeps remain in
-        # relaxation.relaxation for host parity)
+        # relaxation.relaxation for host parity).
+        # NE (≙ relaxation.h:466,530): A A^H system, row 2-norms;
+        # NR (≙ relaxation.h:595):     A^H A system, column 2-norms.
         from ..sparse import SparseELL
 
         omega = float(kwargs.get("omega", 1.0))
+        if kwargs.get("withrho", True):
+            # reference smoothing.py:452-456: omega /= rho(D^{-1}A)^2 — the
+            # normal-equation operator's spectrum is the square of A's
+            omega = omega / rho_D_inv_A(A_csr) ** 2
         AH = A_csr.conjugate().T.tocsr()
-        d = np.asarray(A_csr.multiply(A_csr.conjugate()).sum(axis=0)).ravel()
+        axis = 1 if fn_name in ("jacobi_ne", "gauss_seidel_ne") else 0
+        d = np.asarray(
+            A_csr.multiply(A_csr.conjugate()).sum(axis=axis)).ravel().real
         mask = d != 0
         dinv_ne = np.zeros(d.shape, dtype=A_csr.dtype)
         dinv_ne[mask] = 1.0 / d[mask]
-        return SmootherData(kind="jacobi_ne", iterations=iterations,
+        kind = ("jacobi_ne" if fn_name in ("jacobi_ne", "gauss_seidel_ne")
+                else "jacobi_nr")
+        return SmootherData(kind=kind, iterations=iterations,
                             omega=omega, AT=SparseELL.from_scipy(AH),
                             dinv_ne=jnp.asarray(dinv_ne))
 
@@ -285,11 +295,15 @@ def make_smoother_data(lvl, fn_name, kwargs) -> SmootherData:
 
     if fn_name in ("gmres", "cg", "cgne", "cgnr"):
         # Krylov-as-smoother (reference smoothing.py:481-509): a fixed
-        # number of fully-traced Krylov steps
-        return SmootherData(kind=f"{fn_name}_smoother"
-                            if fn_name in ("cg", "gmres", "cgne", "cgnr")
-                            else "cg_smoother",
-                            iterations=max(iterations, 1))
+        # number of fully-traced Krylov steps.  cgne/cgnr carry A^H so the
+        # normal-equation iterations are genuine on nonsymmetric/complex A.
+        AT = None
+        if fn_name in ("cgne", "cgnr"):
+            from ..sparse import SparseELL
+
+            AT = SparseELL.from_scipy(A_csr.conjugate().T.tocsr())
+        return SmootherData(kind=f"{fn_name}_smoother",
+                            iterations=max(iterations, 1), AT=AT)
 
     raise ValueError(f"unknown smoother {fn_name!r}")
 

@@ -48,6 +48,13 @@ def save_hierarchy(ml, path):
     store["meta"] = np.frombuffer(
         json.dumps(meta, default=str).encode(), dtype=np.uint8)
     for i, lvl in enumerate(ml.levels):
+        # device-built hierarchies (e.g. structured_sa_setup) have no host
+        # twins; materialize them lazily so every hierarchy serializes
+        if not hasattr(lvl, "A_csr"):
+            lvl.A_csr = lvl.A.to_scipy()
+        if not hasattr(lvl, "P_csr") and getattr(lvl, "P", None) is not None:
+            lvl.P_csr = lvl.P.to_scipy()
+            lvl.R_csr = lvl.R.to_scipy()
         _pack_csr(f"L{i}_A", lvl.A_csr, store)
         if hasattr(lvl, "P_csr"):
             _pack_csr(f"L{i}_P", lvl.P_csr, store)

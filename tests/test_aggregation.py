@@ -299,3 +299,48 @@ class TestPairwise:
             for i, j in enumerate(m):
                 if j >= 0:
                     assert m[j] in (i, -1) or m[j] == i
+
+
+class TestDeviceSetupValidation:
+    """Comb-probe RAP exactness guards (ADVICE r1 #2)."""
+
+    def test_degree_vs_block_guard(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation import structured_sa_setup
+
+        A = poisson((27, 27), format="csr")
+        with pytest.raises(ValueError, match="2\\*degree"):
+            structured_sa_setup(A, (27, 27), block=(2, 2), degree=1,
+                                dtype=jnp.float64)
+        with pytest.raises(ValueError, match="2\\*degree"):
+            structured_sa_setup(A, (27, 27), block=(3, 3), degree=2,
+                                dtype=jnp.float64)
+
+    def test_wide_stencil_guard(self):
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+        from pyamg_tpu.aggregation import structured_sa_setup
+
+        # 5-point stencil plus a distance-2 band: outside the 3^2 stencil
+        A = poisson((27, 27), format="csr")
+        n = A.shape[0]
+        A2 = sp.csr_matrix(A + 0.1 * sp.diags(np.ones(n - 54), 54))
+        with pytest.raises(ValueError, match="outside"):
+            structured_sa_setup(A2, (27, 27), dtype=jnp.float64)
+
+    def test_valid_config_still_exact(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation import structured_sa_setup
+
+        A = poisson((27, 27), format="csr")
+        ml = structured_sa_setup(A, (27, 27), block=(3, 3), degree=1,
+                                 dtype=jnp.float64)
+        # device RAP == host R@A@P on every level
+        for lvl, nxt in zip(ml.levels[:-1], ml.levels[1:]):
+            Ah = lvl.A.to_scipy()
+            Ph = lvl.P.to_scipy()
+            Rh = lvl.R.to_scipy()
+            Ac_host = (Rh @ Ah @ Ph).toarray()
+            Ac_dev = nxt.A.to_scipy().toarray()
+            assert np.abs(Ac_host - Ac_dev).max() < 1e-10 * \
+                max(np.abs(Ac_host).max(), 1)

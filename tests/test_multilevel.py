@@ -203,3 +203,17 @@ class TestMiscSolve:
         b = rng().standard_normal(A.shape[0])
         x, info = ml.solve(b, tol=1e-8, maxiter=30, return_info=True)
         assert info == 0
+
+
+class TestReturnResiduals:
+    def test_fused_accel_returns_residuals(self):
+        """return_residuals works without an explicit residuals list
+        (ADVICE r1 #3)."""
+        A = poisson((24, 24), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=20)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        x, res = ml.solve(b, tol=1e-8, maxiter=30, accel="cg",
+                          return_residuals=True)
+        assert len(res) >= 2
+        assert res[-1] < 1e-8 * np.linalg.norm(b) * 10
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)

@@ -311,3 +311,23 @@ class TestBSRUtils:
         bsr_row_write_scalar(A, 3, 7.0)
         row = A.tocsr()[3]
         assert (row.data == 7.0).all()
+
+
+class TestCheckpointDeviceBuilt:
+    def test_device_built_hierarchy_roundtrip(self, tmp_path):
+        """structured_sa_setup hierarchies (no host twins) serialize too
+        (ADVICE r1 #4)."""
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation import structured_sa_setup
+        from pyamg_tpu.util import save_hierarchy, load_hierarchy
+
+        A = poisson((24, 24), format="csr")
+        ml = structured_sa_setup(A, (24, 24), dtype=jnp.float64)
+        assert not hasattr(ml.levels[0], "P_csr")   # device-built
+
+        path = os.path.join(tmp_path, "dev.npz")
+        save_hierarchy(ml, path)
+        ml2 = load_hierarchy(path)
+        b = rng().standard_normal(A.shape[0])
+        x = ml2.solve(b, tol=1e-8, maxiter=60)
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
