@@ -104,8 +104,23 @@ class SparseDIA:
 
     # -- compute --------------------------------------------------------------
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y[i] = sum_k diags[k, i] * x[i + offsets[k]] — shift-multiply-add,
-        no gathers."""
+        """y[i] = sum_k diags[k, i] * x[i + offsets[k]].
+
+        Single-chip TPU dispatches to the fused Pallas kernel (2-D layout,
+        sublane slices + lane rolls); everywhere else (CPU, sharded meshes,
+        unsupported dtypes/shapes) uses the XLA shift-multiply-add, whose
+        shifts become halo collectives under ``jax.sharding``.
+        """
+        from .pallas_kernels import pallas_dia_supported, dia_matvec_pallas
+
+        if (x.dtype == self.dtype
+                and pallas_dia_supported(self.offsets, self.shape,
+                                         self.dtype)):
+            return dia_matvec_pallas(self.diags, self.offsets, x)
+        return self.matvec_xla(x)
+
+    def matvec_xla(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The pure-XLA shift-multiply-add formulation (no gathers)."""
         n, m = self.shape
         lo = -min(min(self.offsets), 0)
         hi = max(max(self.offsets), 0)
