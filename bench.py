@@ -54,8 +54,9 @@ def build_solver(A):
         A, max_coarse=500,
         presmoother=("gauss_seidel", {"sweep": "symmetric"}),
         postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
-        improve_candidates=None)
-    ml.astype(jnp.float32)         # f32 device hierarchy (preconditioner)
+        improve_candidates=None,
+        op_dtype=jnp.float32)      # f32 device hierarchy (preconditioner)
+    ml._op_dtype = jnp.float32
     return ml
 
 

@@ -114,6 +114,7 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
                                 max_levels=10, max_coarse=500,
                                 diagonal_dominance=False, keep=False,
                                 coarse_solver="pinv", coarse_filter=None,
+                                op_dtype=None,
                                 **kwargs):
     """Create a smoothed-aggregation AMG solver
     (reference aggregation.py:30).
@@ -122,6 +123,11 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
     constant vector / kron with identity for BSR), ``symmetry`` in
     {'hermitian', 'symmetric', 'nonsymmetric'}, per-level option lists
     supported for strength/aggregate/smooth/improve_candidates.
+
+    TPU addition: ``op_dtype`` builds every device operator and smoother
+    directly in that dtype (e.g. ``jnp.float32`` for an f32 preconditioner
+    from an f64 host setup) — host-side casts before the H2D transfers,
+    instead of transferring f64 and casting on device.
     """
     if symmetry not in ("hermitian", "symmetric", "nonsymmetric"):
         raise ValueError("expected 'symmetric', 'nonsymmetric' or "
@@ -188,30 +194,40 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
         if levels[-1].A_csr.shape[0] == n_prev:
             break
 
-    _finalize_device_operators(levels)
+    _finalize_device_operators(levels, op_dtype=op_dtype)
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
+    if op_dtype is not None:
+        ml._op_dtype = op_dtype
     change_smoothers(ml, presmoother, postsmoother)
     return ml
 
 
-def _finalize_device_operators(levels):
+def _finalize_device_operators(levels, op_dtype=None):
     """Build the device representation of every level: DIA/dense/ELL for A,
-    composed gather-free grid operators for structured P/R."""
+    composed gather-free grid operators for structured P/R.
+
+    ``op_dtype``: target device dtype (host-side casts before transfer)."""
+    import numpy as np_
     import jax.numpy as jnp
     from ..sparse import (device_operator, ComposedOp, GridRepeatOp,
                           GridPoolOp, SparseDIA)
 
+    npdt = None if op_dtype is None else np_.dtype(str(jnp.dtype(op_dtype)))
+
     for lvl in levels:
-        lvl.A = device_operator(lvl.A_csr)
+        lvl.A = device_operator(lvl.A_csr, dtype=npdt)
         if not hasattr(lvl, "P_csr"):
             continue
         meta = getattr(lvl, "struct_meta", None)
         if meta is None:
-            lvl.P = device_operator(lvl.P_csr)
-            lvl.R = device_operator(lvl.R_csr)
+            lvl.P = device_operator(lvl.P_csr, dtype=npdt)
+            lvl.R = device_operator(lvl.R_csr, dtype=npdt)
             continue
         n_f, n_c = lvl.P_csr.shape
-        wmap = jnp.asarray(meta["wmap"])
+        wmap = meta["wmap"]
+        if npdt is not None:
+            wmap = wmap.astype(npdt, copy=False)
+        wmap = jnp.asarray(wmap)
         Tdev = GridRepeatOp(wmap=wmap, fine_grid=meta["grid"],
                             block=meta["block"], shape=(n_f, n_c))
         Ttdev = GridPoolOp(wmap=wmap, fine_grid=meta["grid"],
@@ -220,13 +236,35 @@ def _finalize_device_operators(levels):
             lvl.P = Tdev
             lvl.R = Ttdev
         else:
-            S = SparseDIA.from_scipy(meta["S_csr"])
-            SH = SparseDIA.from_scipy(
-                meta["S_csr"].conjugate().T.tocsr())
+            # S = I - c D^{-1} A shares A's offsets (plus 0); reuse them to
+            # skip the O(nnz log nnz) rediscovery, and build S^H by shifting
+            # S's diagonals on device instead of a host transpose + 2nd H2D
+            s_offs = None
+            if isinstance(lvl.A, SparseDIA):
+                s_offs = sorted(set(lvl.A.offsets) | {0})
+            S = SparseDIA.from_scipy(meta["S_csr"], dtype=npdt,
+                                     offsets=s_offs)
+            from .device_setup import dia_transpose
+
+            SH = dia_transpose(S)
+            if np_.iscomplexobj(meta["S_csr"].data):
+                SH = SparseDIA(diags=SH.diags.conj(), offsets=SH.offsets,
+                               shape=SH.shape)
             chain_P = tuple([S] * meta["degree"] + [Tdev])
             chain_R = tuple([Ttdev] + [SH] * meta["degree"])
             lvl.P = ComposedOp(ops=chain_P, shape=(n_f, n_c))
             lvl.R = ComposedOp(ops=chain_R, shape=(n_c, n_f))
+
+
+def _add_identity_inplace(S_data, A, n):
+    """I + (matrix with A's sparsity and data S_data), without an SpADD —
+    valid when A stores its full diagonal (falls back to eye-plus if not)."""
+    diag_mask = A.indices == np.repeat(np.arange(n), np.diff(A.indptr))
+    if int(diag_mask.sum()) == n:
+        S_data[diag_mask] += 1.0
+        return sp.csr_matrix((S_data, A.indices, A.indptr), shape=A.shape)
+    S = sp.csr_matrix((S_data, A.indices, A.indptr), shape=A.shape)
+    return (sp.eye(n, format="csr") + S).tocsr()
 
 
 def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
@@ -249,18 +287,23 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     wmap[rows_w] = T.data
 
     degree = int(skw.get("degree", 1)) if sfn else 0
+    sym_hint = (symmetry in ("hermitian", "symmetric")
+                and not np.iscomplexobj(A.data))
     S_csr = None
     if sfn == "jacobi":
         omega = float(skw.get("omega", 4.0 / 3.0))
-        c = omega / rho_D_inv_A(A)
+        c = omega / rho_D_inv_A(A, symmetric=sym_hint)
         Dinv = get_diagonal(A, inv=True)
-        S_csr = (sp.eye(n, format="csr")
-                 - sp.dia_matrix((c * Dinv[None, :], [0]),
-                                 shape=A.shape) @ A).tocsr()
+        # S = I - c D^{-1} A built in place on A's sparsity (A from a PDE
+        # stencil holds its full diagonal), avoiding the eye-minus SpADD
+        S_data = (-c) * np.repeat(Dinv, np.diff(A.indptr)) * A.data
+        S_csr = _add_identity_inplace(S_data, A, n)
     elif sfn == "richardson":
         omega = float(skw.get("omega", 4.0 / 3.0))
-        c = omega / approximate_spectral_radius(A)
-        S_csr = (sp.eye(n, format="csr") - c * A).tocsr()
+        c = omega / approximate_spectral_radius(
+            A, symmetric=sym_hint or None)
+        S_data = (-c) * A.data.copy()
+        S_csr = _add_identity_inplace(S_data, A, n)
 
     P = T
     for _ in range(degree):

@@ -200,7 +200,10 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
     dtype = jnp.dtype(dtype)
     if not isinstance(A, SparseDIA):
         A_csr0 = sp.csr_matrix(A)
-        A_dev = SparseDIA.from_scipy(A_csr0).astype(dtype)
+        # cast on host before the H2D transfer (an f64 transfer + device
+        # cast costs 2x the tunnel bytes)
+        A_dev = SparseDIA.from_scipy(A_csr0,
+                                     dtype=np.dtype(str(dtype)))
     else:
         A_dev = A.astype(dtype)
         A_csr0 = A.to_scipy()

