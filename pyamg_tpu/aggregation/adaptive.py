@@ -1,23 +1,47 @@
-"""Adaptive smoothed aggregation (αSA).
+"""Adaptive smoothed aggregation (αSA) — full multi-level bootstrap.
 
-Reference parity: pyamg/aggregation/adaptive.py (``adaptive_sa_solver`` :113,
-``initial_setup_stage`` :363, ``general_setup_stage`` :575): bootstrap the
-near-nullspace by relaxing on A x = 0, then improve it by running the
-current solver on the homogeneous system.
+Reference parity: pyamg/aggregation/adaptive.py (``adaptive_sa_solver``
+:113, ``initial_setup_stage`` :363, ``general_setup_stage`` :575,
+``eliminate_local_candidates`` :31), implementing Brezina, Falgout,
+MacLachlan, Manteuffel, McCormick, Ruge — "Adaptive Smoothed Aggregation
+(αSA) Multigrid", SIAM Review 47(2), 2005.
+
+Structure (host-staged setup, like the rest of the setup phase; the final
+hierarchy's solve is the compiled device program):
+
+* **initial stage** (Algorithm 3): a random vector is relaxed on ``A x = 0``
+  and then *carried down the hierarchy as it is being built* — each level's
+  restriction of the candidate is relaxed on that level's homogeneous
+  system, and the coarsest representative is prolongated back up with
+  relaxation at every level.  The aggregates and strength graphs found on
+  the way down are frozen ('predefined') for all later stages.
+* **general stage** (Algorithm 4): each additional candidate starts as a
+  random vector run through the *current* solver on ``A x = 0`` (whatever
+  error the solver cannot remove is exactly what the new candidate must
+  represent), is refined level-by-level down the frozen hierarchy with
+  sub-hierarchy cycles, and climbs back with per-level relaxation.
+* **local elimination**: per-aggregate energy tests zero the candidate on
+  aggregates where it is already small or well represented by the current
+  tentative prolongator.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import scipy.sparse as sp
 
 from ..util.utils import to_csr, unpack_arg
-from .aggregation import smoothed_aggregation_solver
+from ..util.linalg import approximate_spectral_radius, norm
+from .aggregation import (smoothed_aggregation_solver, _strength, _aggregate,
+                          _smooth_P)
+from .tentative import fit_candidates
 
-__all__ = ["adaptive_sa_solver"]
+__all__ = ["adaptive_sa_solver", "eliminate_local_candidates",
+           "initial_setup_stage"]
 
 
-def _relax_homogeneous(A, x, method, iterations):
-    """Relax on A x = 0 in place; returns x."""
+def _relax_zero(A, x, method, iterations):
+    """Relax on A x = 0 in place (host); returns x."""
     from ..relaxation import relaxation as rel
 
     fn, kwargs = unpack_arg(method)
@@ -29,8 +53,279 @@ def _relax_homogeneous(A, x, method, iterations):
     b = np.zeros(A.shape[0], dtype=A.dtype)
     kwargs = dict(kwargs)
     kwargs.pop("iterations", None)
+    kwargs.setdefault("sweep", "symmetric")
     fn(A, x, b, iterations=iterations, **kwargs)
     return x
+
+
+def eliminate_local_candidates(x, AggOp, A, T, Ca=1.0):
+    """Zero the new candidate on aggregates where it is locally unneeded
+    (reference adaptive.py:31).  ``x`` is modified in place.
+
+    Two per-aggregate tests against the weight
+    ``Ca * card(agg) * <Ax, x> / (n * rho(A))``:
+
+    1. the candidate's local mass ``<x, x>_agg`` is already small, or
+    2. the residual after projecting onto range(T) is small — the current
+       tentative prolongator already represents it there.
+    """
+    AggOp = to_csr(AggOp)
+    x = np.ravel(x) if x.ndim == 1 else x
+    xv = np.ravel(x)
+    ndof = xv.shape[0]
+    n_nodes = AggOp.shape[0]
+    npdes = ndof // n_nodes
+
+    def agg_ip(z):
+        """<z, z> restricted to each aggregate: (n_agg,) vector."""
+        z2 = (np.abs(z) ** 2).reshape(n_nodes, npdes).sum(axis=1)
+        return AggOp.T @ z2
+
+    rho = approximate_spectral_radius(A)
+    xAx = float(np.real(np.vdot(xv, A @ xv)))
+    card = npdes * np.asarray(AggOp.sum(axis=0)).ravel()
+    weights = Ca * card * xAx / (A.shape[0] * max(rho, 1e-300))
+
+    mask = agg_ip(xv) <= weights                                  # test 1
+    proj = xv - T @ (T.conjugate().T @ xv)
+    mask |= agg_ip(proj) <= weights                               # test 2
+
+    drop_aggs = np.nonzero(mask)[0]
+    if drop_aggs.size:
+        drop_nodes = AggOp[:, drop_aggs].tocsc().indices
+        dofs = (npdes * drop_nodes[:, None]
+                + np.arange(npdes)[None, :]).ravel()
+        xv[dofs] = 0.0
+    if x.ndim > 1:
+        x[:] = xv.reshape(x.shape)
+    return x
+
+
+def initial_setup_stage(A, symmetry, pdef, candidate_iters, epsilon,
+                        max_levels, max_coarse, aggregate, prepostsmoother,
+                        smooth, strength, initial_candidate=None, seed=0):
+    """Algorithm 3 of Brezina et al.: build a trial hierarchy while carrying
+    a relaxed candidate down every level, then bring the coarsest
+    representative back up with per-level relaxation
+    (reference adaptive.py:363).
+
+    Returns ``(x, aggregate, strength, work)`` where aggregate/strength are
+    'predefined' per-level option lists freezing the discovered aggregates.
+    """
+    from ..util.utils import (levelize_strength_or_aggregation,
+                              levelize_smooth_or_improve_candidates)
+
+    A = to_csr(A)
+    max_levels, max_coarse, strength = levelize_strength_or_aggregation(
+        strength, max_levels, max_coarse)
+    max_levels, max_coarse, aggregate = levelize_strength_or_aggregation(
+        aggregate, max_levels, max_coarse)
+    smooth = levelize_smooth_or_improve_candidates(smooth, max_levels)
+
+    rng = np.random.default_rng(seed)
+    work = 0.0
+
+    if initial_candidate is None:
+        x = rng.random(A.shape[0]).astype(A.dtype)
+        if np.iscomplexobj(np.zeros(1, dtype=A.dtype)):
+            x = x + 1j * rng.random(A.shape[0])
+    else:
+        x = np.ravel(np.asarray(initial_candidate, dtype=A.dtype)).copy()
+
+    x = _relax_zero(A, x, prepostsmoother, candidate_iters)
+    work += 2 * A.nnz * candidate_iters
+
+    # descend: build levels, restricting + relaxing the candidate
+    A_l = A
+    As, Ps, aggs, strgs, xs = [A], [], [], [], [x]
+    while A_l.shape[0] > max_coarse and len(As) < max_levels:
+        i = len(As) - 1
+        C = _strength(A_l, x[:, None], strength[i])
+        AggOp, _ = _aggregate(C, A_l, x[:, None], aggregate[i])
+        if AggOp.shape[1] == 0 or AggOp.shape[1] == AggOp.shape[0]:
+            break
+        T, x_c = fit_candidates(AggOp, x[:, None])
+        P = _smooth_P(T, A_l, C, x_c, smooth[i])
+        R = P.conjugate().T.tocsr() if symmetry == "hermitian" \
+            else P.T.tocsr()
+        A_l = (R @ A_l @ P).tocsr()
+
+        strgs.append(C)
+        aggs.append(AggOp)
+        Ps.append(to_csr(P))
+        As.append(A_l)
+
+        x = np.ravel(x_c)
+        if A_l.shape[0] > max_coarse and len(As) < max_levels:
+            # relax the restricted candidate on this level's homogeneous
+            # system (step 4h) — the loop exit keeps the coarsest x as the
+            # *relaxed* second-coarsest restriction
+            x = _relax_zero(A_l, x, prepostsmoother, candidate_iters)
+            work += 2 * A_l.nnz * candidate_iters
+        xs.append(x)
+
+    # climb: prolongate the coarsest candidate to the finest level,
+    # relaxing on each level's homogeneous system along the way (step 5)
+    x = xs[-1]
+    for lev in range(len(Ps) - 1, -1, -1):
+        x = Ps[lev] @ x
+        x = _relax_zero(As[lev], x, prepostsmoother, candidate_iters)
+        work += 2 * As[lev].nnz * candidate_iters
+
+    aggregate = [("predefined", {"AggOp": aggs[i]})
+                 for i in range(len(aggs))] if aggs else aggregate
+    strength = [("predefined", {"C": strgs[i]})
+                for i in range(len(strgs))] if strgs else strength
+    return x, aggregate, strength, work
+
+
+def _host_vcycle(As, Ps, i, x, b, prepostsmoother, candidate_iters=1):
+    """One host V-cycle on the (A, P) lists starting at level ``i`` (used to
+    refine candidates on partially-updated sub-hierarchies without compiling
+    device programs for every temporary solver)."""
+    A = As[i]
+    if i >= len(Ps) or Ps[i] is None or A.shape[0] <= 1:
+        try:
+            return np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+        except np.linalg.LinAlgError:
+            return x
+    x = x.copy()
+    _relax_rhs(A, x, b, prepostsmoother, candidate_iters)
+    r = b - A @ x
+    P = Ps[i]
+    bc = P.conjugate().T @ r
+    xc = _host_vcycle(As, Ps, i + 1, np.zeros_like(bc), bc,
+                      prepostsmoother, candidate_iters)
+    x = x + P @ xc
+    _relax_rhs(A, x, b, prepostsmoother, candidate_iters)
+    return x
+
+
+def _relax_rhs(A, x, b, method, iterations):
+    from ..relaxation import relaxation as rel
+
+    fn, kwargs = unpack_arg(method)
+    if not hasattr(rel, fn):
+        fn, kwargs = "gauss_seidel", {"sweep": "symmetric"}
+    kwargs = dict(kwargs)
+    kwargs.pop("iterations", None)
+    kwargs.setdefault("sweep", "symmetric")
+    getattr(rel, fn)(A, x, b, iterations=iterations, **kwargs)
+
+
+def _bridge_rows(T, k):
+    """Re-index a tentative prolongator whose rows live on a level with
+    ``k`` dofs per node so they address the same node's dofs in an enlarged
+    level with ``k+1`` dofs per node (the new dof rows are structurally
+    empty) — the role of the reference's ``make_bridge``
+    (adaptive.py:596-606)."""
+    T = to_csr(T)
+    m = T.shape[0] // k
+    counts = np.diff(T.indptr).reshape(m, k)
+    new_counts = np.hstack(
+        [counts, np.zeros((m, 1), dtype=counts.dtype)]).ravel()
+    new_indptr = np.concatenate(
+        [np.zeros(1, dtype=T.indptr.dtype), np.cumsum(new_counts)])
+    return sp.csr_matrix((T.data, T.indices, new_indptr),
+                         shape=(m * (k + 1), T.shape[1]))
+
+
+def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
+                         smooth, eliminate_local, seed):
+    """Algorithm 4 of Brezina et al. (reference adaptive.py:575): generate
+    one additional candidate from the current solver's slow-to-converge
+    error, refine it level by level while rebuilding the hierarchy top-down
+    in the *enlarged* candidate space (bridging the not-yet-updated coarse
+    tentative prolongators), then relax it back up to the finest level.
+
+    Returns (x, work).
+    """
+    rng = np.random.default_rng(seed)
+    levels = ml.levels
+    nl = len(levels)
+    n = A.shape[0]
+    work = 0.0
+
+    x = rng.random(n).astype(A.dtype)
+    if np.iscomplexobj(np.zeros(1, dtype=A.dtype)):
+        x = x + 1j * rng.random(n)
+    x = np.asarray(ml.solve(np.zeros(n, dtype=A.dtype), x0=x,
+                            maxiter=candidate_iters, tol=1e-300))
+    work += 2 * ml.operator_complexity() * A.nnz * candidate_iters
+
+    T0 = levels[0].T if hasattr(levels[0], "T") else None
+
+    # host mirrors of the hierarchy, updated top-down during the descent
+    As = [l.A_csr for l in levels]
+    Ps = [getattr(l, "P_csr", None) for l in levels[:-1]]
+    Ts = [getattr(l, "T", None) for l in levels[:-1]]
+    Bs = [getattr(l, "B", None) for l in levels]
+    Cs = [getattr(l, "C", None) for l in levels[:-1]]
+    Aggs = [getattr(l, "AggOp", None) for l in levels[:-1]]
+
+    xs = [x]
+    for i in range(nl - 2):
+        if Aggs[i] is None or Bs[i] is None:
+            break
+        # refit level i's tentative prolongator with the candidate appended
+        B_aug = np.column_stack([Bs[i], xs[-1]])
+        T_new, Bc = fit_candidates(Aggs[i], B_aug)
+        P_new = _smooth_P(to_csr(T_new), As[i], Cs[i], Bc, smooth[i])
+        P_new = to_csr(P_new)
+        As[i + 1] = (P_new.conjugate().T @ As[i] @ P_new).tocsr()
+        Ps[i] = P_new
+        x_c = np.ravel(np.asarray(Bc)[:, -1]).copy()
+
+        # bridge level i+1's tentative prolongator into the enlarged space
+        # and re-smooth it on the new coarse operator, so the old
+        # sub-hierarchy below can polish the restricted candidate
+        if i + 1 < nl - 1 and Ts[i + 1] is not None:
+            k_old = Bs[i + 1].shape[1]
+            T_b = _bridge_rows(Ts[i + 1], k_old)
+            P_b = to_csr(_smooth_P(T_b, As[i + 1], Cs[i + 1],
+                                   Bs[i + 2], smooth[i + 1]))
+            Ps[i + 1] = P_b
+            Ts[i + 1] = T_b
+            As[i + 2] = (P_b.conjugate().T @ As[i + 1] @ P_b).tocsr()
+            # old candidates re-expressed in the enlarged space
+            Bs[i + 1] = np.asarray(Bc)[:, :-1]
+            # polish the restricted candidate with sub-hierarchy cycles
+            for _ in range(max(candidate_iters // 2, 1)):
+                x_c = _host_vcycle(As, Ps, i + 1, x_c,
+                                   np.zeros_like(x_c), prepostsmoother, 1)
+            work += 2 * sum(a.nnz for a in As[i + 1:]) * candidate_iters
+        else:
+            x_c = _relax_zero(As[i + 1], x_c, prepostsmoother,
+                              candidate_iters)
+            work += 2 * As[i + 1].nnz * candidate_iters
+        xs.append(x_c)
+
+    # climb back, relaxing the prolongated candidate at every level; use
+    # indexed relaxation at the candidate's support so locally-eliminated
+    # regions stay zero (reference adaptive.py:713-717)
+    from ..relaxation.relaxation import gauss_seidel_indexed
+
+    x = xs[-1]
+    for i in range(len(xs) - 2, -1, -1):
+        x = Ps[i] @ x
+        fn, _kw = unpack_arg(prepostsmoother)
+        if fn == "gauss_seidel":
+            idx = np.nonzero(np.ravel(x))[0]
+            gauss_seidel_indexed(As[i], x, np.zeros_like(x), idx,
+                                 iterations=candidate_iters,
+                                 sweep="symmetric")
+        else:
+            x = _relax_zero(As[i], x, prepostsmoother, candidate_iters)
+        work += 2 * As[i].nnz * candidate_iters
+
+    elim, elim_kwargs = unpack_arg(eliminate_local)
+    if elim is True and T0 is not None and Aggs[0] is not None:
+        nrm = norm(x, "inf")
+        if nrm > 0:
+            x = x / nrm
+        eliminate_local_candidates(x, Aggs[0], A, to_csr(T0), **elim_kwargs)
+
+    return x, work
 
 
 def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
@@ -41,84 +336,108 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                        prepostsmoother=("gauss_seidel",
                                         {"sweep": "symmetric"}),
                        smooth=("jacobi", {}), strength="symmetric",
-                       coarse_solver="pinv", seed=0, **kwargs):
-    """Create an adaptive SA solver; returns (ml, work)
+                       coarse_solver="pinv",
+                       eliminate_local=(False, {"Ca": 1.0}),
+                       keep=False, seed=0, **kwargs):
+    """Create an adaptive SA solver; returns ``(ml, work)``
     (reference adaptive.py:113).
 
-    The initial stage generates ``num_candidates`` near-nullspace candidates
-    by relaxation on A x = 0; the general stage improves them by cycling the
-    current solver on the homogeneous system.
+    ``num_candidates`` is the *total* number of near-nullspace candidates
+    (the initial stage provides the first; the general stage adds the rest).
+    ``work`` is the setup work estimate in units of fine-level nnz.
     """
     A = to_csr(A)
-    n = A.shape[0]
-    rng = np.random.default_rng(seed)
     work = 0.0
 
-    def build(B):
+    def build(B, agg, strg, keep_flag=True):
         return smoothed_aggregation_solver(
-            A, B=B, symmetry=symmetry, strength=strength,
-            aggregate=aggregate, smooth=smooth,
+            A, B=B, symmetry=symmetry, strength=strg,
+            aggregate=agg, smooth=smooth,
             presmoother=prepostsmoother, postsmoother=prepostsmoother,
+            improve_candidates=None,
             max_levels=max_levels, max_coarse=max_coarse,
-            coarse_solver=coarse_solver)
+            coarse_solver=coarse_solver, keep=keep_flag, **kwargs)
 
-    # ---- initial stage (reference initial_setup_stage :363) -------------
+    # ---- initial stage: first candidate + frozen aggregates --------------
     if initial_candidates is None:
-        x = rng.random(n).astype(A.dtype)
-        if np.iscomplexobj(np.zeros(1, dtype=A.dtype)):
-            x = x + 1j * rng.random(n)
-        x = _relax_homogeneous(A, x, prepostsmoother, candidate_iters)
-        work += candidate_iters * A.nnz
-        B = x[:, None]
+        x, aggregate, strength, w = initial_setup_stage(
+            A, symmetry, pdef, candidate_iters, epsilon, max_levels,
+            max_coarse, aggregate, prepostsmoother, smooth, strength,
+            seed=seed)
+        work += w
+        nrm = norm(x, "inf")
+        B = (x / (nrm if nrm else 1.0))[:, None].astype(A.dtype)
     else:
         B = np.asarray(initial_candidates, dtype=A.dtype)
         if B.ndim == 1:
             B = B[:, None]
+        # freeze aggregates from a trial hierarchy built on the given B
+        sa = build(B, aggregate, strength, keep_flag=True)
+        if len(sa.levels) > 1 \
+                and all(getattr(l, "AggOp", None) is not None
+                        for l in sa.levels[:-1]):
+            aggregate = [("predefined",
+                          {"AggOp": to_csr(sa.levels[i].AggOp)})
+                         for i in range(len(sa.levels) - 1)]
+            if all(getattr(l, "C", None) is not None
+                   for l in sa.levels[:-1]):
+                strength = [("predefined", {"C": to_csr(sa.levels[i].C)})
+                            for i in range(len(sa.levels) - 1)]
 
-    nb = np.linalg.norm(B, axis=0)
-    B = B / np.where(nb == 0, 1, nb)
-    ml = build(B)
+    ml = build(B, aggregate, strength, keep_flag=True)
 
-    # ---- general stage: extra candidates (reference :575) ---------------
+    from ..util.utils import levelize_smooth_or_improve_candidates
+
+    smooth_lv = levelize_smooth_or_improve_candidates(smooth, max_levels)
+
+    # ---- general stage: additional candidates ----------------------------
     while B.shape[1] < num_candidates:
-        x = rng.random(n).astype(A.dtype)
-        residuals = []
-        x = ml.solve(np.zeros(n, dtype=A.dtype), x0=x,
-                     maxiter=candidate_iters, tol=1e-16,
-                     residuals=residuals)
-        work += candidate_iters * sum(l.nnz for l in ml.levels)
-        x = np.asarray(x)
-        # if the solver already annihilates x, stop adding candidates
-        if residuals and residuals[0] > 0 and \
-                (residuals[-1] / residuals[0]) ** (1.0 /
-                                                   max(len(residuals) - 1, 1)) \
-                < epsilon:
+        x, w = _general_setup_stage(ml, A, symmetry, candidate_iters,
+                                    prepostsmoother, smooth_lv,
+                                    eliminate_local, seed + B.shape[1])
+        work += w
+        nrm = norm(x, "inf")
+        if nrm == 0 or not np.isfinite(nrm):
             break
-        nx = np.linalg.norm(x)
-        if nx == 0:
-            break
-        # orthonormalize against existing candidates
-        for k in range(B.shape[1]):
-            x = x - (B[:, k].conj() @ x) * B[:, k]
-        nx = np.linalg.norm(x)
-        if nx < 1e-12:
-            break
-        B = np.column_stack([B, x / nx])
-        ml = build(B)
+        B = np.column_stack([B, x / nrm])
+        ml = build(B, aggregate, strength, keep_flag=True)
 
-    # ---- improvement iterations -----------------------------------------
-    for _ in range(improvement_iters):
-        Bnew = np.zeros_like(B)
-        for k in range(B.shape[1]):
-            x = ml.solve(np.zeros(n, dtype=A.dtype), x0=B[:, k],
-                         maxiter=candidate_iters, tol=1e-16)
-            work += candidate_iters * sum(l.nnz for l in ml.levels)
-            x = np.asarray(x)
-            nx = np.linalg.norm(x)
-            Bnew[:, k] = x / (nx if nx else 1.0)
-        # re-orthonormalize
-        Q, _ = np.linalg.qr(Bnew)
-        B = Q[:, :B.shape[1]]
-        ml = build(B)
+    # ---- improvement iterations (reference adaptive.py:301-340) ----------
+    if B.shape[1] > 1 and improvement_iters > 0:
+        b0 = np.zeros(A.shape[0], dtype=A.dtype)
+        for _ in range(improvement_iters):
+            for _j in range(B.shape[1]):
+                # rebuild on everything except the oldest candidate; run the
+                # solver on A x = 0 from it; re-append the improved version
+                x0 = B[:, 0].copy()
+                B = B[:, 1:]
+                sa_tmp = build(B, aggregate, strength, keep_flag=True)
+                x = np.asarray(sa_tmp.solve(b0, x0=x0, tol=1e-300,
+                                            maxiter=candidate_iters))
+                work += (2 * sa_tmp.operator_complexity() * A.nnz
+                         * candidate_iters)
+                elim, elim_kwargs = unpack_arg(eliminate_local)
+                if elim is True and hasattr(sa_tmp.levels[0], "AggOp"):
+                    x = x / max(norm(x, "inf"), 1e-300)
+                    eliminate_local_candidates(
+                        x, sa_tmp.levels[0].AggOp, A, sa_tmp.levels[0].T,
+                        **elim_kwargs)
+                nrm = norm(x, "inf")
+                B = np.column_stack([B, x / (nrm if nrm else 1.0)])
+        ml = build(B, aggregate, strength, keep_flag=keep)
+    elif improvement_iters > 0:
+        # single candidate: repeat the initial descent from the current B
+        for _ in range(improvement_iters):
+            x, aggregate, strength, w = initial_setup_stage(
+                A, symmetry, pdef, candidate_iters, epsilon,
+                len(aggregate) + 1 if isinstance(aggregate, list)
+                else max_levels,
+                max_coarse, aggregate, prepostsmoother, smooth, strength,
+                initial_candidate=B[:, 0], seed=seed)
+            work += w
+            B = (x / max(norm(x, "inf"), 1e-300))[:, None].astype(A.dtype)
+        ml = build(B, aggregate, strength, keep_flag=keep)
+    elif not keep:
+        ml = build(B, aggregate, strength, keep_flag=False)
 
     return ml, float(work) / max(A.nnz, 1)

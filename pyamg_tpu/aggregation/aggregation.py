@@ -55,6 +55,8 @@ def _strength(A, B, flag):
         return algebraic_distance(A, **kwargs)
     if fn == "affinity":
         return affinity_distance(A, **kwargs)
+    if fn == "predefined":
+        return to_csr(kwargs["C"])
     if fn is None:
         C = to_csr(A).copy()
         C.data = np.ones_like(C.data)
