@@ -113,9 +113,19 @@ def satisfy_constraints(U, B, BtBinv):
 
 def _masked_product(A, P, pattern):
     """(A @ P) restricted to ``pattern``'s sparsity
-    (≙ incomplete_mat_mult_bsr, smoothed_aggregation.h:797)."""
-    out = (A @ P).tocsr().multiply(pattern).tocsr()
-    return out
+    (≙ incomplete_mat_mult_bsr, smoothed_aggregation.h:797).
+
+    Native pattern-restricted SpGEMM (two-pointer row·column merges at the
+    output pattern only) — this runs once per energy-minimization iteration,
+    so avoiding the full product is the difference between O(nnz(A@P)) and
+    O(nnz(pattern)) work.  Falls back to product-then-mask off the native
+    path (non-f64/complex dtypes)."""
+    from ..amg_core import masked_spgemm_native
+
+    out = masked_spgemm_native(to_csr(A), P, pattern)
+    if out is not None:
+        return out
+    return (A @ P).tocsr().multiply(pattern).tocsr()
 
 
 def _grow_pattern(Atilde, T, degree):
@@ -140,9 +150,18 @@ def energy_prolongation_smoother(A, T, Atilde, B, Bf=None, Cpt_params=None,
     U @ B_c = 0 on every update U), via pattern-constrained CG (SPD),
     CGNR or GMRES (nonsymmetric).
     """
+    bs_A = A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
     A = to_csr(A)
     T = to_csr(T)
     B = np.asarray(B)
+
+    # blocked operators carry a node-level (amalgamated) strength graph;
+    # expand it back to dof level for the pattern growth
+    # (reference smooth.py:1062-1068 UnAmal)
+    if Atilde is not None and sp.issparse(Atilde) \
+            and Atilde.shape[0] != T.shape[0]:
+        bs_row = T.shape[0] // Atilde.shape[0]
+        Atilde = unamal(Atilde, bs_row, bs_row)
 
     # sparsity pattern growth (+ optional prefiltering)
     if prefilter:

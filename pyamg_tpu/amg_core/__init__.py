@@ -20,7 +20,7 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "naive_aggregation_native", "gauss_seidel_indexed_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
            "bfs_levels_native", "drake_matching_native",
-           "masked_spgemm_native"]
+           "masked_spgemm_native", "bsr_gauss_seidel_native"]
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libamg_core.so")
@@ -79,6 +79,8 @@ def _declare(lib):
     lib.drake_matching_core.argtypes = [_I, _i64p, _i64p, _f64p, _i64p]
     lib.masked_spgemm.argtypes = [_I, _i64p, _i64p, _f64p, _i64p, _i64p,
                                   _f64p, _i64p, _i64p, _f64p]
+    lib.bsr_gauss_seidel.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p,
+                                     _f64p, _f64p, _I, _I, _I]
 
 
 def _csr_arrays(A):
@@ -204,6 +206,26 @@ def masked_spgemm_native(A, B, pattern):
     lib.masked_spgemm(A.shape[0], Ap, Aj, Ax, Bp, Bi, Bx, Cp, Cj, Cx)
     C.data = Cx
     return C
+
+
+def bsr_gauss_seidel_native(indptr, indices, data, Dinv, x, b, bs,
+                            start, stop, step):
+    """In-place block Gauss-Seidel sweep over BSR arrays (f64 real only);
+    returns False without the native library or for other dtypes
+    (role of bsr_gauss_seidel, relaxation.h:90)."""
+    lib = _load()
+    if not lib or data.dtype != np.float64 or np.iscomplexobj(data):
+        return False
+    nb = indptr.shape[0] - 1
+    ip = np.ascontiguousarray(indptr, dtype=np.int64)
+    ix = np.ascontiguousarray(indices, dtype=np.int64)
+    dv = np.ascontiguousarray(data, dtype=np.float64)
+    di = np.ascontiguousarray(Dinv, dtype=np.float64)
+    bv = np.ascontiguousarray(b, dtype=np.float64)
+    assert x.flags["C_CONTIGUOUS"] and x.dtype == np.float64
+    lib.bsr_gauss_seidel(nb, int(bs), ip, ix, dv, di, x, bv,
+                         int(start), int(stop), int(step))
+    return True
 
 
 def drake_matching_native(A, weights=None):

@@ -342,4 +342,40 @@ void masked_spgemm(I n_row,
     }
 }
 
+// ---------------------------------------------------------------------------
+// block Gauss-Seidel sweep over BSR storage (role of bsr_gauss_seidel,
+// relaxation.h:90): for each block row i in [start, stop) by step,
+//   x_i = Dinv_i * (b_i - sum_{j != i} A_ij x_j)
+// data: (nnzb, bs, bs) row-major block entries; Dinv: (nb, bs, bs).
+// ---------------------------------------------------------------------------
+void bsr_gauss_seidel(I nb, I bs,
+                      const I* indptr, const I* indices, const double* data,
+                      const double* Dinv,
+                      double* x, const double* b,
+                      I start, I stop, I step) {
+    const I bb = bs * bs;
+    std::vector<double> rhs(bs);
+    for (I i = start; step > 0 ? i < stop : i > stop; i += step) {
+        for (I k = 0; k < bs; k++) rhs[k] = b[i * bs + k];
+        for (I jj = indptr[i]; jj < indptr[i + 1]; jj++) {
+            const I j = indices[jj];
+            if (j == i) continue;
+            const double* blk = data + jj * bb;
+            const double* xj = x + j * bs;
+            for (I r = 0; r < bs; r++) {
+                double acc = 0.0;
+                for (I c = 0; c < bs; c++) acc += blk[r * bs + c] * xj[c];
+                rhs[r] -= acc;
+            }
+        }
+        const double* dinv = Dinv + i * bb;
+        double* xi = x + i * bs;
+        for (I r = 0; r < bs; r++) {
+            double acc = 0.0;
+            for (I c = 0; c < bs; c++) acc += dinv[r * bs + c] * rhs[c];
+            xi[r] = acc;
+        }
+    }
+}
+
 }  // extern "C"

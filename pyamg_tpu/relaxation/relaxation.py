@@ -146,14 +146,37 @@ def block_jacobi(A, x, b, Dinv=None, blocksize=1, iterations=1, omega=1.0):
 def block_gauss_seidel(A, x, b, Dinv=None, blocksize=1, iterations=1,
                        sweep="forward"):
     """Block Gauss-Seidel (reference relaxation.py:509).  Sequential over
-    block rows; implemented via BSR row loops on host."""
+    block rows; native C++ sweep (amg_core bsr_gauss_seidel role) with a
+    pure-Python fallback for exotic dtypes."""
+    from ..amg_core import bsr_gauss_seidel_native
+
     A, x_v, b_v = make_system(A, x, b)
     bs = int(blocksize)
     if Dinv is None:
         Dinv = get_block_diag(A, bs, inv_flag=True)
+    Dinv = np.asarray(Dinv)
     B = sp.bsr_matrix(A, blocksize=(bs, bs))
     nb = B.shape[0] // bs
     indptr, indices, data = B.indptr, B.indices, B.data
+    if sweep not in ("forward", "backward", "symmetric"):
+        raise ValueError(f"invalid sweep {sweep!r}")
+
+    if data.dtype == np.float64 and not np.iscomplexobj(data) \
+            and Dinv.dtype == np.float64:
+        xc = np.ascontiguousarray(x_v, dtype=np.float64)
+        for _ in range(iterations):
+            if sweep in ("forward", "symmetric"):
+                if not bsr_gauss_seidel_native(indptr, indices, data, Dinv,
+                                               xc, b_v, bs, 0, nb, 1):
+                    break
+            if sweep in ("backward", "symmetric"):
+                if not bsr_gauss_seidel_native(indptr, indices, data, Dinv,
+                                               xc, b_v, bs, nb - 1, -1, -1):
+                    break
+        else:
+            np.asarray(x).reshape(-1)[:] = xc
+            return x
+        x_v = xc            # native unavailable: fall through to Python
 
     def fwd(order):
         xb = x_v.reshape(nb, bs)
@@ -164,8 +187,6 @@ def block_gauss_seidel(A, x, b, Dinv=None, blocksize=1, iterations=1,
                 j = indices[jj]
                 if j != i:
                     rhs -= data[jj] @ xb[j]
-                else:
-                    pass
             # solve diag block: x_i = Dinv_i (rhs)  [rhs excludes diag term]
             xb[i] = Dinv[i] @ rhs
 
@@ -174,8 +195,6 @@ def block_gauss_seidel(A, x, b, Dinv=None, blocksize=1, iterations=1,
             fwd(range(nb))
         if sweep in ("backward", "symmetric"):
             fwd(range(nb - 1, -1, -1))
-        if sweep not in ("forward", "backward", "symmetric"):
-            raise ValueError(f"invalid sweep {sweep!r}")
     np.asarray(x).reshape(-1)[:] = x_v
     return x
 

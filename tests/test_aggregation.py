@@ -457,3 +457,60 @@ class TestRecursiveASA:
         res = []
         ml.solve(b, tol=1e-8, maxiter=40, residuals=res)
         assert conv_factor(res) < 0.6
+
+
+class TestMaskedSpGEMM:
+    """Round-2: pattern-restricted product on the energy-min hot path
+    (≙ incomplete_mat_mult_bsr, smoothed_aggregation.h:797)."""
+
+    def test_masked_equals_product_then_mask(self):
+        import scipy.sparse as sp
+        from pyamg_tpu.aggregation.smooth import _masked_product
+
+        X = sp.random(300, 200, 0.05, format="csr", random_state=3)
+        X.data += 1.0
+        Y = sp.random(200, 80, 0.08, format="csr", random_state=4)
+        Y.data += 1.0
+        pat = sp.random(300, 80, 0.1, format="csr", random_state=5)
+        pat.data[:] = 1.0
+        C1 = _masked_product(X, Y, pat)
+        C2 = (X @ Y).tocsr().multiply(pat).tocsr()
+        assert abs(C1 - C2).max() < 1e-13
+        # every output entry lies inside the pattern
+        outside = C1.multiply(pat) - C1
+        assert abs(outside).max() if outside.nnz else 0.0 == 0.0
+
+    def test_energy_smoothing_on_bsr_elasticity(self):
+        """Blocked operators + RBM near-nullspace through the energy path
+        (BASELINE config 4 shape)."""
+        A, B = linear_elasticity((24, 24))
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, B=B, smooth="energy", max_coarse=30)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        x = ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
+        assert conv_factor(res) < 0.7
+
+
+class TestNativeBlockGS:
+    def test_native_matches_python_block_gs(self):
+        import scipy.sparse as sp
+        from pyamg_tpu.relaxation.relaxation import block_gauss_seidel
+        from pyamg_tpu.util.utils import get_block_diag
+
+        A, _ = linear_elasticity((10, 10))
+        A = A.tocsr()
+        b = rng().standard_normal(A.shape[0])
+        Dinv = get_block_diag(A, 2, inv_flag=True)
+        x1 = rng().standard_normal(A.shape[0])
+        x2 = x1.copy()
+        block_gauss_seidel(A, x1, b, Dinv=Dinv, blocksize=2, iterations=2,
+                           sweep="symmetric")
+        # force the python fallback via complex copy
+        Ac = sp.csr_matrix(A, dtype=complex)
+        x2c = x2.astype(complex)
+        block_gauss_seidel(Ac, x2c, b.astype(complex),
+                           blocksize=2, iterations=2, sweep="symmetric")
+        assert np.allclose(x1, x2c.real, atol=1e-10)
+        assert np.abs(x2c.imag).max() < 1e-12
