@@ -1,14 +1,21 @@
-"""Benchmark suite covering the BASELINE.json configurations.
+"""Benchmark suite covering the BASELINE.json configurations — as specified.
 
 Run on the target hardware:  python benchmarks/suite.py [--small]
 
 1. 2D Poisson 500x500, classical AMG (ruge_stuben) V(1,1) + CG to 1e-10
 2. 2D rotated anisotropic diffusion 1024^2, classical AMG with evolution SOC
 3. 3D Poisson 64^3, SA + Chebyshev smoothing, CG-preconditioned
-4. 2D linear elasticity, block-SA with rigid-body-mode near nullspace
-5. Adaptive SA on anisotropy + standalone GMRES/BiCGStab on the gallery
+4. 2D linear elasticity, block-BSR SA with rigid-body-mode near nullspace
+5. Adaptive SA (alphaSA) on 1024^2 anisotropy + standalone GMRES/BiCGStab
 
-Each config reports setup time, solve time, iterations, and convergence.
+Every config solves to a TRUE float64 relative residual of 1e-10
+(``MultilevelSolver.solve_mp``: f32 device hierarchy inside an f64
+defect-correction outer loop, one fused XLA program), and the residual is
+re-verified on the host in f64.  ``--small`` shrinks sizes for CI only.
+
+Reference columns (``ref_*``) come from benchmarks/reference_cpu.json —
+the reference pyamg fork compiled from /root/reference and run on the same
+configs on CPU (see docs/design.md "reference baseline harness").
 """
 
 import argparse
@@ -25,10 +32,18 @@ os.makedirs(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
             exist_ok=True)
 import jax  # noqa: E402
 
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+TOL = 1e-10
+
+_REF_PATH = os.path.join(os.path.dirname(__file__), "reference_cpu.json")
+_REF = json.load(open(_REF_PATH)) if os.path.exists(_REF_PATH) else {}
 
 
 def run_config(name, build, solve):
@@ -39,10 +54,24 @@ def run_config(name, build, solve):
     t0 = time.time()
     result = solve(ctx)
     t_solve = time.time() - t0
-    out = {"config": name, "setup_s": round(t_setup, 2),
+    out = {"config": name, "tol": TOL, "setup_s": round(t_setup, 2),
            "solve_s": round(t_solve, 4), **result}
+    ref = _REF.get(name)
+    if ref:
+        out["ref_cpu_iters"] = ref["iters"]
+        out["ref_cpu_solve_s"] = ref["solve_s"]
+        out["ref_cpu_setup_s"] = ref["setup_s"]
     print(json.dumps(out))
     return out
+
+
+def _solve_mp(A, ml, b, **kw):
+    """Mixed-precision solve to TOL with host-verified f64 residual."""
+    x, info = ml.solve_mp(b, tol=TOL, return_info=True, **kw)
+    x = np.asarray(x, dtype=float)
+    rr = float(np.linalg.norm(b - A @ x) / np.linalg.norm(b))
+    return {"iters": info["inner_iterations"], "rounds": info["rounds"],
+            "relres": rr}
 
 
 def main():
@@ -58,114 +87,96 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    # 1. classical AMG on 500x500 Poisson
+    # 1. classical AMG on 500x500 Poisson, V(1,1) + CG to 1e-10
     def build1():
         A = poisson((100, 100) if s else (500, 500), format="csr")
-        ml = pyamg_tpu.ruge_stuben_solver(A, CF="RS")
-        return A, ml, A @ rng.random(A.shape[0])
+        ml = pyamg_tpu.ruge_stuben_solver(A, CF="RS",
+                                          op_dtype=jnp.float32)
+        return A, ml, np.asarray(A @ rng.random(A.shape[0]))
 
     def solve1(ctx):
         A, ml, b = ctx
-        res = []
-        x = ml.solve(b.astype(np.float32), tol=1e-6, maxiter=100,
-                     accel="cg", residuals=res)
-        return {"iters": len(res) - 1,
-                "relres": float(np.linalg.norm(b - A @ np.asarray(
-                    x, dtype=float)) / np.linalg.norm(b))}
+        return _solve_mp(A, ml, b)
 
     run_config("classical_poisson_500", build1, solve1)
 
-    # 2. rotated anisotropic diffusion, evolution SOC
+    # 2. rotated anisotropic diffusion 1024^2, evolution SOC (full size,
+    #    all levels), distance-two interpolation
     def build2():
         g = (128, 128) if s else (1024, 1024)
         sten = diffusion_stencil_2d(epsilon=0.01, theta=np.pi / 4,
                                     type="FD")
         A = stencil_grid(sten, g, format="csr")
-        strength = ("evolution", {"k": 2, "epsilon": 4.0}) if s else \
-            ("classical", {"theta": 0.25})   # evolution is host-heavy at 1M
-        # rotated (pi/4) anisotropy: lumped coarse-operator filtering keeps
-        # every Galerkin level on the DIA fast path (6x solve speedup)
-        ml = pyamg_tpu.ruge_stuben_solver(A, strength=strength, CF="RS",
-                                          coarse_filter=0.02)
-        return A, ml, A @ rng.random(A.shape[0])
+        ml = pyamg_tpu.ruge_stuben_solver(
+            A, strength=("evolution", {"k": 2, "epsilon": 4.0}), CF="RS",
+            interpolation="standard", coarse_filter=0.02,
+            op_dtype=jnp.float32)
+        return A, ml, np.asarray(A @ rng.random(A.shape[0]))
 
     def solve2(ctx):
         A, ml, b = ctx
-        res = []
-        x = ml.solve(b.astype(np.float32), tol=1e-6, maxiter=100,
-                     accel="cg", residuals=res)
-        return {"iters": len(res) - 1,
-                "relres": float(np.linalg.norm(b - A @ np.asarray(
-                    x, dtype=float)) / np.linalg.norm(b))}
+        return _solve_mp(A, ml, b, inner_maxiter=60)
 
     run_config("anisotropic_1024_classical", build2, solve2)
 
-    # 3. 3D Poisson, SA + Chebyshev
+    # 3. 3D Poisson 64^3, SA + Chebyshev, CG-preconditioned
     def build3():
         g = (24, 24, 24) if s else (64, 64, 64)
         A = poisson(g, format="csr")
         ml = pyamg_tpu.smoothed_aggregation_solver(
             A, presmoother="chebyshev", postsmoother="chebyshev",
-            improve_candidates=None)
-        return A, ml, A @ rng.random(A.shape[0])
+            improve_candidates=None, op_dtype=jnp.float32)
+        return A, ml, np.asarray(A @ rng.random(A.shape[0]))
 
     def solve3(ctx):
         A, ml, b = ctx
-        res = []
-        x = ml.solve(b.astype(np.float32), tol=1e-6, maxiter=100,
-                     accel="cg", residuals=res)
-        return {"iters": len(res) - 1,
-                "relres": float(np.linalg.norm(b - A @ np.asarray(
-                    x, dtype=float)) / np.linalg.norm(b))}
+        return _solve_mp(A, ml, b)
 
     run_config("poisson3d_64_sa_chebyshev", build3, solve3)
 
-    # 4. elasticity block-SA with RBMs
+    # 4. elasticity block-BSR SA with RBM candidates
     def build4():
         g = (20, 20) if s else (100, 100)
         A, B = linear_elasticity(g)
-        ml = pyamg_tpu.smoothed_aggregation_solver(A.tocsr(), B=B,
-                                                   max_coarse=100)
+        Ab = A.tobsr(blocksize=(2, 2))
+        ml = pyamg_tpu.smoothed_aggregation_solver(Ab, B=B, max_coarse=100,
+                                                   op_dtype=jnp.float32)
         return A.tocsr(), ml, rng.standard_normal(A.shape[0])
 
     def solve4(ctx):
         A, ml, b = ctx
-        res = []
-        x = ml.solve(b.astype(np.float32), tol=1e-6, maxiter=200,
-                     accel="cg", residuals=res)
-        return {"iters": len(res) - 1,
-                "relres": float(np.linalg.norm(b - A @ np.asarray(
-                    x, dtype=float)) / np.linalg.norm(b))}
+        return _solve_mp(A, ml, b, inner_maxiter=80, max_rounds=8)
 
     run_config("elasticity_rbm_sa", build4, solve4)
 
-    # 5. adaptive SA + standalone Krylov
+    # 5. adaptive SA at 1024^2 anisotropy + standalone Krylov on the gallery
     def build5():
-        g = (64, 64) if s else (256, 256)
+        g = (128, 128) if s else (1024, 1024)
         sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
         A = stencil_grid(sten, g, format="csr")
         ml, work = pyamg_tpu.adaptive_sa_solver(
             A, num_candidates=2, max_coarse=100,
             prepostsmoother="zebra")   # line relaxation for anisotropy
-        return A, ml, A @ rng.random(A.shape[0])
+        ml = ml.astype(jnp.float32)
+        return A, ml, np.asarray(A @ rng.random(A.shape[0]))
 
     def solve5(ctx):
         A, ml, b = ctx
-        res = []
-        x = ml.solve(b.astype(np.float32), tol=1e-6, maxiter=100,
-                     accel="cg", residuals=res)
+        out = _solve_mp(A, ml, b, inner_maxiter=60)
+
         from pyamg_tpu.krylov import gmres, bicgstab
-        from pyamg_tpu.sparse import SparseELL
 
         E = ml.levels[0].A
         bb = b.astype(np.float32)
+        t0 = time.time()
         xg, _ = gmres(E, bb, tol=1e-4, maxiter=100, restrt=30)
+        out["gmres_s"] = round(time.time() - t0, 3)
+        t0 = time.time()
         xb, _ = bicgstab(E, bb, tol=1e-4, maxiter=300)
-        return {"iters": len(res) - 1,
-                "relres": float(np.linalg.norm(b - A @ np.asarray(
-                    x, dtype=float)) / np.linalg.norm(b))}
+        out["bicgstab_s"] = round(time.time() - t0, 3)
+        return out
 
-    run_config("adaptive_sa_anisotropy", build5, solve5)
+    run_config("adaptive_sa_anisotropy_1024", build5, solve5)
 
 
 if __name__ == "__main__":

@@ -66,12 +66,20 @@ def fit_candidates(AggOp, B, tol=1e-10):
 
     blocks = B[dof_idx] * valid[:, :, None]     # (n_agg, L, K)
 
-    # batched thin QR over all aggregates at once.  numpy's stacked QR on
-    # host during staged setup; the identical batched formulation runs as
-    # jnp.linalg.qr on device in the on-device setup path.
-    Q, R = np.linalg.qr(blocks, mode="reduced")
-    Q = np.ascontiguousarray(Q)
-    R = np.ascontiguousarray(R)
+    if K == 1:
+        # single candidate: thin QR is plain column normalization — the
+        # stacked-QR gufunc is ~50x slower on millions of tiny blocks
+        nrm = np.sqrt((np.abs(blocks[:, :, 0]) ** 2).sum(axis=1))
+        safe = np.where(nrm > 0, nrm, 1.0)
+        Q = (blocks / safe[:, None, None]).astype(blocks.dtype, copy=False)
+        R = nrm.astype(blocks.dtype)[:, None, None]
+    else:
+        # batched thin QR over all aggregates at once.  numpy's stacked QR
+        # on host during staged setup; the identical batched formulation
+        # runs as jnp.linalg.qr on device in the on-device setup path.
+        Q, R = np.linalg.qr(blocks, mode="reduced")
+        Q = np.ascontiguousarray(Q)
+        R = np.ascontiguousarray(R)
 
     # sign-fix: make R diagonals real non-negative (deterministic like the
     # reference's Gram-Schmidt with positive norms)

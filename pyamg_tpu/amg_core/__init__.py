@@ -20,7 +20,8 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "naive_aggregation_native", "gauss_seidel_indexed_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
            "bfs_levels_native", "drake_matching_native",
-           "masked_spgemm_native", "bsr_gauss_seidel_native"]
+           "masked_spgemm_native", "bsr_gauss_seidel_native",
+           "first_fit_coloring_native"]
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libamg_core.so")
@@ -30,8 +31,12 @@ _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
-    subprocess.run(cmd, check=True, capture_output=True)
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
+    try:
+        subprocess.run(base[:1] + ["-fopenmp"] + base[1:],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def _load():
@@ -79,6 +84,10 @@ def _declare(lib):
     lib.drake_matching_core.argtypes = [_I, _i64p, _i64p, _f64p, _i64p]
     lib.masked_spgemm.argtypes = [_I, _i64p, _i64p, _f64p, _i64p, _i64p,
                                   _f64p, _i64p, _i64p, _f64p]
+    lib.masked_spgemm_i32.argtypes = [ctypes.c_int32, _i32p, _i32p, _f64p,
+                                      _i32p, _i32p, _f64p, _i32p, _i32p,
+                                      _f64p]
+    lib.first_fit_coloring.argtypes = [_I, _i64p, _i64p, _i32p]
     lib.bsr_gauss_seidel.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p,
                                      _f64p, _f64p, _I, _I, _I]
 
@@ -192,20 +201,38 @@ def masked_spgemm_native(A, B, pattern):
     Bc = sp.csc_matrix(B)
     if Bc.dtype != np.float64:
         return None
-    C = sp.csr_matrix(pattern).copy()
-    C.sort_indices()
+    P = sp.csr_matrix(pattern)        # only the structure of P is read
     A.sort_indices()
     Bc.sort_indices()
-    Ap, Aj = _csr_arrays(A)
+    P.sort_indices()
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
-    Bp = np.ascontiguousarray(Bc.indptr, dtype=np.int64)
-    Bi = np.ascontiguousarray(Bc.indices, dtype=np.int64)
     Bx = np.ascontiguousarray(Bc.data, dtype=np.float64)
-    Cp, Cj = _csr_arrays(C)
-    Cx = np.zeros(C.nnz, dtype=np.float64)
-    lib.masked_spgemm(A.shape[0], Ap, Aj, Ax, Bp, Bi, Bx, Cp, Cj, Cx)
-    C.data = Cx
-    return C
+    Cx = np.zeros(P.nnz, dtype=np.float64)
+    idx = (A.indptr, A.indices, Bc.indptr, Bc.indices, P.indptr, P.indices)
+    if all(a.dtype == np.int32 for a in idx):
+        # scipy's native index width: no int64 widening copies
+        a = [np.ascontiguousarray(x) for x in idx]
+        lib.masked_spgemm_i32(A.shape[0], a[0], a[1], Ax,
+                              a[2], a[3], Bx, a[4], a[5], Cx)
+    else:
+        a = [np.ascontiguousarray(x, dtype=np.int64) for x in idx]
+        lib.masked_spgemm(A.shape[0], a[0], a[1], Ax,
+                          a[2], a[3], Bx, a[4], a[5], Cx)
+    # fresh index arrays: callers mutate the result in place
+    return sp.csr_matrix((Cx, P.indices.copy(), P.indptr.copy()),
+                         shape=P.shape)
+
+
+def first_fit_coloring_native(G):
+    """Greedy first-fit vertex coloring of CSR graph G (diagonal ignored by
+    the caller); returns int32 colors or None without the native library."""
+    lib = _load()
+    if not lib:
+        return None
+    Gp, Gj = _csr_arrays(G)
+    colors = np.full(G.shape[0], -1, dtype=np.int32)
+    lib.first_fit_coloring(G.shape[0], Gp, Gj, colors)
+    return colors
 
 
 def bsr_gauss_seidel_native(indptr, indices, data, Dinv, x, b, bs,

@@ -319,26 +319,34 @@ void drake_matching_core(I n, const I* Ap, const I* Aj, const double* w,
 void masked_spgemm(I n_row,
                    const I* Ap, const I* Aj, const double* Ax,
                    const I* Bp, const I* Bi, const double* Bx,
-                   const I* Cp, const I* Cj, double* Cx) {
-    for (I i = 0; i < n_row; i++) {
-        for (I cc = Cp[i]; cc < Cp[i + 1]; cc++) {
-            I j = Cj[cc];
-            double acc = 0.0;
-            I ka = Ap[i], ea = Ap[i + 1];
-            I kb = Bp[j], eb = Bp[j + 1];
-            while (ka < ea && kb < eb) {
-                I ca = Aj[ka], rb = Bi[kb];
-                if (ca == rb) {
-                    acc += Ax[ka] * Bx[kb];
-                    ka++; kb++;
-                } else if (ca < rb) {
-                    ka++;
-                } else {
-                    kb++;
-                }
-            }
-            Cx[cc] = acc;
+                   const I* Cp, const I* Cj, double* Cx);
+
+void masked_spgemm_i32(int32_t n_row,
+                       const int32_t* Ap, const int32_t* Aj, const double* Ax,
+                       const int32_t* Bp, const int32_t* Bi, const double* Bx,
+                       const int32_t* Cp, const int32_t* Cj, double* Cx);
+
+// ---------------------------------------------------------------------------
+// greedy first-fit vertex coloring (role of vertex_coloring_first_fit,
+// graph.h:201): one pass in index order, each vertex takes the smallest
+// color unused by its already-colored neighbors.  Produces at most
+// max_degree+1 colors — usually fewer than Jones-Plassmann rounds, which
+// also means fewer sequential sub-sweeps in the multicolor device smoothers.
+// ---------------------------------------------------------------------------
+void first_fit_coloring(I n, const I* Ap, const I* Aj, int32_t* colors) {
+    I max_deg = 0;
+    for (I i = 0; i < n; i++) max_deg = std::max(max_deg, Ap[i + 1] - Ap[i]);
+    std::vector<I> mark(static_cast<size_t>(max_deg) + 2,
+                        std::numeric_limits<I>::max());
+    for (I i = 0; i < n; i++) colors[i] = -1;
+    for (I i = 0; i < n; i++) {
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            const int32_t cj = colors[Aj[jj]];
+            if (cj >= 0 && static_cast<size_t>(cj) < mark.size()) mark[cj] = i;
         }
+        int32_t c = 0;
+        while (mark[c] == i) c++;
+        colors[i] = c;
     }
 }
 
@@ -376,6 +384,62 @@ void bsr_gauss_seidel(I nb, I bs,
             xi[r] = acc;
         }
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// masked (pattern-restricted) sparse product: C_ij = <A_{i,:}, B_{:,j}> for
+// (i, j) in the pattern of C only (role of incomplete_mat_mult_csr,
+// evolution_strength.h:676).  B is supplied column-wise (CSC arrays = CSR of
+// B^T).  All index arrays sorted.  Rows are independent, so the outer loop
+// parallelizes when built with -fopenmp; the int32 instantiation skips the
+// int64 widening copies scipy matrices would otherwise need.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static void masked_spgemm_impl(Ix n_row,
+                               const Ix* Ap, const Ix* Aj, const double* Ax,
+                               const Ix* Bp, const Ix* Bi, const double* Bx,
+                               const Ix* Cp, const Ix* Cj, double* Cx) {
+#pragma omp parallel for schedule(dynamic, 2048)
+    for (Ix i = 0; i < n_row; i++) {
+        for (Ix cc = Cp[i]; cc < Cp[i + 1]; cc++) {
+            const Ix j = Cj[cc];
+            double acc = 0.0;
+            Ix ka = Ap[i];
+            const Ix ea = Ap[i + 1];
+            Ix kb = Bp[j];
+            const Ix eb = Bp[j + 1];
+            while (ka < ea && kb < eb) {
+                const Ix ca = Aj[ka], rb = Bi[kb];
+                if (ca == rb) {
+                    acc += Ax[ka] * Bx[kb];
+                    ka++; kb++;
+                } else if (ca < rb) {
+                    ka++;
+                } else {
+                    kb++;
+                }
+            }
+            Cx[cc] = acc;
+        }
+    }
+}
+
+extern "C" {
+
+void masked_spgemm(I n_row,
+                   const I* Ap, const I* Aj, const double* Ax,
+                   const I* Bp, const I* Bi, const double* Bx,
+                   const I* Cp, const I* Cj, double* Cx) {
+    masked_spgemm_impl<I>(n_row, Ap, Aj, Ax, Bp, Bi, Bx, Cp, Cj, Cx);
+}
+
+void masked_spgemm_i32(int32_t n_row,
+                       const int32_t* Ap, const int32_t* Aj, const double* Ax,
+                       const int32_t* Bp, const int32_t* Bi, const double* Bx,
+                       const int32_t* Cp, const int32_t* Cj, double* Cx) {
+    masked_spgemm_impl<int32_t>(n_row, Ap, Aj, Ax, Bp, Bi, Bx, Cp, Cj, Cx);
 }
 
 }  // extern "C"

@@ -82,16 +82,21 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
         if levels[-1].A_csr.shape[0] == n_prev:
             break   # coarsening stalled
 
-    # finalize: best device representation per operator (DIA/dense/ELL)
+    # finalize: best device representation per operator (DIA/dense/ELL);
+    # op_dtype (TPU addition, same as smoothed_aggregation_solver) builds
+    # the device hierarchy directly in that dtype for mixed-precision use
     from ..sparse import device_operator
 
+    op_dtype = kwargs.pop("op_dtype", None)
     for lvl in levels:
-        lvl.A = device_operator(lvl.A_csr)
+        lvl.A = device_operator(lvl.A_csr, dtype=op_dtype)
         if hasattr(lvl, "P_csr"):
-            lvl.P = device_operator(lvl.P_csr)
-            lvl.R = device_operator(lvl.R_csr)
+            lvl.P = device_operator(lvl.P_csr, dtype=op_dtype)
+            lvl.R = device_operator(lvl.R_csr, dtype=op_dtype)
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
+    if op_dtype is not None:
+        ml._op_dtype = op_dtype
     change_smoothers(ml, presmoother, postsmoother)
     return ml
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-from ..util.utils import to_csr
+from ..util.utils import to_csr, row_reduce
 
 __all__ = ["direct_interpolation", "standard_interpolation"]
 
@@ -56,10 +56,10 @@ def direct_interpolation(A, C, splitting):
     offdiag_A = rows_A != A.indices
     neg_A = (A.data.real < 0) & offdiag_A
     pos_A = (A.data.real >= 0) & offdiag_A
-    sum_all_neg = np.zeros(n, dtype=A.dtype)
-    sum_all_pos = np.zeros(n, dtype=A.dtype)
-    np.add.at(sum_all_neg, rows_A[neg_A], A.data[neg_A])
-    np.add.at(sum_all_pos, rows_A[pos_A], A.data[pos_A])
+    sum_all_neg = row_reduce(np.where(neg_A, A.data, 0), A.indptr,
+                             np.add, 0.0)
+    sum_all_pos = row_reduce(np.where(pos_A, A.data, 0), A.indptr,
+                             np.add, 0.0)
     diag = A.diagonal().astype(A.dtype).copy()
 
     # per-row sums over strong C off-diagonal connections
@@ -67,10 +67,10 @@ def direct_interpolation(A, C, splitting):
     strongC = (splitting[S.indices] == 1) & (rows_S != S.indices)
     neg_S = strongC & (S.data.real < 0)
     pos_S = strongC & (S.data.real >= 0)
-    sum_strong_neg = np.zeros(n, dtype=A.dtype)
-    sum_strong_pos = np.zeros(n, dtype=A.dtype)
-    np.add.at(sum_strong_neg, rows_S[neg_S], S.data[neg_S])
-    np.add.at(sum_strong_pos, rows_S[pos_S], S.data[pos_S])
+    sum_strong_neg = row_reduce(np.where(neg_S, S.data, 0), S.indptr,
+                                np.add, 0.0)
+    sum_strong_pos = row_reduce(np.where(pos_S, S.data, 0), S.indptr,
+                                np.add, 0.0)
 
     no_pos = sum_strong_pos == 0
     diag = diag + np.where(no_pos, sum_all_pos, 0)
@@ -103,11 +103,121 @@ def direct_interpolation(A, C, splitting):
     return P
 
 
+def _masked_product_csr(Aop, Bop, pattern):
+    """(Aop @ Bop) restricted to ``pattern``'s sparsity, via the native
+    masked SpGEMM when available (pattern entries only are computed)."""
+    from ..amg_core import masked_spgemm_native
+
+    out = masked_spgemm_native(Aop, Bop, pattern)
+    if out is not None:
+        return out
+    # fallback: full product, then gather the pattern entries (explicit
+    # zeros kept so the result stays index-aligned with the pattern)
+    full = (Aop @ Bop).tocsr()
+    full.sort_indices()
+    ncols = pattern.shape[1]
+    pr = np.repeat(np.arange(pattern.shape[0], dtype=np.int64),
+                   np.diff(pattern.indptr))
+    fr = np.repeat(np.arange(full.shape[0], dtype=np.int64),
+                   np.diff(full.indptr))
+    pk = pr * ncols + pattern.indices
+    fk = fr * ncols + full.indices
+    data = np.zeros(pattern.nnz, dtype=full.dtype)
+    if fk.size:
+        pos = np.minimum(np.searchsorted(fk, pk), fk.size - 1)
+        hit = fk[pos] == pk
+        data = np.where(hit, full.data[pos], 0)
+    return sp.csr_matrix((data, pattern.indices.copy(),
+                          pattern.indptr.copy()), shape=pattern.shape)
+
+
 def standard_interpolation(A, C, splitting):
-    """Standard (distance-2 aware) interpolation: for F point i, weak/strong
-    F neighbors are distributed through their own strong C connections
-    (Trottenberg et al., A.7.2).  Equivalent role to the unexported
-    rs_standard_interpolation (ruge_stuben.h:601)."""
+    """Standard (distance-2 aware) interpolation: for F point i, strong-F
+    neighbors are distributed through their own strong C connections shared
+    with C_i (Trottenberg et al., A.7.2).  Equivalent role to the unexported
+    rs_standard_interpolation (ruge_stuben.h:601).
+
+    Vectorized: both pair-dependent quantities are pattern-restricted
+    products —
+      denom(i,j)  = sum_{m in C_i}  a_jm          (pattern: strong F-F edges)
+      contrib(i,k) = sum_j (a_ij/denom(i,j)) a_jk (pattern: strong C of i)
+    """
+    A = to_csr(A)
+    C = to_csr(C)
+    splitting = np.asarray(splitting, dtype=np.int32)
+    n = A.shape[0]
+
+    S = C.copy()
+    S.data = np.ones_like(S.data)
+    S = S.multiply(A).tocsr()
+    S.sort_indices()
+
+    cmap = np.cumsum(splitting) - splitting
+    nc = int(splitting.sum())
+    isC = splitting == 1
+
+    rows_S = np.repeat(np.arange(n), np.diff(S.indptr))
+    offd = rows_S != S.indices
+    sC = offd & isC[S.indices]              # strong C connections
+    sF = offd & ~isC[S.indices]             # strong F connections
+
+    # fresh index arrays: eliminate_zeros compacts them in place
+    SC = sp.csr_matrix((np.where(sC, S.data, 0), S.indices.copy(),
+                        S.indptr.copy()), shape=S.shape)
+    SC.eliminate_zeros()
+    SC.sort_indices()
+    SF = sp.csr_matrix((np.where(sF, S.data, 0), S.indices.copy(),
+                        S.indptr.copy()), shape=S.shape)
+    SF.eliminate_zeros()
+    SF.sort_indices()
+
+    # denom(i,j) on the strong F-F pattern: row i's C-membership indicator
+    # dotted with row j of SC  ==  (Pind @ SC^T) masked to SF
+    Pind = SC.copy()
+    Pind.data = np.ones_like(Pind.data)
+    denom = _masked_product_csr(Pind, SC.T, SF)
+
+    # distribute: B_ij = a_ij / denom(i,j); zero-denominator strong-F
+    # connections are lumped into the diagonal instead
+    B = SF.copy()
+    dd = denom.data
+    zero_den = dd == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        B.data = np.where(zero_den, 0.0, B.data / np.where(zero_den, 1, dd))
+    lump = row_reduce(np.where(zero_den, SF.data, 0), SF.indptr, np.add, 0.0)
+
+    contrib = _masked_product_csr(B, SC, SC)
+
+    # w_ik = a_ik + contrib_ik on the strong-C pattern
+    w_vals = SC.data + contrib.data
+
+    # d_i = a_ii + weak off-diagonal mass + zero-denominator lumping;
+    # weak = off-diagonal A entries not stored in S
+    rows_A = np.repeat(np.arange(n), np.diff(A.indptr))
+    offsum_A = row_reduce(np.where(rows_A != A.indices, A.data, 0),
+                          A.indptr, np.add, 0.0)
+    offsum_S = row_reduce(np.where(offd, S.data, 0), S.indptr, np.add, 0.0)
+    diag = A.diagonal() + (offsum_A - offsum_S) + lump
+
+    rows_SC = np.repeat(np.arange(n), np.diff(SC.indptr))
+    keep = (splitting[rows_SC] == 0) & (diag[rows_SC] != 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        valsF = -w_vals / np.where(diag[rows_SC] != 0, diag[rows_SC], 1)
+
+    cpts = np.flatnonzero(isC)
+    rowsP = np.concatenate([rows_SC[keep], cpts])
+    colsP = np.concatenate([cmap[SC.indices[keep]], cmap[cpts]])
+    valsP = np.concatenate([valsF[keep],
+                            np.ones(nc, dtype=A.dtype)])
+    P = sp.coo_matrix((valsP.astype(A.dtype), (rowsP, colsP)),
+                      shape=(n, nc)).tocsr()
+    P.sort_indices()
+    return P
+
+
+def _standard_interpolation_loop(A, C, splitting):
+    """Reference per-row implementation of standard interpolation; kept as
+    the test oracle for the vectorized version above."""
     A = to_csr(A)
     C = to_csr(C)
     splitting = np.asarray(splitting, dtype=np.int32)

@@ -17,6 +17,8 @@ import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.csgraph  # noqa: F401  (ensure sp.csgraph is bound)
 
+from .util.utils import row_reduce
+
 __all__ = [
     "max_value", "maximal_independent_set", "vertex_coloring",
     "bellman_ford", "lloyd_cluster", "breadth_first_search",
@@ -112,6 +114,11 @@ def vertex_coloring(G, method="JP", seed=0):
     indptr, indices = G1.indptr, G1.indices
 
     if method in ("FF", "first-fit"):
+        from .amg_core import first_fit_coloring_native
+
+        native = first_fit_coloring_native(G1)
+        if native is not None:
+            return native
         colors = np.full(n, -1, dtype=np.int32)
         for i in range(n):
             nbr_colors = set(colors[indices[indptr[i]:indptr[i + 1]]])
@@ -128,21 +135,21 @@ def vertex_coloring(G, method="JP", seed=0):
         else:
             weight = rng.random(n)
         colors = np.full(n, -1, dtype=np.int32)
-        rows = np.repeat(np.arange(n), np.diff(indptr))
+        tie = weight + np.arange(n) * 1e-12
         color = 0
-        remaining = colors < 0
+        remaining = np.ones(n, dtype=bool)
         while remaining.any():
-            w = np.where(remaining, weight + np.arange(n) * 1e-12, -np.inf)
-            nbr_max = np.full(n, -np.inf)
-            mask = remaining[indices]  # neighbor still uncolored
-            np.maximum.at(nbr_max, rows[mask], w[indices[mask]])
+            w = np.where(remaining, tie, -np.inf)
+            # per-row max over still-uncolored neighbors (segment reduce)
+            wj = np.where(remaining[indices], w[indices], -np.inf)
+            nbr_max = row_reduce(wj, indptr, np.maximum, -np.inf)
             winners = remaining & (w > nbr_max)
             if not winners.any():
                 winners = np.zeros(n, dtype=bool)
-                winners[int(np.nanargmax(np.where(remaining, w, -np.inf)))] = True
+                winners[int(np.argmax(w))] = True
             colors[winners] = color
             color += 1
-            remaining = colors < 0
+            remaining &= ~winners
         return colors
     raise ValueError(f"unknown coloring method {method!r}")
 

@@ -57,6 +57,85 @@ class Level:
         return self._nnz_cache
 
 
+_DENSE_COARSE_NAMES = ("pinv", "pinv2", "cholesky", "lu", "splu")
+
+
+def _build_coarse_state(A_csr, name, kwargs=None, dtype=None):
+    """Host-factorize the coarsest operator once; return ``(kind, state)``
+    where ``state`` is a tuple of (small) device arrays consumed by
+    :func:`_apply_coarse` inside the compiled cycle.
+
+    Each name keeps its reference semantics (reference multilevel.py:554-720):
+    ``pinv``/``pinv2`` are dense pseudoinverses, ``lu`` is a dense LU
+    factorization, ``cholesky`` a dense Cholesky factorization (raises on a
+    non-SPD coarse grid, as the reference's ``cho_factor`` does), and
+    ``splu`` removes exactly-zero columns/rows first (reference
+    multilevel.py:629-641) and then solves through the sparse-LU triangular
+    factors.
+    """
+    import scipy.linalg as sla
+    import scipy.sparse.linalg as spla
+
+    kwargs = kwargs or {}
+
+    def dev(a):
+        a = np.asarray(a)
+        if dtype is not None:
+            tgt = np.dtype(str(jnp.dtype(dtype)))
+            if np.iscomplexobj(a) and not np.issubdtype(tgt,
+                                                        np.complexfloating):
+                tgt = np.dtype({"float32": "complex64",
+                                "float64": "complex128"}[tgt.name])
+            a = a.astype(tgt)
+        return jnp.asarray(a)
+
+    if name in ("pinv", "pinv2"):
+        return "dense", (dev(np.linalg.pinv(A_csr.toarray())),)
+    if name == "lu":
+        lu, piv = sla.lu_factor(A_csr.toarray(), **kwargs)
+        return "lu", (dev(lu), jnp.asarray(piv.astype(np.int32)))
+    if name == "cholesky":
+        c, _low = sla.cho_factor(A_csr.toarray(), lower=True, **kwargs)
+        return "chol", (dev(np.tril(c)),)
+    if name == "splu":
+        Acsc = A_csr.tocsc().copy()
+        Acsc.eliminate_zeros()
+        keep = np.flatnonzero(np.diff(Acsc.indptr))   # columns with entries
+        if keep.size < Acsc.shape[0]:
+            Ared = Acsc[keep][:, keep].tocsc()
+        else:
+            Ared = Acsc
+        f = spla.splu(Ared, **kwargs)
+        pr_inv = np.argsort(f.perm_r).astype(np.int32)
+        return "splu", (dev(f.L.toarray()), dev(f.U.toarray()),
+                        jnp.asarray(pr_inv),
+                        jnp.asarray(f.perm_c.astype(np.int32)),
+                        jnp.asarray(keep.astype(np.int32)))
+    raise ValueError(f"not a dense/factorized coarse solver: {name!r}")
+
+
+def _apply_coarse(kind, state, b):
+    """Traceable coarse solve from a host-built factorization state."""
+    if kind == "dense":
+        return (state[0] @ b).astype(b.dtype)
+    if kind == "lu":
+        lu, piv = state
+        return jax.scipy.linalg.lu_solve(
+            (lu.astype(b.dtype), piv), b).astype(b.dtype)
+    if kind == "chol":
+        return jax.scipy.linalg.cho_solve(
+            (state[0].astype(b.dtype), True), b).astype(b.dtype)
+    if kind == "splu":
+        L, U, pr_inv, pc, keep = state
+        br = b[keep]
+        y = jax.scipy.linalg.solve_triangular(
+            L.astype(b.dtype), br[pr_inv], lower=True, unit_diagonal=True)
+        w = jax.scipy.linalg.solve_triangular(
+            U.astype(b.dtype), y, lower=False)
+        return jnp.zeros(b.shape, b.dtype).at[keep].set(w[pc])
+    raise ValueError(f"unknown coarse state kind {kind!r}")
+
+
 def coarse_grid_solver(solver):
     """Return a coarse-grid solver callable factory (reference
     multilevel.py:554-720).
@@ -81,15 +160,11 @@ def coarse_grid_solver(solver):
                     return jnp.asarray(
                         solver(A_csr, np.asarray(b), **kwargs))
                 return dev, False       # not traceable
-            if self.name in ("pinv", "pinv2", "cholesky", "lu", "splu"):
-                Ad = A_csr.toarray()
-                # remove exactly-zero rows/cols (singular coarsest grids,
-                # reference multilevel.py:629-641) by pinv semantics
-                Ainv = np.linalg.pinv(Ad)
-                Ainv_dev = jnp.asarray(Ainv)
+            if self.name in _DENSE_COARSE_NAMES:
+                kind, state = _build_coarse_state(A_csr, self.name, kwargs)
 
                 def dev(b):
-                    return Ainv_dev @ b
+                    return _apply_coarse(kind, state, b)
                 return dev, True
             if self.name in ("jacobi", "gauss_seidel", "block_jacobi"):
                 from .relaxation import relaxation as rel
@@ -130,6 +205,8 @@ class MultilevelSolver:
         self._coarse = coarse_grid_solver(coarse_solver)
         self._coarse_fn = None
         self._coarse_traceable = False
+        self._coarse_kind = None
+        self._A64_dev = None
         self._cycle_cache = {}
         self._solve_cache = {}
         self._devh = None
@@ -213,22 +290,21 @@ class MultilevelSolver:
         compiled program (never closed over: large closure constants would
         be embedded into the serialized HLO)."""
         if getattr(self, "_devh", None) is None:
-            coarse_mat = getattr(self, "_coarse_mat_override", None)
-            traceable = False
-            if coarse_mat is None:
-                import scipy.sparse as sp
-
-                if (isinstance(self.coarse_solver_spec, str)
-                        and self.coarse_solver_spec in
-                        ("pinv", "pinv2", "cholesky", "lu", "splu")):
-                    Ainv = np.linalg.pinv(self.levels[-1].A_csr.toarray())
-                    dt = getattr(self, "_op_dtype", None)
-                    if dt is not None:
-                        Ainv = Ainv.astype(np.dtype(str(jnp.dtype(dt))))
-                    coarse_mat = jnp.asarray(Ainv)
-                    traceable = True
+            override = getattr(self, "_coarse_mat_override", None)
+            coarse_mat, traceable = None, False
+            if override is not None:
+                coarse_mat, traceable = (override,), True
+                self._coarse_kind = "dense"
             else:
-                traceable = True
+                spec = self.coarse_solver_spec
+                name, ckw = unpack_arg(spec) if not callable(spec) \
+                    else (spec, {})
+                if isinstance(name, str) and name in _DENSE_COARSE_NAMES:
+                    kind, state = _build_coarse_state(
+                        self.levels[-1].A_csr, name, ckw,
+                        dtype=getattr(self, "_op_dtype", None))
+                    coarse_mat, traceable = state, True
+                    self._coarse_kind = kind
             self._devh = {
                 "As": tuple(l.A for l in self.levels),
                 "Ps": tuple(getattr(l, "P", None) for l in self.levels[:-1]),
@@ -250,8 +326,10 @@ class MultilevelSolver:
         self._dev()                       # sets _coarse_mat_traceable
         nlev = len(self.levels)
         if self._coarse_mat_traceable:
+            kind = self._coarse_kind
+
             def solve_coarse(hier, b):
-                return (hier["coarse"] @ b).astype(b.dtype)
+                return _apply_coarse(kind, hier["coarse"], b)
         else:
             coarse_fn = self._get_coarse_fn()
 
@@ -336,6 +414,7 @@ class MultilevelSolver:
         self._solve_cache = {}
         self._coarse_fn = None
         self._devh = None
+        self._A64_dev = None
         self._op_dtype = dtype
         return self
 
@@ -427,6 +506,94 @@ class MultilevelSolver:
             return run_raw(hier, x0, b, tol_t)
 
         return bound
+
+    # -- mixed-precision solve (f64 defect correction over f32 cycles) -----
+    def solve_mp(self, b, tol=1e-10, accel="cg", cycle="V",
+                 inner_maxiter=40, max_rounds=6, inner_tol_factor=1e-6,
+                 return_info=False):
+        """Solve A x = b to an f64 relative residual ``tol`` using the f32
+        device hierarchy as the inner preconditioned Krylov solver.
+
+        The reference solves in f64 end-to-end on the CPU
+        (multilevel.py:316-471); on TPU the natural equivalent is iterative
+        refinement: f32 V-cycles + Krylov inside, one f64 fine-grid
+        residual per round outside.  The outer loop and inner solver
+        compile into ONE XLA program (single dispatch per solve).
+
+        Requires ``jax_enable_x64``.  For an f64 hierarchy this just
+        forwards to :meth:`solve`.
+
+        Returns ``x`` (f64), or ``(x, info)`` with
+        ``info = {"rounds": r, "inner_iterations": k}`` when
+        ``return_info`` is set.
+        """
+        if not jax.config.jax_enable_x64:
+            raise ValueError("solve_mp needs jax_enable_x64 for the f64 "
+                             "outer residual; enable it or use solve()")
+        op_dt = jnp.dtype(self.levels[0].A.dtype)
+        if op_dt in (jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128)):
+            x, info = self.solve(b, tol=tol, accel=accel, cycle=cycle,
+                                 maxiter=inner_maxiter * max_rounds,
+                                 return_info=True)
+            if return_info:
+                return x, {"rounds": 1, "inner_iterations": info.get(
+                    "iterations", None) if isinstance(info, dict) else info}
+            return x
+
+        if self._A64_dev is None:
+            from .sparse.device_op import device_operator
+
+            lvl0 = self.levels[0]
+            A_csr = getattr(lvl0, "A_csr", None)
+            if A_csr is None:
+                A_csr = lvl0.A.to_scipy()
+            self._A64_dev = device_operator(A_csr, dtype=jnp.float64)
+        A64 = self._A64_dev
+
+        key = ("mp", accel, cycle, int(inner_maxiter), int(max_rounds),
+               float(inner_tol_factor))
+        if key not in self._solve_cache:
+            run_inner = self._raw_accel(accel, cycle, int(inner_maxiter))
+            ifac = float(inner_tol_factor)
+            rounds_max = int(max_rounds)
+
+            @jax.jit
+            def run_mp(hier, A64, b64, tol_abs):
+                f32 = hier["As"][0].dtype
+
+                def body(carry):
+                    x64, _nr_est, rounds, iters = carry
+                    r64 = b64 - A64.matvec(x64)
+                    nr = jnp.linalg.norm(r64)
+                    r32 = r64.astype(f32)
+                    tol_t = (ifac * nr).astype(jnp.real(r32).dtype)
+                    dx32, it, res_buf = run_inner(
+                        hier, jnp.zeros_like(r32), r32, tol_t)
+                    x64 = x64 + dx32.astype(b64.dtype)
+                    nr_est = jnp.abs(res_buf[it]).astype(jnp.float64)
+                    return (x64, nr_est, rounds + 1, iters + it + 1)
+
+                def cond(carry):
+                    _x, nr_est, rounds, _i = carry
+                    return (nr_est > 0.5 * tol_abs) & (rounds < rounds_max)
+
+                x0 = jnp.zeros_like(b64)
+                carry = (x0, jnp.linalg.norm(b64), 0, 0)
+                return jax.lax.while_loop(cond, body, carry)
+
+            self._solve_cache[key] = run_mp
+        run_mp = self._solve_cache[key]
+
+        dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
+            else jnp.float64
+        b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
+        normb = jnp.linalg.norm(b64)
+        tol_abs = tol * jnp.where(normb == 0, 1.0, normb)
+        x64, _nr, rounds, iters = run_mp(self._dev(), A64, b64, tol_abs)
+        if return_info:
+            return x64, {"rounds": int(rounds),
+                         "inner_iterations": int(iters)}
+        return x64
 
     # -- public solve API -------------------------------------------------
     def aspreconditioner(self, cycle="V"):

@@ -141,7 +141,12 @@ def _color_masks(A_csr, blocksize=1, dtype=None, grid=None, offsets=None):
         if set(int(o) for o in offs) <= valid_offs:
             colors = _grid_coloring(grid, offs.tolist())
     if colors is None:
-        colors = vertex_coloring(G, method="JP")
+        # native greedy first-fit: one O(nnz) pass and fewer colors than
+        # Jones-Plassmann rounds (fewer colors = fewer sequential sub-sweeps
+        # in the compiled multicolor smoother); JP is the pure-numpy fallback
+        from ..amg_core import have_native
+
+        colors = vertex_coloring(G, method="FF" if have_native() else "JP")
     ncolors = int(colors.max()) + 1
     nb = colors.shape[0]
     rdt = dtype or np.real(np.zeros(0, dtype=A_csr.dtype)).dtype

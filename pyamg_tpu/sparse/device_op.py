@@ -24,9 +24,17 @@ DIA_MEM_FLOOR = 64_000_000   # ... or up to this many stored entries
 DENSE_MAX = 4096
 
 
-def _distinct_offsets(A_csr):
-    coo = A_csr.tocoo()
-    return np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+def _entry_offsets(A_csr):
+    """col - row for every stored entry, in int32 (valid for dims < 2^31)."""
+    rows = np.repeat(np.arange(A_csr.shape[0], dtype=np.int32),
+                     np.diff(A_csr.indptr))
+    return A_csr.indices.astype(np.int32, copy=False) - rows
+
+
+def _distinct_offsets(A_csr, entry_offs=None):
+    if entry_offs is None:
+        entry_offs = _entry_offsets(A_csr)
+    return np.unique(entry_offs)
 
 
 def count_diagonals(A_csr) -> int:
@@ -40,12 +48,14 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
 
     A_csr = sp.csr_matrix(A_csr)
     n, m = A_csr.shape
-    offs = _distinct_offsets(A_csr)
+    entry_offs = _entry_offsets(A_csr)
+    offs = _distinct_offsets(A_csr, entry_offs)
     k = int(offs.size)
     mem_ok = k * n <= max(DIA_MEM_BUDGET * max(A_csr.nnz, 1), DIA_MEM_FLOOR)
     if k <= dia_max_offsets and mem_ok:
         return SparseDIA.from_scipy(A_csr, max_offsets=dia_max_offsets,
-                                    dtype=dtype, offsets=offs)
+                                    dtype=dtype, offsets=offs,
+                                    entry_offsets=entry_offs)
     if n <= dense_max and m <= dense_max:
         import jax.numpy as jnp
 

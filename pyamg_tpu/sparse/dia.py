@@ -63,41 +63,47 @@ class SparseDIA:
     # -- constructors --------------------------------------------------------
     @staticmethod
     def from_scipy(A, max_offsets: int = 128, dtype=None,
-                   offsets=None) -> "SparseDIA":
+                   offsets=None, entry_offsets=None) -> "SparseDIA":
         """Convert CSR/any scipy matrix; raises ValueError if the matrix has
         more than ``max_offsets`` distinct diagonals.
 
         ``dtype``: build the device array directly in this dtype (host-side
         cast before the H2D transfer — on the axon tunnel an f64 transfer
         followed by a device cast costs 2x the bytes).
-        ``offsets``: precomputed sorted distinct diagonal offsets (skips the
-        O(nnz) rediscovery when the caller already knows them).
+        ``offsets``: precomputed sorted distinct diagonal offsets.
+        ``entry_offsets``: precomputed per-entry col-row array (skips the
+        O(nnz) rediscovery when the caller already computed it).
         """
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
         n, m = A.shape
-        coo = A.tocoo()
-        offs = coo.col.astype(np.int64) - coo.row.astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
+        if entry_offsets is None:
+            offs = A.indices.astype(np.int32, copy=False) - rows
+        else:
+            offs = entry_offsets
         if offsets is None:
             uniq = np.unique(offs)
         else:
             uniq = np.asarray(sorted(int(o) for o in offsets),
-                              dtype=np.int64)
+                              dtype=offs.dtype)
         if uniq.size > max_offsets:
             raise ValueError(
                 f"matrix has {uniq.size} distinct diagonals > {max_offsets}")
         dt = np.dtype(dtype) if dtype is not None else A.dtype
-        if np.iscomplexobj(coo.data) \
+        if np.iscomplexobj(A.data) \
                 and not np.issubdtype(dt, np.complexfloating):
             raise ValueError("cannot build real DIA from complex data")
         diags = np.zeros((uniq.size, n), dtype=dt)
         ks = np.searchsorted(uniq, offs)
-        if offsets is not None:
+        if offsets is not None and entry_offsets is None:
+            # offsets supplied independently of the entries: validate
+            # (when entry_offsets is given, uniq came from the same array)
             ks = np.clip(ks, 0, uniq.size - 1)
             if not (uniq[ks] == offs).all():
                 raise ValueError("provided offsets do not cover the matrix")
-        diags[ks, coo.row] = coo.data.astype(dt, copy=False)
+        diags[ks, rows] = A.data.astype(dt, copy=False)
         return SparseDIA(diags=jnp.asarray(diags),
                          offsets=tuple(int(o) for o in uniq),
                          shape=(n, m))

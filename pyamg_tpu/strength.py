@@ -18,7 +18,7 @@ import warnings
 import numpy as np
 import scipy.sparse as sparse
 
-from .util.utils import (amalgamate, scale_rows, scale_columns,
+from .util.utils import (amalgamate, scale_rows, row_reduce,
                          scale_rows_by_largest_entry, to_csr, get_block_diag)
 from .util.linalg import approximate_spectral_radius
 
@@ -42,9 +42,8 @@ def apply_distance_filter(C, epsilon):
     n = C.shape[0]
     rows = np.repeat(np.arange(n), np.diff(C.indptr))
     offdiag = rows != C.indices
-    dmin = np.full(n, np.inf)
     vals = np.where(offdiag, C.data.real, np.inf)
-    np.minimum.at(dmin, rows, vals)
+    dmin = row_reduce(vals, C.indptr, np.minimum, np.inf)
     thresh = epsilon * dmin
     keep = offdiag & (C.data.real < thresh[rows])
     C.data = np.where(keep, C.data, 0)
@@ -88,8 +87,7 @@ def classical_strength_of_connection(A, theta=0.0):
     rows = np.repeat(np.arange(n), np.diff(A.indptr))
     offdiag = rows != A.indices
     mags = np.abs(A.data) * offdiag
-    rowmax = np.zeros(n)
-    np.maximum.at(rowmax, rows, mags)
+    rowmax = row_reduce(mags, A.indptr, np.maximum, 0.0)
     keep = (~offdiag) | (np.abs(A.data) >= theta * rowmax[rows])
     S = A.copy()
     S.data = np.where(keep, A.data, 0)
@@ -177,16 +175,21 @@ def _masked_power(Atilde_T, nsquare, mask):
     M = Atilde_T
     for _ in range(max(nsquare - 1, 0)):
         M = (M @ M).tocsr()
-    pattern = mask.copy()
-    pattern.data = np.ones_like(pattern.data)
+
+    def ones_pattern():
+        # shares mask's index arrays; never mutated (multiply allocates)
+        return sparse.csr_matrix(
+            (np.ones(mask.nnz), mask.indices, mask.indptr),
+            shape=mask.shape)
+
     if nsquare > 0:
-        native = masked_spgemm_native(M, M, pattern)
+        native = masked_spgemm_native(M, M, mask)   # reads structure only
         if native is not None:
             M = native
         else:
-            M = (M @ M).multiply(pattern).tocsr()
+            M = (M @ M).multiply(ones_pattern()).tocsr()
     else:
-        M = M.multiply(pattern).tocsr()
+        M = M.multiply(ones_pattern()).tocsr()
     M.eliminate_zeros()
     M.sort_indices()
     return M
@@ -236,7 +239,11 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     dimen = A.shape[1]
     NullDim = Bmat.shape[1]
 
-    rho_DinvA = approximate_spectral_radius(Dinv_A)
+    # the Jacobi damping only needs rho to ~1%: estimate it on an f32 twin
+    # (2x cheaper host matvecs); the evolution products stay in A's dtype
+    rho_op = Dinv_A.astype(np.float32) if Dinv_A.dtype == np.float64 \
+        else Dinv_A
+    rho_DinvA = approximate_spectral_radius(rho_op)
 
     if proj_type == "D_A":
         D_A_diag = np.asarray(D)
@@ -246,12 +253,26 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     nsquare = int(np.log2(k))
     ninc = k - 2**nsquare
 
-    I = sparse.eye(dimen, dimen, format="csr", dtype=A.dtype)
-    Atilde = (I - (1.0 / rho_DinvA) * Dinv_A).T.tocsr()
+    # (I - c*Dinv_A)^T built directly from Dinv_A's CSC arrays (the CSC of a
+    # matrix IS the CSR of its transpose) with the identity folded into the
+    # stored diagonal — avoids two O(nnz) sparse binop passes
+    W = Dinv_A.tocsc()
+    W.sort_indices()
+    Atilde = sparse.csr_matrix(
+        ((-1.0 / rho_DinvA) * W.data, W.indices, W.indptr),
+        shape=(dimen, dimen))
+    rows_t = np.repeat(np.arange(dimen), np.diff(Atilde.indptr))
+    dmask_t = rows_t == Atilde.indices
+    if int(dmask_t.sum()) == dimen:
+        Atilde.data[dmask_t] += 1.0
+    else:
+        Atilde = (sparse.eye(dimen, dimen, format="csr",
+                             dtype=A.dtype) + Atilde).tocsr()
 
     # mask = pattern of A restricted to same-PDE couplings
-    mask = A.copy()
+    mask = A
     if numPDEs > 1:
+        mask = A.copy()
         row_length = np.diff(mask.indptr)
         my_pde = np.mod(np.arange(dimen), numPDEs)
         my_pde = np.repeat(my_pde, row_length)
@@ -261,13 +282,13 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     if ninc > 0:
         warnings.warn("evolution strength is most efficient for k a power "
                       f"of two; got k={k}")
+        step = Atilde
         for _ in range(nsquare):
             Atilde = (Atilde @ Atilde).tocsr()
-        step = (I - (1.0 / rho_DinvA) * Dinv_A).T.tocsr()
         for _ in range(ninc):
             Atilde = (Atilde @ step).tocsr()
-        pattern = mask.copy()
-        pattern.data = np.ones_like(pattern.data)
+        pattern = sparse.csr_matrix(
+            (np.ones(mask.nnz), mask.indices, mask.indptr), shape=mask.shape)
         Atilde = Atilde.multiply(pattern).tocsr()
         Atilde.eliminate_zeros()
         Atilde.sort_indices()
@@ -275,26 +296,30 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         Atilde = _masked_power(Atilde, nsquare, mask)
 
     if NullDim == 1:
-        # scalar shortcut: strength_ij = |1 - (z_i b_j / b_i) / z_j|
-        Bvec = np.ravel(Bmat).copy()
-        Bvec[Bvec == 0] = 1.0
-        DAtilde = Atilde.diagonal()
-        DAtildeDivB = np.ravel(DAtilde) / Bvec
-        data = Atilde.data.copy()
-        Atilde.data[:] = 1.0
-        Atilde = scale_rows(Atilde, DAtildeDivB, copy=False)
-        Atilde = scale_columns(Atilde, Bvec, copy=False)
-
-        angle = (np.real(Atilde.data) * np.real(data) +
-                 np.imag(Atilde.data) * np.imag(data)) < 0.0
+        # One candidate vector: the constrained fit is closed-form.  With a
+        # single column b, the row-i interpolation constraint pins the fit
+        # coefficient to z_i / b_i, so the fitted value at column j is
+        # zhat_j = b_j * z_i / b_i and the connection quality is the
+        # relative misfit |1 - zhat_j / z_j| on every stored entry.
+        b1 = np.ravel(Bmat).copy()
+        b1[b1 == 0] = 1.0
+        coeff = Atilde.diagonal() / b1                # z_i / b_i, per row
+        row_of = np.repeat(np.arange(dimen), np.diff(Atilde.indptr))
+        z = Atilde.data
+        zhat = coeff[row_of] * b1[Atilde.indices]
         with np.errstate(divide="ignore", invalid="ignore"):
-            Atilde.data = Atilde.data / data
-        weak_ratio = np.abs(Atilde.data) < 1e-4
-        Atilde.data = np.abs(1.0 - Atilde.data)
-        Atilde.data[weak_ratio] = 0.0
-        Atilde.data[angle] = 0.0
+            ratio = zhat / z
+        misfit = np.abs(1.0 - ratio)
+        # a fit pointing against the evolved value, or vanishingly small
+        # relative to it, marks the connection as weak (dropped outright)
+        aligned = (zhat.real * z.real + zhat.imag * z.imag) >= 0.0
+        significant = np.abs(ratio) >= 1e-4
+        Atilde.data = np.where(aligned & significant, misfit, 0.0)
         Atilde.eliminate_zeros()
-        Atilde.data[Atilde.data < np.sqrt(np.finfo(float).eps)] = 1e-4
+        # near-exact fits: clamp to a small positive distance so the final
+        # 1/distance inversion stays finite
+        tiny = np.sqrt(np.finfo(float).eps)
+        Atilde.data[Atilde.data < tiny] = 1e-4
     else:
         Atilde = _evolution_constrained_min(Atilde, Bmat, D_A_diag)
 
@@ -307,10 +332,15 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         Atilde = (0.5 * (Atilde + Atilde.T)).tocsr()
 
     # diagonal to 1.0
-    Ieye = sparse.eye(dimen, dimen, format="csr")
-    Ieye = Ieye - sparse.dia_matrix((Atilde.diagonal()[None, :], [0]),
-                                    shape=Atilde.shape)
-    Atilde = (Atilde + Ieye).tocsr()
+    rows_d = np.repeat(np.arange(dimen), np.diff(Atilde.indptr))
+    isdiag = rows_d == Atilde.indices
+    if int(isdiag.sum()) == dimen:
+        Atilde.data[isdiag] = 1.0         # every row stores its diagonal
+    else:
+        Ieye = sparse.eye(dimen, dimen, format="csr")
+        Ieye = Ieye - sparse.dia_matrix((Atilde.diagonal()[None, :], [0]),
+                                        shape=Atilde.shape)
+        Atilde = (Atilde + Ieye).tocsr()
 
     if bsr_in:
         Ab = Atilde.tobsr(blocksize=(numPDEs, numPDEs))

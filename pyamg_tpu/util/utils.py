@@ -212,16 +212,29 @@ def levelize_smooth_or_improve_candidates(to_levelize, max_levels):
     raise ValueError(f"invalid option {to_levelize!r}")
 
 
+def row_reduce(vals, indptr, ufunc, empty=0.0):
+    """Per-CSR-row reduction of ``vals`` (length nnz) with ``ufunc``
+    (e.g. ``np.maximum``); rows with no entries get ``empty``.
+
+    ``ufunc.reduceat`` over the non-empty row starts is ~50x faster than the
+    equivalent ``ufunc.at`` scatter on large matrices.
+    """
+    n = len(indptr) - 1
+    out = np.full(n, empty, dtype=vals.dtype)
+    if vals.size and n:
+        nz = np.diff(indptr) > 0
+        starts = indptr[:-1][nz]
+        out[nz] = ufunc.reduceat(vals, starts)
+    return out
+
+
 def scale_rows_by_largest_entry(A):
     """Scale each row so its largest-magnitude entry is 1
     (reference util/utils.py:1830)."""
     A = to_csr(A).copy()
-    mags = np.abs(A.data)
-    nnz = np.diff(A.indptr)
-    rowmax = np.zeros(A.shape[0])
-    np.maximum.at(rowmax, np.repeat(np.arange(A.shape[0]), nnz), mags)
+    rowmax = row_reduce(np.abs(A.data), A.indptr, np.maximum, 0.0)
     scale = np.where(rowmax != 0, 1.0 / np.where(rowmax != 0, rowmax, 1), 0.0)
-    A.data = A.data * np.repeat(scale, nnz)
+    A.data = A.data * np.repeat(scale, np.diff(A.indptr))
     return A
 
 
@@ -234,15 +247,13 @@ def filter_matrix_rows(A, theta, diagonal=False, lump=False):
     rows = np.repeat(np.arange(n), np.diff(A.indptr))
     offdiag = rows != A.indices
     mags = np.abs(A.data) * offdiag
-    rowmax = np.zeros(n)
-    np.maximum.at(rowmax, rows, mags)
+    rowmax = row_reduce(mags, A.indptr, np.maximum, 0.0)
     keep = (np.abs(A.data) >= theta * rowmax[rows]) | (rows == A.indices)
     if not diagonal:
         keep |= ~offdiag
     dropped = A.data * (~keep)
     if lump:
-        lumped = np.zeros(n, dtype=A.dtype)
-        np.add.at(lumped, rows, dropped)
+        lumped = row_reduce(dropped, A.indptr, np.add, 0.0)
         A.data = np.where(keep, A.data, 0)
         A = A + sp.dia_matrix((lumped[None, :], [0]), shape=A.shape)
         A = A.tocsr()
@@ -285,8 +296,8 @@ def eliminate_diag_dom_nodes(A, C, theta=1.02):
     C = to_csr(C).copy()
     n = A.shape[0]
     rows = np.repeat(np.arange(n), np.diff(A.indptr))
-    offdiag_sum = np.zeros(n)
-    np.add.at(offdiag_sum, rows, np.abs(A.data) * (rows != A.indices))
+    offdiag_sum = row_reduce(np.abs(A.data) * (rows != A.indices),
+                             A.indptr, np.add, 0.0)
     diag = np.abs(A.diagonal())
     dom = diag > theta * offdiag_sum
     if not dom.any():

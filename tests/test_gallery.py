@@ -156,3 +156,37 @@ class TestLoadExample:
     def test_unknown(self):
         with pytest.raises(ValueError):
             load_example("not_a_real_example")
+
+    def test_knot(self):
+        """Trefoil-tube surface Laplacian (ref example_data/knot.mat):
+        239 unknowns, SPD after grounding, solvable by SA."""
+        data = load_example("knot")
+        A = data["A"]
+        assert A.shape == (239, 239)
+        assert abs(A - A.T).max() < 1e-12
+        w = np.linalg.eigvalsh(A.toarray())
+        assert w.min() > 0
+        from pyamg_tpu import smoothed_aggregation_solver
+        ml = smoothed_aggregation_solver(A, max_coarse=20)
+        b = np.asarray(A @ np.ones(A.shape[0]))
+        x = ml.solve(b, tol=1e-8, maxiter=60)
+        assert np.linalg.norm(b - A @ np.asarray(x, dtype=float)) < \
+            1e-5 * np.linalg.norm(b)
+
+    def test_local_disc_galerkin_diffusion(self):
+        """Degree-5 SIPG diffusion (ref example_data/
+        local_disc_galerkin_diffusion.mat): 21-DoF element blocks, SPD,
+        and a(u, v) = 0 for linear u against interior test functions."""
+        data = load_example("local_disc_galerkin_diffusion")
+        A = data["A"]
+        nloc = data["elmt_blocksize"]
+        assert nloc == 21
+        assert A.shape[0] % nloc == 0
+        assert abs(A - A.T).max() < 1e-10
+        w = np.linalg.eigvalsh(A.toarray())
+        assert w.min() > 0
+        # interior consistency: residual of the linear function x vanishes
+        # away from the Dirichlet boundary faces
+        x = data["vertices"][:, 0]
+        r = np.abs(np.asarray(A @ x))
+        assert np.median(r) < 1e-9

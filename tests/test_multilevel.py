@@ -157,6 +157,39 @@ class TestCoarseSolvers:
         ml.solve(b, tol=1e-8, maxiter=60, residuals=res)
         assert conv_factor(res) < 0.6
 
+    def test_factorized_backends_are_exact(self):
+        """lu/cholesky/splu must solve the coarse system through genuine
+        factorizations (reference multilevel.py:554-720), so a one-level
+        'hierarchy' solved by them is a direct solve."""
+        from pyamg_tpu.multilevel import _build_coarse_state, _apply_coarse
+        import jax.numpy as jnp
+
+        A = poisson((12, 12), format="csr")
+        b = rng().standard_normal(A.shape[0])
+        x_ref = np.linalg.solve(A.toarray(), b)
+        for name in ("lu", "cholesky", "splu", "pinv"):
+            kind, state = _build_coarse_state(A, name)
+            x = np.asarray(_apply_coarse(kind, state, jnp.asarray(b)))
+            assert np.allclose(x, x_ref, atol=1e-8), name
+
+    def test_splu_zero_row_removal(self):
+        """splu drops exactly-zero rows/columns before factorizing
+        (reference multilevel.py:629-641)."""
+        import scipy.sparse as sp
+        from pyamg_tpu.multilevel import coarse_grid_solver
+
+        n = 40
+        A = sp.random(n, n, density=0.3, random_state=2)
+        A = (A + A.T + 10 * sp.eye(n)).tolil()
+        A[7, :] = 0
+        A[:, 7] = 0
+        A = A.tocsr()
+        A.eliminate_zeros()
+        b = np.asarray(A @ np.ones(n))
+        x = coarse_grid_solver("splu")(A, b)
+        assert np.linalg.norm(A @ x - b) < 1e-10 * max(np.linalg.norm(b), 1)
+        assert x[7] == 0.0
+
 
 class TestSolverSet:
     def test_additive_and_multiplicative(self):
