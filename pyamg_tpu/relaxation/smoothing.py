@@ -269,7 +269,8 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
                                 Dinv if npdt is None
                                 else Dinv.astype(npdt, copy=False)),
                             blocksize=bs,
-                            color_masks=_color_masks(A_csr, blocksize=bs))
+                            color_masks=_color_masks(A_csr, blocksize=bs,
+                                                     dtype=rdt))
 
     if fn_name in ("jacobi_ne", "gauss_seidel_ne", "gauss_seidel_nr"):
         # device path: damped Jacobi on the normal equations (the parallel
