@@ -43,17 +43,33 @@ def make_system(A, x, b, formats=None):
     return A, x, b
 
 
+def _fix_zero_diag(T, r):
+    """Rows with a zero (or missing) diagonal are skipped by the
+    reference's Gauss-Seidel (relaxation.h:34 updates only when diag != 0).
+    In delta form that means dx[i] = 0: put 1 on those diagonals and zero
+    the corresponding rhs entries."""
+    d = T.diagonal()
+    zero = d == 0
+    if zero.any():
+        T = T + sp.dia_matrix((zero.astype(T.dtype)[None, :], [0]),
+                              shape=T.shape)
+        r = np.where(zero, 0, r)
+    return T.tocsr(), r
+
+
 def _tril_solve(A, r):
     """(D+L)^{-1} r via sparse forward triangular solve."""
     from scipy.sparse.linalg import spsolve_triangular
 
-    return spsolve_triangular(sp.tril(A, 0).tocsr(), r, lower=True)
+    T, r = _fix_zero_diag(sp.tril(A, 0).tocsr(), r)
+    return spsolve_triangular(T, r, lower=True)
 
 
 def _triu_solve(A, r):
     from scipy.sparse.linalg import spsolve_triangular
 
-    return spsolve_triangular(sp.triu(A, 0).tocsr(), r, lower=False)
+    T, r = _fix_zero_diag(sp.triu(A, 0).tocsr(), r)
+    return spsolve_triangular(T, r, lower=False)
 
 
 def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
