@@ -239,19 +239,24 @@ def _finalize_device_operators(levels, op_dtype=None):
             lvl.R = Ttdev
         else:
             # S = I - c D^{-1} A shares A's offsets (plus 0); reuse them to
-            # skip the O(nnz log nnz) rediscovery, and build S^H by shifting
-            # S's diagonals on device instead of a host transpose + 2nd H2D
+            # skip the O(nnz log nnz) rediscovery.  Both S and S^H are staged
+            # entirely on the host (numpy diagonal shifts) so each costs one
+            # H2D upload and zero device compiles/dispatches — setup-time
+            # eager device ops pay a per-shape XLA compile at every level.
             s_offs = None
             if isinstance(lvl.A, SparseDIA):
                 s_offs = sorted(set(lvl.A.offsets) | {0})
-            S = SparseDIA.from_scipy(meta["S_csr"], dtype=npdt,
-                                     offsets=s_offs)
-            from .device_setup import dia_transpose
-
-            SH = dia_transpose(S)
+            s_diags, s_uniq = SparseDIA.host_diags(meta["S_csr"], dtype=npdt,
+                                                   offsets=s_offs)
+            s_shape = meta["S_csr"].shape
+            S = SparseDIA(diags=jnp.asarray(s_diags), offsets=s_uniq,
+                          shape=s_shape)
+            sh_diags, sh_offs = SparseDIA.host_transpose(s_diags, s_uniq,
+                                                         s_shape)
             if np_.iscomplexobj(meta["S_csr"].data):
-                SH = SparseDIA(diags=SH.diags.conj(), offsets=SH.offsets,
-                               shape=SH.shape)
+                sh_diags = sh_diags.conj()
+            SH = SparseDIA(diags=jnp.asarray(sh_diags), offsets=sh_offs,
+                           shape=s_shape[::-1])
             chain_P = tuple([S] * meta["degree"] + [Tdev])
             chain_R = tuple([Ttdev] + [SH] * meta["degree"])
             lvl.P = ComposedOp(ops=chain_P, shape=(n_f, n_c))

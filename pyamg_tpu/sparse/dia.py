@@ -62,14 +62,15 @@ class SparseDIA:
 
     # -- constructors --------------------------------------------------------
     @staticmethod
-    def from_scipy(A, max_offsets: int = 128, dtype=None,
-                   offsets=None, entry_offsets=None) -> "SparseDIA":
-        """Convert CSR/any scipy matrix; raises ValueError if the matrix has
-        more than ``max_offsets`` distinct diagonals.
+    def host_diags(A, max_offsets: int = 128, dtype=None,
+                   offsets=None, entry_offsets=None):
+        """Host-side (numpy) DIA arrays for a scipy matrix: returns
+        ``(diags_np, offsets_tuple)`` without touching the device.  Setup
+        code stages all array massaging through this so each operator costs
+        exactly one H2D upload and zero device compiles.
 
-        ``dtype``: build the device array directly in this dtype (host-side
-        cast before the H2D transfer — on the axon tunnel an f64 transfer
-        followed by a device cast costs 2x the bytes).
+        ``dtype``: build the array directly in this dtype (a host-side cast
+        is cheaper than transferring f64 and casting on device).
         ``offsets``: precomputed sorted distinct diagonal offsets.
         ``entry_offsets``: precomputed per-entry col-row array (skips the
         O(nnz) rediscovery when the caller already computed it).
@@ -104,9 +105,37 @@ class SparseDIA:
             if not (uniq[ks] == offs).all():
                 raise ValueError("provided offsets do not cover the matrix")
         diags[ks, rows] = A.data.astype(dt, copy=False)
-        return SparseDIA(diags=jnp.asarray(diags),
-                         offsets=tuple(int(o) for o in uniq),
-                         shape=(n, m))
+        return diags, tuple(int(o) for o in uniq)
+
+    @staticmethod
+    def from_scipy(A, max_offsets: int = 128, dtype=None,
+                   offsets=None, entry_offsets=None) -> "SparseDIA":
+        """Convert CSR/any scipy matrix; raises ValueError if the matrix has
+        more than ``max_offsets`` distinct diagonals."""
+        diags, uniq = SparseDIA.host_diags(
+            A, max_offsets=max_offsets, dtype=dtype, offsets=offsets,
+            entry_offsets=entry_offsets)
+        return SparseDIA(diags=jnp.asarray(diags), offsets=uniq,
+                         shape=A.shape)
+
+    @staticmethod
+    def host_transpose(diags: np.ndarray, offsets, shape):
+        """Transpose of host DIA arrays, in numpy: the (-o) diagonal of A^T
+        at row j equals A's (o) diagonal at row j+o — a shift of each
+        diagonal vector.  Returns ``(diags_T, offsets_T)`` for the
+        ``shape[::-1]`` operator (no device work; used by setup staging)."""
+        n, m = shape
+        offs_t = tuple(-o for o in reversed(offsets))
+        out = np.zeros((len(offs_t), m), dtype=diags.dtype)
+        for j, o in enumerate(offs_t):
+            src = diags[offsets.index(-o)]
+            ln = min(n, m + o) if o < 0 else min(n - o, m)
+            ln = max(ln, 0)
+            if o >= 0:
+                out[j, :ln] = src[o:o + ln]
+            else:
+                out[j, -o:-o + ln] = src[:ln]
+        return out, offs_t
 
     def to_scipy(self):
         import scipy.sparse as sp

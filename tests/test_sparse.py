@@ -132,3 +132,41 @@ class TestOps:
         A = sprand(13, 8, 0.3, seed=4).tocsr()
         assert np.allclose(transpose(A).to_scipy().toarray(),
                            A.T.toarray())
+
+
+class TestSparseDIAHostStaging:
+    """Host-side (numpy) DIA staging used by setup finalize — zero device
+    ops; gold reference is scipy."""
+
+    def test_host_diags_roundtrip(self):
+        from pyamg_tpu.sparse import SparseDIA
+        A = poisson((6, 7), format="csr")
+        diags, offs = SparseDIA.host_diags(A)
+        D = SparseDIA.from_scipy(A)
+        assert offs == D.offsets
+        assert np.allclose(diags, np.asarray(D.diags))
+        assert (D.to_scipy() != A).nnz == 0
+
+    @pytest.mark.parametrize("shape", [(40, 40), (30, 18), (18, 30)])
+    def test_host_transpose(self, shape):
+        from pyamg_tpu.sparse import SparseDIA
+        A = sp.random_array(shape, density=0.2, random_state=5,
+                            format="csr") if hasattr(sp, "random_array") \
+            else sp.random(*shape, density=0.2, random_state=5,
+                           format="csr")
+        diags, offs = SparseDIA.host_diags(A, max_offsets=1024)
+        td, toffs = SparseDIA.host_transpose(diags, offs, shape)
+        T = SparseDIA(diags=np.asarray(td), offsets=toffs,
+                      shape=shape[::-1])
+        assert np.allclose(T.to_scipy().toarray(), A.T.toarray())
+
+    def test_host_transpose_complex(self):
+        from pyamg_tpu.sparse import SparseDIA
+        A = poisson((5, 5), format="csr").astype(complex)
+        A.data = A.data * (1 + 0.3j)
+        diags, offs = SparseDIA.host_diags(A)
+        td, toffs = SparseDIA.host_transpose(diags, offs, A.shape)
+        TH = SparseDIA(diags=np.asarray(td.conj()), offsets=toffs,
+                       shape=A.shape[::-1])
+        assert np.allclose(TH.to_scipy().toarray(),
+                           A.conj().T.toarray())
