@@ -507,18 +507,86 @@ class MultilevelSolver:
 
         return bound
 
+    def _solve_mp_pcg(self, A64, b, tol, accel, cycle, maxiter,
+                      return_info):
+        """f64 Krylov with the f32 hierarchy as preconditioner, fused into
+        one XLA program (see :meth:`solve_mp`, method='pcg')."""
+        key = ("mp_pcg", accel, str(cycle).upper(), int(maxiter))
+        if key not in self._solve_cache:
+            import functools
+
+            from .krylov._cg import cg_core
+            from .krylov._cgs_family import bicgstab_core
+            from .krylov._gmres import gmres_core
+
+            cores = {
+                "cg": cg_core,
+                "bicgstab": bicgstab_core,
+                "gmres": functools.partial(gmres_core,
+                                           restrt=min(30, maxiter)),
+                "fgmres": functools.partial(gmres_core,
+                                            restrt=min(30, maxiter),
+                                            flexible=True),
+            }
+            core = cores[accel]
+            raw_cyc = self._raw_cycle(cycle)
+
+            @jax.jit
+            def run(hier, A64, b64, tol_abs):
+                f32 = hier["As"][0].dtype
+
+                def mv(v):
+                    return A64.matvec(v)
+
+                def pre(r64):
+                    # scale to O(1) before the f32 cast: late-stage residuals
+                    # (~1e-10·||b||) underflow f32 otherwise
+                    s = jnp.linalg.norm(r64)
+                    s = jnp.where(s == 0, 1.0, s)
+                    r32 = (r64 / s).astype(f32)
+                    z32 = raw_cyc(hier, jnp.zeros_like(r32), r32)
+                    return z32.astype(b64.dtype) * s
+
+                x0 = jnp.zeros_like(b64)
+                return core(mv, pre, x0, b64, tol_abs, maxiter)
+
+            self._solve_cache[key] = run
+        run = self._solve_cache[key]
+
+        op_dt = jnp.dtype(self.levels[0].A.dtype)
+        dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
+            else jnp.float64
+        b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
+        normb = jnp.linalg.norm(b64)
+        tol_abs = tol * jnp.where(normb == 0, 1.0, normb)
+        x64, it, _res_buf = run(self._dev(), A64, b64, tol_abs)
+        if return_info:
+            return x64, {"rounds": 1, "inner_iterations": int(it)}
+        return x64
+
     # -- mixed-precision solve (f64 defect correction over f32 cycles) -----
     def solve_mp(self, b, tol=1e-10, accel="cg", cycle="V",
                  inner_maxiter=40, max_rounds=6, inner_tol_factor=1e-6,
-                 return_info=False):
+                 return_info=False, method="pcg"):
         """Solve A x = b to an f64 relative residual ``tol`` using the f32
-        device hierarchy as the inner preconditioned Krylov solver.
+        device hierarchy as preconditioner.
 
         The reference solves in f64 end-to-end on the CPU
-        (multilevel.py:316-471); on TPU the natural equivalent is iterative
-        refinement: f32 V-cycles + Krylov inside, one f64 fine-grid
-        residual per round outside.  The outer loop and inner solver
-        compile into ONE XLA program (single dispatch per solve).
+        (multilevel.py:316-471); on TPU the natural equivalents are
+
+        ``method="pcg"`` (default): f64 preconditioned CG where each
+        preconditioner application is one f32 cycle (r cast down, cycle,
+        correction cast up).  Iteration counts match the reference's f64
+        PCG (same preconditioner quality, no restart momentum loss); only
+        the fine-level matvec and vector updates run in f64.
+
+        ``method="defect"``: iterative refinement — f32 Krylov+cycles
+        inside, one f64 fine-grid residual per round outside.  Cheaper per
+        iteration, but each round restarts the Krylov space (~2x the
+        reference iteration count to 1e-10).
+
+        Either way the whole loop compiles into ONE XLA program (single
+        device dispatch per solve).
 
         Requires ``jax_enable_x64``.  For an f64 hierarchy this just
         forwards to :meth:`solve`.
@@ -549,6 +617,13 @@ class MultilevelSolver:
                 A_csr = lvl0.A.to_scipy()
             self._A64_dev = device_operator(A_csr, dtype=jnp.float64)
         A64 = self._A64_dev
+
+        if method == "pcg":
+            return self._solve_mp_pcg(A64, b, tol, accel, cycle,
+                                      int(inner_maxiter) * int(max_rounds),
+                                      return_info)
+        if method != "defect":
+            raise ValueError(f"unknown solve_mp method {method!r}")
 
         key = ("mp", accel, cycle, int(inner_maxiter), int(max_rounds),
                float(inner_tol_factor))

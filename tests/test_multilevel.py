@@ -250,3 +250,38 @@ class TestReturnResiduals:
         assert len(res) >= 2
         assert res[-1] < 1e-8 * np.linalg.norm(b) * 10
         assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
+
+
+class TestSolveMP:
+    """Mixed-precision solve: f32 device hierarchy, true f64 residual."""
+
+    @pytest.mark.parametrize("method", ["pcg", "defect"])
+    def test_reaches_f64_tol(self, method):
+        import jax.numpy as jnp
+        A = poisson((64, 64), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=50,
+                                                   op_dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        b = np.asarray(A @ rng.random(A.shape[0]))
+        x, info = ml.solve_mp(b, tol=1e-10, return_info=True, method=method)
+        x = np.asarray(x, dtype=float)
+        rr = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+        assert rr < 5e-10
+        assert info["inner_iterations"] >= 1
+        if method == "pcg":
+            assert info["rounds"] == 1
+
+    def test_pcg_matches_f64_iteration_count(self):
+        """The f32-preconditioned f64 PCG must not lose momentum vs an
+        all-f64 solve (the point of method='pcg' over defect correction)."""
+        import jax.numpy as jnp
+        A = poisson((64, 64), format="csr")
+        rng = np.random.default_rng(0)
+        b = np.asarray(A @ rng.random(A.shape[0]))
+        ml32 = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=50,
+                                                     op_dtype=jnp.float32)
+        _, info = ml32.solve_mp(b, tol=1e-8, return_info=True, method="pcg")
+        ml64 = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=50)
+        res = []
+        ml64.solve(b, tol=1e-8, accel="cg", maxiter=100, residuals=res)
+        assert info["inner_iterations"] <= (len(res) - 1) + 2
