@@ -76,9 +76,33 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
     """In-place Gauss-Seidel: (D+L) x_{k+1} = b - U x_k (forward).
 
     Reference: relaxation.py:280 → amg_core.gauss_seidel (relaxation.h:34).
+    Real f64 CSR input runs the native in-place sweep (a full-order
+    gauss_seidel_indexed); other dtypes use sparse triangular solves in
+    delta form.
     """
     A, x_v, b_v = make_system(A, x, b)
     A = A.tocsr()
+
+    if A.dtype == np.float64 and x_v.dtype == np.float64:
+        from ..amg_core import gauss_seidel_indexed_native
+
+        order = np.arange(A.shape[0], dtype=np.int64)
+        done = True
+        for _ in range(iterations):
+            if sweep in ("forward", "symmetric"):
+                done &= gauss_seidel_indexed_native(A, x_v, b_v, order)
+            if sweep in ("backward", "symmetric"):
+                done &= gauss_seidel_indexed_native(A, x_v, b_v,
+                                                    order[::-1])
+            if sweep not in ("forward", "backward", "symmetric"):
+                raise ValueError(f"valid sweep directions: forward/"
+                                 f"backward/symmetric, got {sweep!r}")
+            if not done:
+                break
+        if done:
+            np.asarray(x).reshape(-1)[:] = x_v
+            return x
+
     for _ in range(iterations):
         if sweep in ("forward", "symmetric"):
             r = b_v - A @ x_v
