@@ -249,8 +249,15 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
     x = rng.random(n).astype(A.dtype)
     if np.iscomplexobj(np.zeros(1, dtype=A.dtype)):
         x = x + 1j * rng.random(n)
-    x = np.asarray(ml.solve(np.zeros(n, dtype=A.dtype), x0=x,
-                            maxiter=candidate_iters, tol=1e-300))
+    # run the current solver on A x = 0 with HOST V-cycles: this hierarchy
+    # is applied candidate_iters times and then rebuilt, so compiling a
+    # device program for it (minutes of remote XLA compile on the tunnel)
+    # can never pay for itself
+    As_full = [l.A_csr for l in levels]
+    Ps_full = [getattr(l, "P_csr", None) for l in levels[:-1]]
+    b0 = np.zeros(n, dtype=A.dtype)
+    for _ in range(candidate_iters):
+        x = _host_vcycle(As_full, Ps_full, 0, x, b0, prepostsmoother, 1)
     work += 2 * ml.operator_complexity() * A.nnz * candidate_iters
 
     T0 = levels[0].T if hasattr(levels[0], "T") else None
@@ -349,14 +356,19 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
     A = to_csr(A)
     work = 0.0
 
-    def build(B, agg, strg, keep_flag=True):
+    def build(B, agg, strg, keep_flag=True, device=False):
+        # intermediate hierarchies are host-only (device=False): they exist
+        # to produce candidates / frozen aggregates, never to run compiled
+        # device cycles, so the H2D uploads + smoother-state builds of a
+        # full finalize would be pure setup overhead
         return smoothed_aggregation_solver(
             A, B=B, symmetry=symmetry, strength=strg,
             aggregate=agg, smooth=smooth,
             presmoother=prepostsmoother, postsmoother=prepostsmoother,
             improve_candidates=None,
             max_levels=max_levels, max_coarse=max_coarse,
-            coarse_solver=coarse_solver, keep=keep_flag, **kwargs)
+            coarse_solver=coarse_solver, keep=keep_flag,
+            finalize_device=device, **kwargs)
 
     # ---- initial stage: first candidate + frozen aggregates --------------
     if initial_candidates is None:
@@ -412,8 +424,15 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                 x0 = B[:, 0].copy()
                 B = B[:, 1:]
                 sa_tmp = build(B, aggregate, strength, keep_flag=True)
-                x = np.asarray(sa_tmp.solve(b0, x0=x0, tol=1e-300,
-                                            maxiter=candidate_iters))
+                # host V-cycles: the temporary solver is applied only
+                # candidate_iters times (see _general_setup_stage)
+                As_t = [l.A_csr for l in sa_tmp.levels]
+                Ps_t = [getattr(l, "P_csr", None)
+                        for l in sa_tmp.levels[:-1]]
+                x = x0
+                for _ in range(candidate_iters):
+                    x = _host_vcycle(As_t, Ps_t, 0, x, b0,
+                                     prepostsmoother, 1)
                 work += (2 * sa_tmp.operator_complexity() * A.nnz
                          * candidate_iters)
                 elim, elim_kwargs = unpack_arg(eliminate_local)
@@ -436,8 +455,9 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                 initial_candidate=B[:, 0], seed=seed)
             work += w
             B = (x / max(norm(x, "inf"), 1e-300))[:, None].astype(A.dtype)
-        ml = build(B, aggregate, strength, keep_flag=keep)
-    elif not keep:
-        ml = build(B, aggregate, strength, keep_flag=False)
+        ml = build(B, aggregate, strength, keep_flag=keep, device=True)
+    else:
+        # final (device-finalized) hierarchy
+        ml = build(B, aggregate, strength, keep_flag=keep, device=True)
 
     return ml, float(work) / max(A.nnz, 1)

@@ -116,7 +116,7 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
                                 max_levels=10, max_coarse=500,
                                 diagonal_dominance=False, keep=False,
                                 coarse_solver="pinv", coarse_filter=None,
-                                op_dtype=None,
+                                op_dtype=None, finalize_device=True,
                                 **kwargs):
     """Create a smoothed-aggregation AMG solver
     (reference aggregation.py:30).
@@ -196,11 +196,13 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
         if levels[-1].A_csr.shape[0] == n_prev:
             break
 
-    _finalize_device_operators(levels, op_dtype=op_dtype)
+    if finalize_device:
+        _finalize_device_operators(levels, op_dtype=op_dtype)
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     if op_dtype is not None:
         ml._op_dtype = op_dtype
-    change_smoothers(ml, presmoother, postsmoother)
+    if finalize_device:
+        change_smoothers(ml, presmoother, postsmoother)
     return ml
 
 

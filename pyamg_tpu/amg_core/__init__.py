@@ -90,6 +90,13 @@ def _declare(lib):
     lib.first_fit_coloring.argtypes = [_I, _i64p, _i64p, _i32p]
     lib.bsr_gauss_seidel.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p,
                                      _f64p, _f64p, _I, _I, _I]
+    lib.evolution_nulldim1.argtypes = [_I, _i64p, _i64p, _f64p, _f64p, _D]
+    lib.distance_filter.argtypes = [_I, _i64p, _i64p, _f64p, _D]
+    lib.standard_interpolation.argtypes = [_I, _i64p, _i64p, _f64p,
+                                           _i64p, _i64p, _f64p,
+                                           _i32p, _i64p, _i64p, _i64p,
+                                           _f64p]
+    lib.standard_interpolation.restype = _I
 
 
 def _csr_arrays(A):
@@ -266,3 +273,60 @@ def drake_matching_native(A, weights=None):
     match = np.zeros(n, dtype=np.int64)
     lib.drake_matching_core(n, Ap, Aj, w, match)
     return match
+
+
+def evolution_nulldim1_native(Atilde, b1, tiny):
+    """In-place single-candidate evolution misfit on a CSR matrix's data
+    (f64 real only); returns False otherwise (role of the NullDim==1 case
+    of evolution_strength_helper, evolution_strength.h:316)."""
+    lib = _load()
+    if not lib or Atilde.dtype != np.float64 \
+            or np.iscomplexobj(Atilde.data):
+        return False
+    Ap, Aj = _csr_arrays(Atilde)
+    assert Atilde.data.flags["C_CONTIGUOUS"]
+    lib.evolution_nulldim1(Atilde.shape[0], Ap, Aj, Atilde.data,
+                           np.ascontiguousarray(b1, dtype=np.float64),
+                           float(tiny))
+    return True
+
+
+def distance_filter_native(C, epsilon):
+    """In-place relative distance filter on CSR data (f64 real only);
+    dropped entries are zeroed (caller compacts).  Returns False otherwise
+    (role of apply_distance_filter, evolution_strength.h:136)."""
+    lib = _load()
+    if not lib or C.dtype != np.float64 or np.iscomplexobj(C.data):
+        return False
+    Cp, Cj = _csr_arrays(C)
+    assert C.data.flags["C_CONTIGUOUS"]
+    lib.distance_filter(C.shape[0], Cp, Cj, C.data, float(epsilon))
+    return True
+
+
+def standard_interpolation_native(A, S, splitting, cmap, nc):
+    """One-pass standard (distance-2) interpolation; returns CSR P or None
+    without the native library / for non-f64 data (role of the unexported
+    rs_standard_interpolation, ruge_stuben.h:601)."""
+    lib = _load()
+    if not lib or A.dtype != np.float64 or S.dtype != np.float64 \
+            or np.iscomplexobj(A.data) or np.iscomplexobj(S.data):
+        return None
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    Ap, Aj = _csr_arrays(A)
+    Sp, Sj = _csr_arrays(S)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    Sx = np.ascontiguousarray(S.data, dtype=np.float64)
+    split32 = np.ascontiguousarray(splitting, dtype=np.int32)
+    cmap64 = np.ascontiguousarray(cmap, dtype=np.int64)
+    # capacity: every stored S entry could be a strong-C emit, plus C rows
+    cap = S.nnz + n
+    Pp = np.zeros(n + 1, dtype=np.int64)
+    Pj = np.zeros(cap, dtype=np.int64)
+    Px = np.zeros(cap, dtype=np.float64)
+    nnz = lib.standard_interpolation(n, Ap, Aj, Ax, Sp, Sj, Sx, split32,
+                                     cmap64, Pp, Pj, Px)
+    return sp.csr_matrix((Px[:nnz].copy(), Pj[:nnz].copy(), Pp),
+                         shape=(n, int(nc)))

@@ -442,4 +442,137 @@ void masked_spgemm_i32(int32_t n_row,
     masked_spgemm_impl<int32_t>(n_row, Ap, Aj, Ax, Bp, Bi, Bx, Cp, Cj, Cx);
 }
 
+// ---------------------------------------------------------------------------
+// evolution-SOC single-candidate misfit measure (role of the NullDim==1 case
+// of evolution_strength_helper, evolution_strength.h:316), one pass over the
+// evolved operator:  for row i with diagonal z_ii the fit coefficient is
+// z_ii / b_i; the connection distance at entry (i, j) is |1 - zhat/z| with
+// zhat = b_j * z_ii / b_i, dropped (set 0) when the fit points against the
+// evolved value or is vanishingly small relative to it.  Surviving distances
+// below `tiny` clamp to 1e-4 so the later 1/distance inversion stays finite.
+// In-place on Ax.
+// ---------------------------------------------------------------------------
+void evolution_nulldim1(I n, const I* Ap, const I* Aj, double* Ax,
+                        const double* b1, double tiny) {
+    for (I i = 0; i < n; i++) {
+        double zii = 0.0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++)
+            if (Aj[jj] == i) { zii = Ax[jj]; break; }
+        const double coeff = zii / b1[i];
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            const double z = Ax[jj];
+            const double zhat = coeff * b1[Aj[jj]];
+            const double ratio = zhat / z;          // IEEE: inf/nan ok
+            const double misfit = std::abs(1.0 - ratio);
+            const bool aligned = zhat * z >= 0.0;
+            const bool significant = std::abs(ratio) >= 1e-4;
+            double out = (aligned && significant) ? misfit : 0.0;
+            if (out > 0.0 && out < tiny) out = 1e-4;
+            if (!(out == out)) out = 0.0;           // NaN (z==0, zhat==0)
+            Ax[jj] = out;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// relative distance filter (role of apply_distance_filter,
+// evolution_strength.h:136): keep off-diagonal distances
+// S_ij < epsilon * min_k S_ik, stored diagonal to 1.  In-place on Ax
+// (dropped entries set 0; caller compacts).
+// ---------------------------------------------------------------------------
+void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
+                     double epsilon) {
+    for (I i = 0; i < n; i++) {
+        double dmin = std::numeric_limits<double>::infinity();
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++)
+            if (Aj[jj] != i && Ax[jj] < dmin) dmin = Ax[jj];
+        const double thresh = epsilon * dmin;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            if (Aj[jj] == i) Ax[jj] = 1.0;
+            else if (!(Ax[jj] < thresh)) Ax[jj] = 0.0;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// standard (distance-2) interpolation, one pass (role of the unexported
+// rs_standard_interpolation, ruge_stuben.h:601; matches the vectorized and
+// per-row Python formulations in classical/interpolate.py):
+//   F row i:  P_ik = -(a_ik + sum_j (a_ij/denom_ij) a_jk) / d_i over the
+//             strong C-neighbors k of i, where j runs over strong
+//             F-neighbors, denom_ij = sum_{m in C_i} a_jm over j's strong
+//             C-neighbors, zero-denominator a_ij lump into d_i, and d_i =
+//             a_ii + (weak off-diagonal mass of A row i) + lump.
+//   C row i:  single 1 at cmap[i].
+// A and S in sorted CSR over the SAME n; S = strength pattern with A's
+// values (diagonal ignored).  Emits CSR P (capacity: strong-C count over F
+// rows + #C); rows with d_i == 0 emit nothing.  Returns nnz written.
+// ---------------------------------------------------------------------------
+I standard_interpolation(I n,
+                         const I* Ap, const I* Aj, const double* Ax,
+                         const I* Sp, const I* Sj, const double* Sx,
+                         const int32_t* splitting, const I* cmap,
+                         I* Pp, I* Pj, double* Px) {
+    std::vector<double> contrib(n, 0.0);
+    std::vector<char> inCi(n, 0);
+    I nnz = 0;
+    Pp[0] = 0;
+    for (I i = 0; i < n; i++) {
+        if (splitting[i] == 1) {
+            Pj[nnz] = cmap[i];
+            Px[nnz++] = 1.0;
+            Pp[i + 1] = nnz;
+            continue;
+        }
+        // mark strong C-neighbors of i
+        for (I jj = Sp[i]; jj < Sp[i + 1]; jj++) {
+            const I j = Sj[jj];
+            if (j != i && splitting[j] == 1) inCi[j] = 1;
+        }
+        double lump = 0.0;
+        for (I jj = Sp[i]; jj < Sp[i + 1]; jj++) {
+            const I j = Sj[jj];
+            if (j == i || splitting[j] == 1) continue;  // strong F only
+            double denom = 0.0;
+            for (I kk = Sp[j]; kk < Sp[j + 1]; kk++) {
+                const I m = Sj[kk];
+                if (m != j && splitting[m] == 1 && inCi[m]) denom += Sx[kk];
+            }
+            if (denom == 0.0) { lump += Sx[jj]; continue; }
+            const double bij = Sx[jj] / denom;
+            for (I kk = Sp[j]; kk < Sp[j + 1]; kk++) {
+                const I m = Sj[kk];
+                if (m != j && splitting[m] == 1 && inCi[m])
+                    contrib[m] += bij * Sx[kk];
+            }
+        }
+        // d_i = a_ii + weak off-diagonal mass + lump
+        double diag = 0.0, offA = 0.0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            if (Aj[jj] == i) diag += Ax[jj];
+            else offA += Ax[jj];
+        }
+        double offS = 0.0;
+        for (I jj = Sp[i]; jj < Sp[i + 1]; jj++)
+            if (Sj[jj] != i) offS += Sx[jj];
+        const double d = diag + (offA - offS) + lump;
+        if (d != 0.0) {
+            for (I jj = Sp[i]; jj < Sp[i + 1]; jj++) {
+                const I k = Sj[jj];
+                if (k == i || splitting[k] != 1) continue;
+                Pj[nnz] = cmap[k];
+                Px[nnz++] = -(Sx[jj] + contrib[k]) / d;
+            }
+        }
+        // reset workspace
+        for (I jj = Sp[i]; jj < Sp[i + 1]; jj++) {
+            const I j = Sj[jj];
+            inCi[j] = 0;
+            contrib[j] = 0.0;
+        }
+        Pp[i + 1] = nnz;
+    }
+    return nnz;
+}
+
 }  // extern "C"

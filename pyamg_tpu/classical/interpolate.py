@@ -154,6 +154,14 @@ def standard_interpolation(A, C, splitting):
 
     cmap = np.cumsum(splitting) - splitting
     nc = int(splitting.sum())
+
+    from ..amg_core import standard_interpolation_native
+
+    A.sort_indices()
+    P = standard_interpolation_native(A, S, splitting, cmap, nc)
+    if P is not None:
+        return P
+
     isC = splitting == 1
 
     rows_S = np.repeat(np.arange(n), np.diff(S.indptr))

@@ -40,6 +40,12 @@ def apply_distance_filter(C, epsilon):
     to 1.  Modifies and returns a copy."""
     C = C.tocsr().copy()
     n = C.shape[0]
+    if not np.iscomplexobj(C.data):
+        from .amg_core import distance_filter_native
+
+        if distance_filter_native(C, epsilon):
+            C.eliminate_zeros()
+            return C
     rows = np.repeat(np.arange(n), np.diff(C.indptr))
     offdiag = rows != C.indices
     vals = np.where(offdiag, C.data.real, np.inf)
@@ -303,6 +309,15 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         # relative misfit |1 - zhat_j / z_j| on every stored entry.
         b1 = np.ravel(Bmat).copy()
         b1[b1 == 0] = 1.0
+        from .amg_core import evolution_nulldim1_native
+
+        tiny = np.sqrt(np.finfo(float).eps)
+        Atilde.sort_indices()
+        if not np.iscomplexobj(b1) and \
+                evolution_nulldim1_native(Atilde, b1, tiny):
+            Atilde.eliminate_zeros()
+            return _evolution_epilogue(Atilde, epsilon, symmetrize_measure,
+                                       bsr_in, numPDEs)
         coeff = Atilde.diagonal() / b1                # z_i / b_i, per row
         row_of = np.repeat(np.arange(dimen), np.diff(Atilde.indptr))
         z = Atilde.data
@@ -323,6 +338,16 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     else:
         Atilde = _evolution_constrained_min(Atilde, Bmat, D_A_diag)
 
+    return _evolution_epilogue(Atilde, epsilon, symmetrize_measure,
+                               bsr_in, numPDEs)
+
+
+def _evolution_epilogue(Atilde, epsilon, symmetrize_measure, bsr_in=False,
+                        numPDEs=1):
+    """Distance filter → symmetrize → unit diagonal → (BSR amalgamation) →
+    invert distances to strengths — the tail shared by the native and numpy
+    evolution paths."""
+    dimen = Atilde.shape[1]
     Atilde.data = np.asarray(np.real(Atilde.data), dtype=float)
 
     if epsilon != np.inf:
