@@ -145,7 +145,8 @@ def initial_setup_stage(A, symmetry, pdef, candidate_iters, epsilon,
         if AggOp.shape[1] == 0 or AggOp.shape[1] == AggOp.shape[0]:
             break
         T, x_c = fit_candidates(AggOp, x[:, None])
-        P = _smooth_P(T, A_l, C, x_c, smooth[i])
+        P = _smooth_P(T, A_l, C, x_c, smooth[i],
+                      sym_hint=symmetry != "nonsymmetric")
         R = P.conjugate().T.tocsr() if symmetry == "hermitian" \
             else P.T.tocsr()
         A_l = (R @ A_l @ P).tocsr()
@@ -277,7 +278,8 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
         # refit level i's tentative prolongator with the candidate appended
         B_aug = np.column_stack([Bs[i], xs[-1]])
         T_new, Bc = fit_candidates(Aggs[i], B_aug)
-        P_new = _smooth_P(to_csr(T_new), As[i], Cs[i], Bc, smooth[i])
+        P_new = _smooth_P(to_csr(T_new), As[i], Cs[i], Bc, smooth[i],
+                          sym_hint=symmetry != "nonsymmetric")
         P_new = to_csr(P_new)
         As[i + 1] = (P_new.conjugate().T @ As[i] @ P_new).tocsr()
         Ps[i] = P_new
@@ -290,7 +292,8 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
             k_old = Bs[i + 1].shape[1]
             T_b = _bridge_rows(Ts[i + 1], k_old)
             P_b = to_csr(_smooth_P(T_b, As[i + 1], Cs[i + 1],
-                                   Bs[i + 2], smooth[i + 1]))
+                                   Bs[i + 2], smooth[i + 1],
+                                   sym_hint=symmetry != "nonsymmetric"))
             Ps[i + 1] = P_b
             Ts[i + 1] = T_b
             As[i + 2] = (P_b.conjugate().T @ As[i + 1] @ P_b).tocsr()

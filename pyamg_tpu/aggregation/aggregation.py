@@ -86,12 +86,14 @@ def _aggregate(C, A, B, flag):
     raise ValueError(f"unrecognized aggregation method {fn!r}")
 
 
-def _smooth_P(T, A, C, B, flag):
+def _smooth_P(T, A, C, B, flag, sym_hint=None):
     fn, kwargs = unpack_arg(flag)
     if fn == "jacobi":
-        return jacobi_prolongation_smoother(A, T, C, B, **kwargs)
+        return jacobi_prolongation_smoother(A, T, C, B, sym_hint=sym_hint,
+                                            **kwargs)
     if fn == "richardson":
-        return richardson_prolongation_smoother(A, T, **kwargs)
+        return richardson_prolongation_smoother(A, T, sym_hint=sym_hint,
+                                                **kwargs)
     if fn == "energy":
         return energy_prolongation_smoother(A, T, C, B, None, (False, {}),
                                             **kwargs)
@@ -398,7 +400,8 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
     if symmetry == "nonsymmetric":
         TH, BH_coarse = fit_candidates(AggOp, lvl.BH)
 
-    P = _smooth_P(T, A_for_strength, C, B_coarse, smooth[i])
+    P = _smooth_P(T, A_for_strength, C, B_coarse, smooth[i],
+                  sym_hint=symmetry != "nonsymmetric")
 
     if symmetry in ("hermitian",):
         R = P.conjugate().T.tocsr()

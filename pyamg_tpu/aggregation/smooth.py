@@ -26,8 +26,13 @@ __all__ = ["jacobi_prolongation_smoother", "richardson_prolongation_smoother",
            "energy_prolongation_smoother", "satisfy_constraints"]
 
 
-def _dinv_s(S, omega, weighting):
-    """omega-scaled D^{-1} S for the requested weighting."""
+def _dinv_s(S, omega, weighting, sym_hint=None):
+    """omega-scaled D^{-1} S for the requested weighting.
+
+    ``sym_hint``: caller-supplied Hermitian hint — rho(D^{-1}S) then comes
+    from the Lanczos similarity path cached on S (rho_D_inv_A), ~5x cheaper
+    than the Arnoldi estimate and shared across repeated builds on the same
+    operator (adaptive SA rebuilds)."""
     if weighting == "block" and (not sp.issparse(S) or S.format != "bsr"
                                  or S.blocksize[0] == 1):
         weighting = "diagonal"
@@ -35,7 +40,13 @@ def _dinv_s(S, omega, weighting):
     if weighting == "diagonal":
         D_inv = get_diagonal(S, inv=True)
         D_inv_S = scale_rows(to_csr(S), D_inv, copy=True)
-        D_inv_S = (omega / approximate_spectral_radius(D_inv_S)) * D_inv_S
+        if sym_hint:
+            from ..relaxation.smoothing import rho_D_inv_A
+
+            rho = rho_D_inv_A(S, symmetric=True)
+        else:
+            rho = approximate_spectral_radius(D_inv_S)
+        D_inv_S = (omega / rho) * D_inv_S
     elif weighting == "block":
         D_inv = get_block_diag(S, blocksize=S.blocksize[0], inv_flag=True)
         D_inv_mat = sp.bsr_matrix(
@@ -53,7 +64,8 @@ def _dinv_s(S, omega, weighting):
 
 
 def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
-                                 filter=False, weighting="diagonal"):
+                                 filter=False, weighting="diagonal",
+                                 sym_hint=None):
     """P = (I - omega/rho(D^{-1}S) D^{-1}S)^degree T
     (reference smooth.py:67), with optional strength filtering that
     preserves T B_c via constraint satisfaction."""
@@ -63,8 +75,9 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
         Cf = unamal(C, numPDEs, numPDEs)
         S = to_csr(S).multiply(Cf).tocsr()
         S.eliminate_zeros()
+        sym_hint = None                  # filtered S loses exact symmetry
 
-    D_inv_S = _dinv_s(S, omega, weighting)
+    D_inv_S = _dinv_s(S, omega, weighting, sym_hint=sym_hint)
     T = to_csr(T)
 
     if filter:
@@ -81,9 +94,11 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
     return P
 
 
-def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1):
+def richardson_prolongation_smoother(S, T, omega=4.0 / 3.0, degree=1,
+                                     sym_hint=None):
     """P = (I - omega/rho(S) S)^degree T (reference smooth.py:211)."""
-    weight = omega / approximate_spectral_radius(S)
+    weight = omega / approximate_spectral_radius(
+        S, symmetric=bool(sym_hint) or None)
     P = to_csr(T)
     S = to_csr(S)
     for _ in range(degree):
