@@ -509,8 +509,19 @@ class MultilevelSolver:
 
     def _solve_mp_pcg(self, A64, b, tol, accel, cycle, maxiter,
                       return_info):
-        """f64 Krylov with the f32 hierarchy as preconditioner, fused into
-        one XLA program (see :meth:`solve_mp`, method='pcg')."""
+        """f64 Krylov with the f32 hierarchy as preconditioner (see
+        :meth:`solve_mp`, method='pcg').
+
+        accel='cg' runs in dispatch-bounded CHUNKS: device runtimes cap how
+        long a single program may run (the axon tunnel watchdog kills
+        programs after ~60-100 s, surfacing as 'TPU worker crashed'), so
+        the CG while_loop is re-dispatched with its carry every ~20 s of
+        measured wall time.  The chunk cap is a traced scalar — one compile
+        serves every chunk length — and the iterate sequence is identical
+        to a single fused loop."""
+        if accel == "cg":
+            return self._solve_mp_pcg_cg_chunked(A64, b, tol, cycle,
+                                                 maxiter, return_info)
         key = ("mp_pcg", accel, str(cycle).upper(), int(maxiter))
         if key not in self._solve_cache:
             import functools
@@ -562,6 +573,83 @@ class MultilevelSolver:
         x64, it, _res_buf = run(self._dev(), A64, b64, tol_abs)
         if return_info:
             return x64, {"rounds": 1, "inner_iterations": int(it)}
+        return x64
+
+    _CHUNK_TARGET_S = 20.0       # wall-time budget per device dispatch
+
+    def _solve_mp_pcg_cg_chunked(self, A64, b, tol, cycle, maxiter,
+                                 return_info):
+        import time as _time
+
+        key = ("mp_pcg_chunk", str(cycle).upper(), int(maxiter))
+        if key not in self._solve_cache:
+            from .krylov._cg import cg_init, cg_chunk
+
+            raw_cyc = self._raw_cycle(cycle)
+
+            def _ops(hier, A64, dt64):
+                f32 = hier["As"][0].dtype
+
+                def mv(v):
+                    return A64.matvec(v)
+
+                def pre(r64):
+                    # scale to O(1) before the f32 cast: late-stage
+                    # residuals (~1e-10*||b||) underflow f32 otherwise
+                    s = jnp.linalg.norm(r64)
+                    s = jnp.where(s == 0, 1.0, s)
+                    r32 = (r64 / s).astype(f32)
+                    z32 = raw_cyc(hier, jnp.zeros_like(r32), r32)
+                    return z32.astype(dt64) * s
+
+                return mv, pre
+
+            @jax.jit
+            def init(hier, A64, b64):
+                mv, pre = _ops(hier, A64, b64.dtype)
+                return cg_init(mv, pre, jnp.zeros_like(b64), b64,
+                               int(maxiter))
+
+            @jax.jit
+            def chunk(hier, A64, carry, tol_abs, it_cap):
+                mv, pre = _ops(hier, A64, carry[0].dtype)
+                out = cg_chunk(mv, pre, carry, tol_abs, it_cap)
+                stat = jnp.stack([out[-1][out[-2]].astype(jnp.float64),
+                                  out[-2].astype(jnp.float64)])
+                return out, stat
+
+            self._solve_cache[key] = (init, chunk)
+        init, chunk = self._solve_cache[key]
+
+        op_dt = jnp.dtype(self.levels[0].A.dtype)
+        dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
+            else jnp.float64
+        b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
+        normb = float(np.linalg.norm(np.asarray(b64)))
+        tol_abs_f = tol * (normb if normb != 0 else 1.0)
+        tol_abs = jnp.asarray(tol_abs_f, dtype=jnp.float64)
+
+        hier = self._dev()
+        carry = init(hier, A64, b64)
+        it, chunk_n, rounds = 0, 6, 0
+        while it < maxiter:
+            t0 = _time.time()
+            carry, stat = chunk(hier, A64, carry, tol_abs,
+                                min(it + chunk_n, maxiter))
+            stat = np.asarray(stat)          # small D2H; forces completion
+            dt = _time.time() - t0
+            res, it_new = float(stat[0]), int(stat[1])
+            advanced = it_new - it
+            it = it_new
+            rounds += 1
+            if res <= tol_abs_f or advanced == 0:
+                break
+            t_iter = dt / max(advanced, 1)
+            chunk_n = int(np.clip(self._CHUNK_TARGET_S / max(t_iter, 1e-4),
+                                  4, maxiter))
+        x64 = carry[0]
+        if return_info:
+            return x64, {"rounds": rounds, "inner_iterations": it}
         return x64
 
     # -- mixed-precision solve (f64 defect correction over f32 cycles) -----

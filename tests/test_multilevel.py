@@ -268,8 +268,9 @@ class TestSolveMP:
         rr = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
         assert rr < 5e-10
         assert info["inner_iterations"] >= 1
-        if method == "pcg":
-            assert info["rounds"] == 1
+        # pcg: "rounds" counts bounded device dispatches (chunks); unlike
+        # defect rounds they carry full CG state, no restart
+        assert info["rounds"] >= 1
 
     def test_pcg_matches_f64_iteration_count(self):
         """The f32-preconditioned f64 PCG must not lose momentum vs an
