@@ -375,11 +375,16 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
 
     # ---- initial stage: first candidate + frozen aggregates --------------
     if initial_candidates is None:
-        x, aggregate, strength, w = initial_setup_stage(
+        x, aggregate_f, strength_f, w = initial_setup_stage(
             A, symmetry, pdef, candidate_iters, epsilon, max_levels,
             max_coarse, aggregate, prepostsmoother, smooth, strength,
             seed=seed)
         work += w
+        if getattr(A, "grid", None) is None:
+            aggregate, strength = aggregate_f, strength_f
+        # else: keep the caller's aggregation — on a structured grid the
+        # builds take the grid-block fast path (deterministic aggregates,
+        # DIA/BDIA device operators), which 'predefined' lists would defeat
         nrm = norm(x, "inf")
         B = (x / (nrm if nrm else 1.0))[:, None].astype(A.dtype)
     else:

@@ -216,12 +216,29 @@ def _finalize_device_operators(levels, op_dtype=None):
     import numpy as np_
     import jax.numpy as jnp
     from ..sparse import (device_operator, ComposedOp, GridRepeatOp,
-                          GridPoolOp, SparseDIA)
+                          GridPoolOp, SparseDIA, SparseBDIA)
 
     npdt = None if op_dtype is None else np_.dtype(str(jnp.dtype(op_dtype)))
 
+    def _banded_device_op(A_csr, q):
+        """Structured level with q dofs/node: block-banded → SparseBDIA
+        (shifted batched block products, no gathers); None when the block
+        pattern is not banded enough."""
+        try:
+            blocks, offs = SparseBDIA.host_blocks(
+                A_csr.tobsr(blocksize=(q, q)), max_offsets=64, dtype=npdt)
+        except ValueError:
+            return None
+        return SparseBDIA(blocks=jnp.asarray(blocks), offsets=offs,
+                          shape=A_csr.shape)
+
     for lvl in levels:
-        lvl.A = device_operator(lvl.A_csr, dtype=npdt)
+        q_lvl = max(getattr(lvl, "blocksize", 1), 1)
+        lvl.A = None
+        if q_lvl > 1 and getattr(lvl, "grid", None) is not None:
+            lvl.A = _banded_device_op(lvl.A_csr, q_lvl)
+        if lvl.A is None:
+            lvl.A = device_operator(lvl.A_csr, dtype=npdt)
         if not hasattr(lvl, "P_csr"):
             continue
         meta = getattr(lvl, "struct_meta", None)
@@ -230,29 +247,43 @@ def _finalize_device_operators(levels, op_dtype=None):
             lvl.R = device_operator(lvl.R_csr, dtype=npdt)
             continue
         n_f, n_c = lvl.P_csr.shape
+        q = meta.get("q", 1)
         wmap = meta["wmap"]
         if npdt is not None:
             wmap = wmap.astype(npdt, copy=False)
         wmap = jnp.asarray(wmap)
         Tdev = GridRepeatOp(wmap=wmap, fine_grid=meta["grid"],
-                            block=meta["block"], shape=(n_f, n_c))
+                            block=meta["block"], shape=(n_f, n_c),
+                            node_dofs=q)
         Ttdev = GridPoolOp(wmap=wmap, fine_grid=meta["grid"],
-                           block=meta["block"], shape=(n_c, n_f))
+                           block=meta["block"], shape=(n_c, n_f),
+                           node_dofs=q)
         if meta["degree"] == 0 or meta["S_csr"] is None:
             lvl.P = Tdev
             lvl.R = Ttdev
+            continue
+        # S = I - c D^{-1} A shares A's banded structure.  Both S and S^H
+        # are staged entirely on the host (numpy diagonal/block shifts) so
+        # each costs one H2D upload and zero device compiles/dispatches —
+        # setup-time eager device ops pay a per-shape XLA compile at every
+        # level.
+        s_shape = meta["S_csr"].shape
+        if q > 1:
+            s_blocks, s_boffs = SparseBDIA.host_blocks(
+                meta["S_csr"].tobsr(blocksize=(q, q)), dtype=npdt)
+            S = SparseBDIA(blocks=jnp.asarray(s_blocks), offsets=s_boffs,
+                           shape=s_shape)
+            sh_blocks, sh_boffs = SparseBDIA.host_transpose(
+                s_blocks, s_boffs,
+                conj=np_.iscomplexobj(meta["S_csr"].data))
+            SH = SparseBDIA(blocks=jnp.asarray(sh_blocks),
+                            offsets=sh_boffs, shape=s_shape)
         else:
-            # S = I - c D^{-1} A shares A's offsets (plus 0); reuse them to
-            # skip the O(nnz log nnz) rediscovery.  Both S and S^H are staged
-            # entirely on the host (numpy diagonal shifts) so each costs one
-            # H2D upload and zero device compiles/dispatches — setup-time
-            # eager device ops pay a per-shape XLA compile at every level.
             s_offs = None
             if isinstance(lvl.A, SparseDIA):
                 s_offs = sorted(set(lvl.A.offsets) | {0})
             s_diags, s_uniq = SparseDIA.host_diags(meta["S_csr"], dtype=npdt,
                                                    offsets=s_offs)
-            s_shape = meta["S_csr"].shape
             S = SparseDIA(diags=jnp.asarray(s_diags), offsets=s_uniq,
                           shape=s_shape)
             sh_diags, sh_offs = SparseDIA.host_transpose(s_diags, s_uniq,
@@ -261,10 +292,10 @@ def _finalize_device_operators(levels, op_dtype=None):
                 sh_diags = sh_diags.conj()
             SH = SparseDIA(diags=jnp.asarray(sh_diags), offsets=sh_offs,
                            shape=s_shape[::-1])
-            chain_P = tuple([S] * meta["degree"] + [Tdev])
-            chain_R = tuple([Ttdev] + [SH] * meta["degree"])
-            lvl.P = ComposedOp(ops=chain_P, shape=(n_f, n_c))
-            lvl.R = ComposedOp(ops=chain_R, shape=(n_c, n_f))
+        chain_P = tuple([S] * meta["degree"] + [Tdev])
+        chain_R = tuple([Ttdev] + [SH] * meta["degree"])
+        lvl.P = ComposedOp(ops=chain_P, shape=(n_f, n_c))
+        lvl.R = ComposedOp(ops=chain_R, shape=(n_c, n_f))
 
 
 def _add_identity_inplace(S_data, A, n):
@@ -282,7 +313,11 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
                        symmetry):
     """One structured coarsening step: grid-block aggregation + (optional)
     Jacobi/Richardson prolongation smoothing, recorded with the metadata the
-    finalize step needs to build gather-free device operators."""
+    finalize step needs to build gather-free device operators.
+
+    Supports K near-nullspace candidates: coarse levels then carry K dofs
+    per grid node (node-major), the tentative transfers become K-channel
+    grid ops, and the coarse operators are block-banded (SparseBDIA)."""
     from ..util.utils import get_diagonal
     from ..util.linalg import approximate_spectral_radius
     from ..relaxation.smoothing import rho_D_inv_A
@@ -291,11 +326,19 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     block = tuple(akw.get("block", (3,) * len(grid)))
     AggOp, roots, cgrid = grid_aggregation(grid, block)
     T, B_coarse = fit_candidates(AggOp, B)
+    T = T.tocsr()
+    T.sort_indices()
 
     n = A.shape[0]
-    wmap = np.zeros(n, dtype=A.dtype)
-    rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
-    wmap[rows_w] = T.data
+    K = B.shape[1]
+    if K == 1:
+        wmap = np.zeros(n, dtype=A.dtype)
+        rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
+        wmap[rows_w] = T.data
+    else:
+        wmap = np.zeros((n, K), dtype=A.dtype)
+        rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
+        wmap[rows_w, T.indices % K] = T.data
 
     degree = int(skw.get("degree", 1)) if sfn else 0
     sym_hint = (symmetry in ("hermitian", "symmetric")
@@ -323,7 +366,8 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     R = P.conjugate().T.tocsr() if symmetry == "hermitian" else P.T.tocsr()
 
     lvl.struct_meta = {"grid": tuple(grid), "block": block,
-                       "wmap": wmap, "S_csr": S_csr, "degree": degree}
+                       "wmap": wmap, "S_csr": S_csr, "degree": degree,
+                       "K": K, "q": max(getattr(lvl, "blocksize", 1), 1)}
     lvl.P_csr = P
     lvl.R_csr = R
     if keep:
@@ -336,7 +380,7 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     new = Level()
     new.A_csr = A_coarse
     new.B = B_coarse
-    new.blocksize = 1
+    new.blocksize = K                 # K dofs per coarse grid node
     new.symmetry = symmetry
     new.A_bsr = None
     new.grid = cgrid
@@ -374,11 +418,14 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
     grid = getattr(lvl, "grid", None)
     sfn, skw = unpack_arg(smooth[i]) if smooth[i] is not None else (None, {})
     afn, akw = unpack_arg(aggregate[i])
-    if (grid is not None and B.shape[1] == 1 and bs == 1
+    # q = dofs per grid node: 1 at a scalar fine level; K at the coarse
+    # levels of a K-candidate structured hierarchy (node-major ordering)
+    q = max(bs, 1)
+    if (grid is not None and (q == 1 or q == B.shape[1])
             and symmetry in ("hermitian", "symmetric")
             and afn in ("grid", "standard")
             and sfn in (None, "jacobi", "richardson")
-            and np.prod(grid) == A.shape[0]):
+            and np.prod(grid) * q == A.shape[0]):
         _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
                            symmetry)
         return

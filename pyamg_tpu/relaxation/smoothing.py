@@ -189,7 +189,11 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
     # known diagonal offsets of the level's device operator (skips O(nnz)
     # structure rediscovery in the coloring)
     A_dev = getattr(lvl, "A", None)
-    known_offsets = getattr(A_dev, "offsets", None)
+    from ..sparse import SparseDIA
+
+    # scalar diagonal offsets (coloring hint); BDIA offsets are in block
+    # units and must not be passed to the scalar coloring
+    known_offsets = A_dev.offsets if isinstance(A_dev, SparseDIA) else None
 
     if fn_name is None or fn_name == "none":
         return SmootherData(kind="none")

@@ -74,23 +74,33 @@ class GridRepeatOp:
     ``matvec(xc)``: reshape xc to the coarse grid, ``jnp.repeat`` each axis by
     the block size, crop to the fine grid, flatten, scale by the per-fine-node
     weight map (the normalized near-nullspace values — what fit_candidates'
-    per-aggregate QR produces for K = 1;
+    per-aggregate QR produces;
     ≙ amg_core fit_candidates smoothed_aggregation.h:323).
+
+    A 2-D ``wmap`` (n_fine_dofs, K) is the multi-candidate form: each
+    coarse grid node carries K values (node-major coarse ordering, matching
+    fit_candidates' column order) and each fine dof value is the K-term dot
+    product with its weight row.  ``node_dofs`` (q) is the number of fine
+    dofs per grid node (node-major fine ordering): q = 1 at a scalar fine
+    level, q = K at the coarse levels of a K-candidate hierarchy.
     """
 
-    wmap: jnp.ndarray             # (n_fine,)
-    fine_grid: Tuple[int, ...]    # static
+    wmap: jnp.ndarray             # (n_fine_dofs,) or (n_fine_dofs, K)
+    fine_grid: Tuple[int, ...]    # static, grid of NODES
     block: Tuple[int, ...]        # static
     shape: Tuple[int, int]
+    node_dofs: int = 1            # static, fine dofs per grid node
 
     def tree_flatten(self):
-        return (self.wmap,), (self.fine_grid, self.block, self.shape)
+        return (self.wmap,), (self.fine_grid, self.block, self.shape,
+                              self.node_dofs)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (wmap,) = children
-        fine_grid, block, shape = aux
-        return cls(wmap=wmap, fine_grid=fine_grid, block=block, shape=shape)
+        fine_grid, block, shape, node_dofs = aux
+        return cls(wmap=wmap, fine_grid=fine_grid, block=block, shape=shape,
+                   node_dofs=node_dofs)
 
     @property
     def dtype(self):
@@ -103,18 +113,31 @@ class GridRepeatOp:
     def astype(self, dtype):
         return GridRepeatOp(wmap=self.wmap.astype(dtype),
                             fine_grid=self.fine_grid, block=self.block,
-                            shape=self.shape)
+                            shape=self.shape, node_dofs=self.node_dofs)
 
     def matvec(self, xc):
         cg = self.coarse_grid
-        y = xc.reshape(cg)
+        if self.wmap.ndim == 1:
+            y = xc.reshape(cg)
+            for ax, b in enumerate(self.block):
+                if b > 1:
+                    y = jnp.repeat(y, b, axis=ax)
+            # crop to the fine grid (last blocks may be partial)
+            sl = tuple(slice(0, g) for g in self.fine_grid)
+            y = y[sl].reshape(-1)
+            return self.wmap * y
+        K = self.wmap.shape[1]
+        q = self.node_dofs
+        y = xc.reshape(cg + (K,))
         for ax, b in enumerate(self.block):
             if b > 1:
                 y = jnp.repeat(y, b, axis=ax)
-        # crop to the fine grid (last blocks may be partial)
-        sl = tuple(slice(0, g) for g in self.fine_grid)
-        y = y[sl].reshape(-1)
-        return self.wmap * y
+        sl = tuple(slice(0, g) for g in self.fine_grid) + (slice(None),)
+        y = y[sl].reshape(-1, K)                 # (n_nodes, K)
+        if q == 1:
+            return jnp.einsum("nk,nk->n", self.wmap, y)
+        w = self.wmap.reshape(-1, q, K)          # (n_nodes, q, K)
+        return jnp.einsum("nqk,nk->nq", w, y).reshape(-1)
 
     def __matmul__(self, x):
         return self.matvec(jnp.asarray(x))
@@ -123,33 +146,46 @@ class GridRepeatOp:
         import scipy.sparse as sp
 
         n_f, n_c = self.shape
+        q = self.node_dofs
         cg = self.coarse_grid
-        coords = np.unravel_index(np.arange(n_f), self.fine_grid)
+        n_nodes = n_f // q
+        coords = np.unravel_index(np.arange(n_nodes), self.fine_grid)
         cidx = np.ravel_multi_index(
             tuple(c // b for c, b in zip(coords, self.block)), cg)
+        w = np.asarray(self.wmap)
+        if w.ndim == 1:
+            return sp.coo_matrix(
+                (w, (np.arange(n_f), cidx)), shape=self.shape).tocsr()
+        K = w.shape[1]
+        cdof = np.repeat(cidx, q)                # coarse node per fine dof
+        rows = np.repeat(np.arange(n_f), K)
+        cols = (cdof[:, None] * K + np.arange(K)[None, :]).ravel()
         return sp.coo_matrix(
-            (np.asarray(self.wmap), (np.arange(n_f), cidx)),
-            shape=self.shape).tocsr()
+            (w.ravel(), (rows, cols)), shape=self.shape).tocsr()
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class GridPoolOp:
-    """Tentative restriction T^T: weight then sum-pool over each block."""
+    """Tentative restriction T^T: weight then sum-pool over each block.
+    Multi-candidate / node-blocked semantics mirror :class:`GridRepeatOp`."""
 
-    wmap: jnp.ndarray             # (n_fine,)
+    wmap: jnp.ndarray             # (n_fine_dofs,) or (n_fine_dofs, K)
     fine_grid: Tuple[int, ...]
     block: Tuple[int, ...]
     shape: Tuple[int, int]        # (n_coarse, n_fine)
+    node_dofs: int = 1
 
     def tree_flatten(self):
-        return (self.wmap,), (self.fine_grid, self.block, self.shape)
+        return (self.wmap,), (self.fine_grid, self.block, self.shape,
+                              self.node_dofs)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (wmap,) = children
-        fine_grid, block, shape = aux
-        return cls(wmap=wmap, fine_grid=fine_grid, block=block, shape=shape)
+        fine_grid, block, shape, node_dofs = aux
+        return cls(wmap=wmap, fine_grid=fine_grid, block=block, shape=shape,
+                   node_dofs=node_dofs)
 
     @property
     def dtype(self):
@@ -162,14 +198,28 @@ class GridPoolOp:
     def astype(self, dtype):
         return GridPoolOp(wmap=self.wmap.astype(dtype),
                           fine_grid=self.fine_grid, block=self.block,
-                          shape=self.shape)
+                          shape=self.shape, node_dofs=self.node_dofs)
 
     def matvec(self, xf):
-        w = (jnp.conj(self.wmap) * xf).reshape(self.fine_grid)
         cg = self.coarse_grid
-        # pad each axis to a block multiple, then reshape-sum per axis
+        if self.wmap.ndim == 1:
+            w = (jnp.conj(self.wmap) * xf).reshape(self.fine_grid)
+            pads = tuple((0, cg[d] * self.block[d] - self.fine_grid[d])
+                         for d in range(len(cg)))
+            w = jnp.pad(w, pads)
+            for ax, b in enumerate(self.block):
+                if b > 1:
+                    shp = w.shape[:ax] + (cg[ax], b) + w.shape[ax + 1:]
+                    w = w.reshape(shp).sum(axis=ax + 1)
+            return w.reshape(-1)
+        K = self.wmap.shape[1]
+        q = self.node_dofs
+        w = jnp.conj(self.wmap) * xf[:, None]    # (n_dofs, K)
+        if q > 1:
+            w = w.reshape(-1, q, K).sum(axis=1)  # (n_nodes, K)
+        w = w.reshape(self.fine_grid + (K,))
         pads = tuple((0, cg[d] * self.block[d] - self.fine_grid[d])
-                     for d in range(len(cg)))
+                     for d in range(len(cg))) + ((0, 0),)
         w = jnp.pad(w, pads)
         for ax, b in enumerate(self.block):
             if b > 1:
@@ -182,7 +232,8 @@ class GridPoolOp:
 
     def to_scipy(self):
         return GridRepeatOp(self.wmap, self.fine_grid, self.block,
-                            (self.shape[1], self.shape[0])) \
+                            (self.shape[1], self.shape[0]),
+                            node_dofs=self.node_dofs) \
             .to_scipy().T.tocsr()
 
 

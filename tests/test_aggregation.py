@@ -514,3 +514,57 @@ class TestNativeBlockGS:
                            blocksize=2, iterations=2, sweep="symmetric")
         assert np.allclose(x1, x2c.real, atol=1e-10)
         assert np.abs(x2c.imag).max() < 1e-12
+
+
+class TestStructuredMultiCandidate:
+    """K>1 structured fast path: K-channel grid transfers + BDIA coarse
+    operators must match the host CSR hierarchy exactly."""
+
+    def test_device_ops_match_host(self):
+        rng = np.random.default_rng(0)
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        from pyamg_tpu.sparse import SparseBDIA
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+        A = stencil_grid(sten, (32, 32), format="csr")
+        n = A.shape[0]
+        B = np.stack([np.ones(n), rng.random(n)], axis=1)
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, B=B, max_coarse=30, improve_candidates=None)
+        assert any(isinstance(l.A, SparseBDIA) for l in ml.levels[1:])
+        for i, l in enumerate(ml.levels[:-1]):
+            x = rng.standard_normal(l.P_csr.shape[1])
+            assert np.allclose(np.asarray(l.P @ x), l.P_csr @ x,
+                               atol=1e-10), f"P{i}"
+            y = rng.standard_normal(l.R_csr.shape[1])
+            assert np.allclose(np.asarray(l.R @ y), l.R_csr @ y,
+                               atol=1e-10), f"R{i}"
+            z = rng.standard_normal(l.A_csr.shape[1])
+            assert np.allclose(np.asarray(l.A @ z), l.A_csr @ z,
+                               atol=1e-10), f"A{i}"
+
+    def test_solves(self):
+        rng = np.random.default_rng(1)
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+        A = stencil_grid(sten, (64, 64), format="csr")
+        n = A.shape[0]
+        B = np.stack([np.ones(n), rng.random(n)], axis=1)
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, B=B, max_coarse=100, improve_candidates=None,
+            presmoother="zebra", postsmoother="zebra")
+        b = np.asarray(A @ rng.random(n))
+        res = []
+        x = ml.solve(b, tol=1e-8, maxiter=30, accel="cg", residuals=res)
+        assert len(res) - 1 <= 10      # zebra + structured: fast on aniso
+        assert np.linalg.norm(b - A @ x) < 1e-7 * np.linalg.norm(b)
+
+    def test_adaptive_on_grid_uses_fast_path(self):
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        from pyamg_tpu.sparse import SparseDIA, SparseBDIA
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+        A = stencil_grid(sten, (64, 64), format="csr")
+        ml, _work = pyamg_tpu.adaptive_sa_solver(
+            A, num_candidates=2, max_coarse=50, prepostsmoother="zebra")
+        assert isinstance(ml.levels[0].A, SparseDIA)
+        assert all(isinstance(l.A, (SparseDIA, SparseBDIA))
+                   for l in ml.levels)

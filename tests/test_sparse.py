@@ -3,6 +3,7 @@
 import numpy as np
 import pytest
 import scipy.sparse as sp
+import jax.numpy as jnp
 
 from pyamg_tpu.sparse import SparseELL, BlockELL, spgemm, rap, transpose
 from pyamg_tpu.gallery import poisson, sprand
@@ -169,4 +170,61 @@ class TestSparseDIAHostStaging:
         TH = SparseDIA(diags=np.asarray(td.conj()), offsets=toffs,
                        shape=A.shape[::-1])
         assert np.allclose(TH.to_scipy().toarray(),
+                           A.conj().T.toarray())
+
+
+class TestSparseBDIA:
+    """Block diagonal-offset storage vs scipy BSR gold reference."""
+
+    def _mk(self, nb=12, K=2, seed=0, noff=3):
+        r = np.random.default_rng(seed)
+        offs = sorted(r.choice(np.arange(-nb + 1, nb), size=noff,
+                               replace=False).tolist())
+        rows, cols, data = [], [], []
+        for o in offs:
+            rr = np.arange(max(0, -o), min(nb, nb - o))
+            rows.append(rr)
+            cols.append(rr + o)
+            data.append(r.standard_normal((rr.size, K, K)))
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        data = np.concatenate(data)
+        order = np.argsort(rows, kind="stable")
+        indptr = np.concatenate([[0], np.cumsum(np.bincount(
+            rows, minlength=nb))])
+        A = sp.bsr_matrix((data[order], cols[order], indptr),
+                          shape=(nb * K, nb * K), blocksize=(K, K))
+        return A
+
+    @pytest.mark.parametrize("K", [2, 3])
+    def test_roundtrip_and_matvec(self, K):
+        from pyamg_tpu.sparse import SparseBDIA
+        A = self._mk(nb=15, K=K, seed=K)
+        B = SparseBDIA.from_scipy_bsr(A)
+        assert np.allclose(B.to_scipy().toarray(), A.toarray())
+        x = np.random.default_rng(1).standard_normal(A.shape[0])
+        assert np.allclose(np.asarray(B @ x), A @ x)
+        X = np.random.default_rng(2).standard_normal((A.shape[0], 4))
+        assert np.allclose(np.asarray(B @ X), A @ X)
+        assert np.allclose(np.asarray(B.diagonal()),
+                           A.tocsr().diagonal())
+
+    def test_host_transpose(self):
+        from pyamg_tpu.sparse import SparseBDIA
+        A = self._mk(nb=10, K=2, seed=7)
+        blocks, offs = SparseBDIA.host_blocks(A)
+        tb, toffs = SparseBDIA.host_transpose(blocks, offs)
+        T = SparseBDIA(blocks=jnp.asarray(tb), offsets=toffs,
+                       shape=A.shape)
+        assert np.allclose(T.to_scipy().toarray(), A.T.toarray())
+
+    def test_host_transpose_conj(self):
+        from pyamg_tpu.sparse import SparseBDIA
+        A = self._mk(nb=8, K=2, seed=3).astype(complex)
+        A.data = A.data * (1 + 0.5j)
+        blocks, offs = SparseBDIA.host_blocks(A)
+        tb, toffs = SparseBDIA.host_transpose(blocks, offs, conj=True)
+        T = SparseBDIA(blocks=jnp.asarray(tb), offsets=toffs,
+                       shape=A.shape)
+        assert np.allclose(T.to_scipy().toarray(),
                            A.conj().T.toarray())
