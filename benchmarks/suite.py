@@ -137,9 +137,8 @@ def main():
     # 4. elasticity block-BSR SA with RBM candidates
     def build4():
         g = (20, 20) if s else (100, 100)
-        A, B = linear_elasticity(g)
-        Ab = A.tobsr(blocksize=(2, 2))
-        ml = pyamg_tpu.smoothed_aggregation_solver(Ab, B=B, max_coarse=100,
+        A, B = linear_elasticity(g)          # BSR (2,2) with .grid attached
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, B=B, max_coarse=100,
                                                    op_dtype=jnp.float32)
         return A.tocsr(), ml, rng.standard_normal(A.shape[0])
 

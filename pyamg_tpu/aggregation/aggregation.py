@@ -418,10 +418,11 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
     grid = getattr(lvl, "grid", None)
     sfn, skw = unpack_arg(smooth[i]) if smooth[i] is not None else (None, {})
     afn, akw = unpack_arg(aggregate[i])
-    # q = dofs per grid node: 1 at a scalar fine level; K at the coarse
+    # q = dofs per grid node: 1 at a scalar fine level; the BSR blocksize
+    # at a blocked fine level (e.g. 2 for 2D elasticity); K at the coarse
     # levels of a K-candidate structured hierarchy (node-major ordering)
     q = max(bs, 1)
-    if (grid is not None and (q == 1 or q == B.shape[1])
+    if (grid is not None
             and symmetry in ("hermitian", "symmetric")
             and afn in ("grid", "standard")
             and sfn in (None, "jacobi", "richardson")

@@ -113,7 +113,9 @@ def linear_elasticity(grid, spacing=None, E=1e5, nu=0.3, format=None):
     B = B[keep]
 
     A = A.tobsr(blocksize=(d, d))
-    return (A.asformat(format) if format else A), B
+    A = A.asformat(format) if format else A
+    A.grid = grid       # node-grid metadata for the structured TPU path
+    return A, B
 
 
 def _p1_local(verts: np.ndarray, lame: float, mu: float) -> np.ndarray:
