@@ -67,10 +67,17 @@ def _strength(A, B, flag):
 def _aggregate(C, A, B, flag):
     fn, kwargs = unpack_arg(flag)
     if fn == "standard":
-        # the sequential 3-pass greedy is exact for small problems; the
-        # vectorized round-based formulation takes over at scale (same
-        # aggregate semantics, parallel execution)
-        if C.shape[0] > kwargs.pop("sequential_limit", 50000):
+        # the sequential 3-pass greedy is exact (reference-parity aggregate
+        # order, banded coarse patterns on grid-ordered nodes); with the
+        # native C++ kernel it is O(nnz) at any scale.  Without it, the
+        # vectorized round-based formulation takes over for large problems
+        # (same aggregate semantics, parallel execution).
+        lim = kwargs.pop("sequential_limit", None)
+        if lim is None:
+            from ..amg_core import have_native
+
+            lim = 50_000_000 if have_native() else 50_000
+        if C.shape[0] > lim:
             return parallel_aggregation(C, **kwargs)
         return standard_aggregation(C, **kwargs)
     if fn in ("parallel", "mis"):
@@ -283,7 +290,8 @@ def _finalize_device_operators(levels, op_dtype=None):
             if isinstance(lvl.A, SparseDIA):
                 s_offs = sorted(set(lvl.A.offsets) | {0})
             s_diags, s_uniq = SparseDIA.host_diags(meta["S_csr"], dtype=npdt,
-                                                   offsets=s_offs)
+                                                   offsets=s_offs,
+                                                   max_offsets=1024)
             S = SparseDIA(diags=jnp.asarray(s_diags), offsets=s_uniq,
                           shape=s_shape)
             sh_diags, sh_offs = SparseDIA.host_transpose(s_diags, s_uniq,
@@ -422,9 +430,13 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
     # at a blocked fine level (e.g. 2 for 2D elasticity); K at the coarse
     # levels of a K-candidate structured hierarchy (node-major ordering)
     q = max(bs, 1)
+    # auto-dispatch only for 2D grids: 3^d grid-block aggregation in 3D
+    # over-coarsens vs strength-based aggregation (17 vs 13 iterations on
+    # 64^3 Poisson); 3D keeps reference-parity quality by default and the
+    # structured path stays available via aggregate=('grid', {...})
     if (grid is not None
             and symmetry in ("hermitian", "symmetric")
-            and afn in ("grid", "standard")
+            and (afn == "grid" or (afn == "standard" and len(grid) == 2))
             and sfn in (None, "jacobi", "richardson")
             and np.prod(grid) * q == A.shape[0]):
         _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,

@@ -40,6 +40,14 @@ extern "C" {
 // S (dependencies, CSR) and T = S^T (influences, CSR) as index arrays.
 // splitting out: 1 = C, 0 = F.
 // ---------------------------------------------------------------------------
+// The classic interval-list (bucket-sorted permutation) formulation: nodes
+// live in one permutation array, contiguously grouped by lambda; lambda
+// updates are O(1) swaps to an interval boundary, and the scan walks the
+// permutation from the high end.  The traversal ORDER (which max-lambda tie
+// is picked, where a re-weighted node lands) is part of observable behavior
+// — coarse grids at deeper levels depend on it — so the boundary mechanics
+// deliberately match the reference formulation (ruge_stuben.h:158)
+// move-for-move, not just the C/F invariants.
 void rs_cf_splitting(I n,
                      const I* Sp, const I* Sj,
                      const I* Tp, const I* Tj,
@@ -48,60 +56,74 @@ void rs_cf_splitting(I n,
     std::vector<I> lambda(n);
     for (I i = 0; i < n; i++) lambda[i] = Tp[i + 1] - Tp[i];
 
-    // bucket structure: nodes grouped by lambda value
-    I maxl = 0;
-    for (I i = 0; i < n; i++) maxl = std::max(maxl, lambda[i]);
-    // lambda can grow up to ~n; allocate generously
-    std::vector<std::vector<I>> buckets(static_cast<size_t>(n) + 2);
-    std::vector<I> version(n, 0);          // lazy-deletion versioning
-    std::vector<I> cur_lambda(n);
+    // permutation grouped by lambda: pos <-> node maps + interval bounds
+    std::vector<I> ivl_start(n + 2, 0), ivl_len(n + 2, 0);
+    std::vector<I> at_pos(n), pos_of(n);
+    for (I i = 0; i < n; i++) ivl_len[lambda[i]]++;
+    for (I v = 0, acc = 0; v <= n; v++) {
+        ivl_start[v] = acc;
+        acc += ivl_len[v];
+        ivl_len[v] = 0;
+    }
     for (I i = 0; i < n; i++) {
-        cur_lambda[i] = lambda[i];
-        buckets[lambda[i]].push_back(i);
+        I p = ivl_start[lambda[i]] + ivl_len[lambda[i]]++;
+        at_pos[p] = i;
+        pos_of[i] = p;
     }
 
-    std::vector<int32_t> state(n, U);
+    std::fill(splitting, splitting + n, U);
+    // isolated nodes (no influences, or only a stored self-loop) are F
     for (I i = 0; i < n; i++)
-        if (lambda[i] == 0) state[i] = F;   // nothing depends on i
+        if (lambda[i] == 0 || (lambda[i] == 1 && Tj[Tp[i]] == i))
+            splitting[i] = F;
 
-    I top = static_cast<I>(buckets.size()) - 1;
-    while (true) {
-        // find current max-lambda undecided node (lazy deletion)
-        while (top >= 0 && buckets[top].empty()) top--;
-        if (top < 0) break;
-        I i = buckets[top].back();
-        buckets[top].pop_back();
-        if (state[i] != U || cur_lambda[i] != top) continue;  // stale
+    auto swap_nodes = [&](I pa, I pb) {
+        pos_of[at_pos[pa]] = pb;
+        pos_of[at_pos[pb]] = pa;
+        std::swap(at_pos[pa], at_pos[pb]);
+    };
 
-        state[i] = C;
-        // dependents of i become F; their dependencies gain weight
+    for (I scan = n - 1; scan >= 0; scan--) {
+        I i = at_pos[scan];
+        ivl_len[lambda[i]]--;
+        if (splitting[i] == F) continue;
+        splitting[i] = C;
+
+        // undecided influences of i become F; their dependencies gain
+        // weight (promoted to the tail boundary of their interval)
         for (I jj = Tp[i]; jj < Tp[i + 1]; jj++) {
             I j = Tj[jj];
-            if (state[j] == U) {
-                state[j] = F;
-                for (I kk = Sp[j]; kk < Sp[j + 1]; kk++) {
-                    I k = Sj[kk];
-                    if (state[k] == U) {
-                        cur_lambda[k]++;
-                        if (cur_lambda[k] >= (I)buckets.size())
-                            cur_lambda[k] = (I)buckets.size() - 1;
-                        buckets[cur_lambda[k]].push_back(k);
-                        if (cur_lambda[k] > top) top = cur_lambda[k];
-                    }
-                }
+            if (splitting[j] != U) continue;
+            splitting[j] = F;
+            for (I kk = Sp[j]; kk < Sp[j + 1]; kk++) {
+                I k = Sj[kk];
+                if (splitting[k] != U || lambda[k] >= n - 1) continue;
+                I lv = lambda[k];
+                I tail = ivl_start[lv] + ivl_len[lv] - 1;
+                swap_nodes(pos_of[k], tail);
+                ivl_len[lv]--;
+                ivl_len[lv + 1]++;
+                ivl_start[lv + 1] = tail;
+                lambda[k]++;
             }
         }
-        // i's dependencies lose weight
+        // undecided dependencies of i lose weight (demoted to the head
+        // boundary of their interval)
         for (I jj = Sp[i]; jj < Sp[i + 1]; jj++) {
             I j = Sj[jj];
-            if (state[j] == U && cur_lambda[j] > 0) {
-                cur_lambda[j]--;
-                buckets[cur_lambda[j]].push_back(j);
-            }
+            if (splitting[j] != U || lambda[j] == 0) continue;
+            I lv = lambda[j];
+            I head = ivl_start[lv];
+            swap_nodes(pos_of[j], head);
+            ivl_len[lv]--;
+            ivl_len[lv - 1]++;
+            ivl_start[lv]++;
+            ivl_start[lv - 1] = ivl_start[lv] - ivl_len[lv - 1];
+            lambda[j]--;
         }
     }
     for (I i = 0; i < n; i++)
-        splitting[i] = (state[i] == C) ? 1 : 0;
+        splitting[i] = (splitting[i] == C) ? 1 : 0;
 }
 
 // ---------------------------------------------------------------------------

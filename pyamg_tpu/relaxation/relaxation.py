@@ -40,6 +40,10 @@ def make_system(A, x, b, formats=None):
         raise ValueError("A, x and b must have matching dimensions")
     if x.dtype != A.dtype and np.iscomplexobj(A.data) and not np.iscomplexobj(x):
         raise ValueError("x and A must have compatible dtypes")
+    if not np.issubdtype(x.dtype, np.inexact):
+        # the sweeps update x in place; an integer x cannot hold the result
+        # (reference make_system is equally strict, relaxation.py:21)
+        raise TypeError(f"x must be a float/complex array, got {x.dtype}")
     return A, x, b
 
 
