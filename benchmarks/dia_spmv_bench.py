@@ -6,7 +6,11 @@ at two iteration counts, and divide the difference — tunnel latency and
 dispatch overhead cancel.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -16,7 +20,7 @@ from pyamg_tpu.gallery import poisson
 from pyamg_tpu.sparse import SparseDIA
 from pyamg_tpu.sparse.pallas_kernels import (dia_matvec_pallas,
                                              dia_matvec_pallas_v1,
-                                             dia_matvec_pallas_v3)
+                                             dia_matvec_pallas_v2)
 
 G = 2048
 ITERS_LO, ITERS_HI = 10, 110
@@ -77,20 +81,20 @@ def main():
         diags=d, offsets=D.offsets, shape=D.shape).matvec_xla(v), D, x, nbytes)
     time_variant("pallas v1 (1-D tiles)", lambda d, v: dia_matvec_pallas_v1(
         d, D.offsets, v), D, x, nbytes)
-    time_variant("pallas v2 (2-D + rolls)", lambda d, v: dia_matvec_pallas(
+    time_variant("pallas v2 (2-D + rolls)", lambda d, v: dia_matvec_pallas_v2(
         d, D.offsets, v), D, x, nbytes)
-    time_variant("pallas v3 (1-D + halo)", lambda d, v: dia_matvec_pallas_v3(
+    time_variant("pallas halo (hot path)", lambda d, v: dia_matvec_pallas(
         d, D.offsets, v), D, x, nbytes)
 
     # bf16 diagonals, f32 vectors (mixed precision; halves diag traffic)
     Db = SparseDIA(diags=D.diags.astype(jnp.bfloat16), offsets=D.offsets,
                    shape=D.shape)
-    yb = np.asarray(dia_matvec_pallas_v3(Db.diags, Db.offsets, x))
-    print("v3-bf16 vs xla rel err:",
+    yb = np.asarray(dia_matvec_pallas(Db.diags, Db.offsets, x))
+    print("halo-bf16 vs xla rel err:",
           np.abs(np.asarray(y0) - yb).max() / np.abs(y0).max())
     nbytes_b = (k * 2 + 2 * 4) * n
-    time_variant("pallas v3 bf16 diags",
-                 lambda d, v: dia_matvec_pallas_v3(d, D.offsets, v),
+    time_variant("pallas halo bf16 diags",
+                 lambda d, v: dia_matvec_pallas(d, D.offsets, v),
                  Db, x, nbytes_b)
 
 

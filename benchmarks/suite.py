@@ -123,9 +123,12 @@ def main():
     def build3():
         g = (24, 24, 24) if s else (64, 64, 64)
         A = poisson(g, format="csr")
+        # 2^3 grid-block aggregation: all-DIA hierarchy (gather-free
+        # cycles) at reference-parity iteration counts (14 vs 13)
         ml = pyamg_tpu.smoothed_aggregation_solver(
             A, presmoother="chebyshev", postsmoother="chebyshev",
-            improve_candidates=None, op_dtype=jnp.float32)
+            improve_candidates=None, op_dtype=jnp.float32,
+            aggregate=("grid", {"block": (2, 2, 2)}))
         return A, ml, np.asarray(A @ rng.random(A.shape[0]))
 
     def solve3(ctx):
