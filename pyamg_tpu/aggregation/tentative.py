@@ -44,6 +44,24 @@ def fit_candidates(AggOp, B, tol=1e-10):
         raise ValueError("B rows must be a multiple of AggOp rows")
     bs = n_dof // n_nodes
 
+    if K == 1 and bs == 1:
+        nnz_row = np.diff(AggOp.indptr)
+        if nnz_row.max(initial=0) <= 1:
+            # scalar single candidate: per-aggregate normalization is a
+            # bincount — no per-aggregate index tables at all
+            agg_of = AggOp.indices
+            vals = np.ravel(B)[nnz_row.astype(bool)]
+            nrm = np.sqrt(np.bincount(agg_of,
+                                      weights=np.abs(vals) ** 2,
+                                      minlength=n_agg))
+            keep = nrm > tol * max(nrm.max(initial=0.0), 1e-300)
+            safe = np.where(keep, nrm, 1.0)
+            data = vals / safe[agg_of] * keep[agg_of]
+            T = sp.csr_matrix((data.astype(B.dtype), AggOp.indices,
+                               AggOp.indptr), shape=(n_nodes, n_agg))
+            Bc = (nrm * keep).astype(B.dtype)[:, None]
+            return T, Bc
+
     # rows of B per aggregate: nodes sorted by aggregate label
     Acsc = AggOp.tocsc()
     agg_sizes = np.diff(Acsc.indptr)           # nodes per aggregate

@@ -42,15 +42,19 @@ def rho_D_inv_A(A_csr, symmetric=None):
     import scipy.sparse as sp
 
     if symmetric and not np.iscomplexobj(d) and (d > 0).all():
-        dhalf_inv = 1.0 / np.sqrt(d)
+        # the 1%-accuracy Lanczos estimate doesn't need f64: f32 matvecs
+        # halve the bandwidth of the dominant cost on the host
+        A_rho = A_csr.astype(np.float32) if A_csr.dtype == np.float64 \
+            else A_csr
+        dhalf_inv = (1.0 / np.sqrt(d)).astype(A_rho.dtype, copy=False)
 
         class _Scaled:            # D^{-1/2} A D^{-1/2} without materializing
             shape = A_csr.shape
-            dtype = A_csr.dtype
+            dtype = A_rho.dtype
 
             @staticmethod
             def matvec(v):
-                return dhalf_inv * (A_csr @ (dhalf_inv * v))
+                return dhalf_inv * (A_rho @ (dhalf_inv * v))
 
         rho = approximate_spectral_radius(_Scaled(), symmetric=True)
     else:

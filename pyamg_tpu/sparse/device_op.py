@@ -24,11 +24,16 @@ DIA_MEM_FLOOR = 64_000_000   # ... or up to this many stored entries
 DENSE_MAX = 4096
 
 
-def _entry_offsets(A_csr):
-    """col - row for every stored entry, in int32 (valid for dims < 2^31)."""
+def _entry_rows_offsets(A_csr):
+    """(row, col - row) for every stored entry, in int32."""
     rows = np.repeat(np.arange(A_csr.shape[0], dtype=np.int32),
                      np.diff(A_csr.indptr))
-    return A_csr.indices.astype(np.int32, copy=False) - rows
+    return rows, A_csr.indices.astype(np.int32, copy=False) - rows
+
+
+def _entry_offsets(A_csr):
+    """col - row for every stored entry, in int32 (valid for dims < 2^31)."""
+    return _entry_rows_offsets(A_csr)[1]
 
 
 def _distinct_offsets(A_csr, entry_offs=None):
@@ -48,14 +53,18 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
 
     A_csr = sp.csr_matrix(A_csr)
     n, m = A_csr.shape
-    entry_offs = _entry_offsets(A_csr)
+    entry_rows, entry_offs = _entry_rows_offsets(A_csr)
     offs = _distinct_offsets(A_csr, entry_offs)
     k = int(offs.size)
     mem_ok = k * n <= max(DIA_MEM_BUDGET * max(A_csr.nnz, 1), DIA_MEM_FLOOR)
     if k <= dia_max_offsets and mem_ok:
-        return SparseDIA.from_scipy(A_csr, max_offsets=dia_max_offsets,
-                                    dtype=dtype, offsets=offs,
-                                    entry_offsets=entry_offs)
+        import jax.numpy as jnp
+
+        diags, uniq = SparseDIA.host_diags(
+            A_csr, max_offsets=dia_max_offsets, dtype=dtype, offsets=offs,
+            entry_offsets=entry_offs, entry_rows=entry_rows)
+        return SparseDIA(diags=jnp.asarray(diags), offsets=uniq,
+                         shape=A_csr.shape)
     if n <= dense_max and m <= dense_max:
         import jax.numpy as jnp
 

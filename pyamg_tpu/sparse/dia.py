@@ -63,7 +63,7 @@ class SparseDIA:
     # -- constructors --------------------------------------------------------
     @staticmethod
     def host_diags(A, max_offsets: int = 128, dtype=None,
-                   offsets=None, entry_offsets=None):
+                   offsets=None, entry_offsets=None, entry_rows=None):
         """Host-side (numpy) DIA arrays for a scipy matrix: returns
         ``(diags_np, offsets_tuple)`` without touching the device.  Setup
         code stages all array massaging through this so each operator costs
@@ -79,7 +79,11 @@ class SparseDIA:
 
         A = sp.csr_matrix(A)
         n, m = A.shape
-        rows = np.repeat(np.arange(n, dtype=np.int32), np.diff(A.indptr))
+        if entry_rows is None:
+            rows = np.repeat(np.arange(n, dtype=np.int32),
+                             np.diff(A.indptr))
+        else:
+            rows = entry_rows
         if entry_offsets is None:
             offs = A.indices.astype(np.int32, copy=False) - rows
         else:
@@ -97,14 +101,18 @@ class SparseDIA:
                 and not np.issubdtype(dt, np.complexfloating):
             raise ValueError("cannot build real DIA from complex data")
         diags = np.zeros((uniq.size, n), dtype=dt)
-        ks = np.searchsorted(uniq, offs)
+        # offset -> slot lookup table: O(nnz) gather instead of an
+        # O(nnz log k) searchsorted (plus it validates coverage for free)
+        lut = np.full(n + m + 1, -1, dtype=np.int64)
+        lut[uniq + n] = np.arange(uniq.size, dtype=np.int64)
+        ks = lut[offs.astype(np.int64, copy=False) + n]
         if offsets is not None and entry_offsets is None:
             # offsets supplied independently of the entries: validate
             # (when entry_offsets is given, uniq came from the same array)
-            ks = np.clip(ks, 0, uniq.size - 1)
-            if not (uniq[ks] == offs).all():
+            if (ks < 0).any():
                 raise ValueError("provided offsets do not cover the matrix")
-        diags[ks, rows] = A.data.astype(dt, copy=False)
+        # flat 1-D scatter (2-D fancy assignment is ~2x slower)
+        diags.reshape(-1)[ks * n + rows] = A.data.astype(dt, copy=False)
         return diags, tuple(int(o) for o in uniq)
 
     @staticmethod
