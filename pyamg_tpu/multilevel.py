@@ -470,40 +470,67 @@ class MultilevelSolver:
         return bound
 
     def _get_cached_standalone(self, cycle, maxiter):
-        """One jitted standalone-cycling program per (cycle, maxiter)."""
+        """Standalone cycling as dispatch-bounded chunks (same rationale as
+        the chunked PCG: device watchdogs kill single programs past
+        ~60-100 s; the carry makes chunking exact)."""
         key = ("standalone", str(cycle).upper(), maxiter)
         if key not in self._solve_cache:
             raw_cyc = self._raw_cycle(cycle)
 
             @jax.jit
-            def run_raw(hier, x0, b, tol_t):
+            def init(hier, x0, b):
+                A = hier["As"][0]
+                r0 = b - A.matvec(x0)
+                res_buf = jnp.zeros(
+                    maxiter + 1,
+                    dtype=jnp.real(jnp.zeros(0, b.dtype)).dtype)
+                res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
+                return (x0, 0, res_buf)
+
+            @jax.jit
+            def chunk(hier, b, carry, tol_t, it_cap):
                 A = hier["As"][0]
 
-                def body(carry):
-                    x, it, res_buf = carry
+                def body(c):
+                    x, it, res_buf = c
                     x = raw_cyc(hier, x, b)
                     r = b - A.matvec(x)
                     it = it + 1
                     res_buf = res_buf.at[it].set(jnp.linalg.norm(r))
                     return (x, it, res_buf)
 
-                def cond(carry):
-                    x, it, res_buf = carry
-                    return (res_buf[it] > tol_t) & (it < maxiter)
+                def cond(c):
+                    return (c[2][c[1]] > tol_t) & (c[1] < it_cap)
 
-                r0 = b - A.matvec(x0)
-                res_buf = jnp.zeros(
-                    maxiter + 1,
-                    dtype=jnp.real(jnp.zeros(0, b.dtype)).dtype)
-                res_buf = res_buf.at[0].set(jnp.linalg.norm(r0))
-                return jax.lax.while_loop(cond, body, (x0, 0, res_buf))
+                out = jax.lax.while_loop(cond, body, carry)
+                stat = jnp.stack([out[2][out[1]],
+                                  out[1].astype(out[2].dtype)])
+                return out, stat
 
-            self._solve_cache[key] = run_raw
-        run_raw = self._solve_cache[key]
+            self._solve_cache[key] = (init, chunk)
+        init, chunk = self._solve_cache[key]
         hier = self._dev()
 
         def bound(x0, b, tol_t):
-            return run_raw(hier, x0, b, tol_t)
+            import time as _time
+
+            carry = init(hier, x0, b)
+            it, chunk_n = 0, 6
+            while it < maxiter:
+                t0 = _time.time()
+                carry, stat = chunk(hier, b, carry, tol_t,
+                                    min(it + chunk_n, maxiter))
+                stat = np.asarray(stat)      # small D2H, forces completion
+                dt = _time.time() - t0
+                res, it_new = float(stat[0]), int(stat[1])
+                advanced = it_new - it
+                it = it_new
+                if res <= float(tol_t) or advanced == 0:
+                    break
+                chunk_n = int(np.clip(
+                    self._CHUNK_TARGET_S / max(dt / max(advanced, 1), 1e-4),
+                    4, maxiter))
+            return carry
 
         return bound
 
