@@ -295,14 +295,25 @@ class StructuredShardedSolver:
         normb = jnp.linalg.norm(b_d)
         tol_t = tol * jnp.where(normb == 0, 1.0, normb)
         if accel is None:
-            # the standalone fused program takes the hierarchy pytree as an
-            # argument, so it shards exactly like the accel cores
+            # the standalone chunked programs take the hierarchy pytree as
+            # an argument, so they shard exactly like the accel cores
             key = ("standalone", str(cycle).upper(), int(maxiter))
             self.ml._get_cached_standalone(cycle, int(maxiter))
-            run = self.ml._solve_cache[key]
+            init, chunk = self.ml._solve_cache[key]
             rdt = jnp.real(jnp.zeros(0, b_d.dtype)).dtype
-            x, it, res_buf = run(self._hier, jnp.zeros_like(b_d), b_d,
-                                 jnp.asarray(tol_t, dtype=rdt))
+            tol_r = jnp.asarray(tol_t, dtype=rdt)
+            carry = init(self._hier, jnp.zeros_like(b_d), b_d)
+            it = 0
+            while it < maxiter:
+                carry, stat = chunk(self._hier, b_d, carry, tol_r,
+                                    min(it + 25, maxiter))
+                stat = np.asarray(stat)
+                res, it_new = float(stat[0]), int(stat[1])
+                if res <= float(tol_r) or it_new == it:
+                    it = it_new
+                    break
+                it = it_new
+            x, _it, res_buf = carry
         else:
             run = self.ml._raw_accel(accel, cycle, int(maxiter))
             x, it, res_buf = run(self._hier, jnp.zeros_like(b_d), b_d, tol_t)

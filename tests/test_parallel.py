@@ -140,3 +140,41 @@ class TestShardedSmootherFidelity:
         assert np.linalg.norm(b - A @ x2) < 1e-6 * np.linalg.norm(b)
         x3 = sml.solve(b, tol=1e-10, maxiter=50, accel="fgmres")
         assert np.linalg.norm(b - A @ x3) < 1e-8 * np.linalg.norm(b)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedBlockHierarchies:
+    """Round-2: BSR/BDIA hierarchies (elasticity RBMs, multi-candidate SA)
+    shard faithfully through the padded-ELL path."""
+
+    def test_sharded_elasticity_matches_single(self):
+        from pyamg_tpu.gallery import linear_elasticity
+        from pyamg_tpu.parallel import shard_solver
+
+        A, B = linear_elasticity((16, 16))
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, B=B, max_coarse=40)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        res1 = []
+        x1 = ml.solve(b, tol=1e-8, maxiter=40, residuals=res1)
+        sml = shard_solver(ml, n_devices=8)
+        res2 = []
+        x2 = sml.solve(b, tol=1e-8, maxiter=40, residuals=res2)
+        assert np.allclose(x1, x2, atol=1e-6)
+        assert abs(conv_factor(res1) - conv_factor(res2)) < 1e-5
+
+    def test_sharded_multicandidate_matches_single(self):
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        from pyamg_tpu.parallel import shard_solver
+
+        sten = diffusion_stencil_2d(epsilon=0.01, theta=0.0, type="FD")
+        A = stencil_grid(sten, (24, 24), format="csr")
+        n = A.shape[0]
+        rng = np.random.default_rng(1)
+        B = np.stack([np.ones(n), rng.random(n)], axis=1)
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, B=B, max_coarse=30, improve_candidates=None)
+        b = rng.standard_normal(n)
+        x1 = ml.solve(b, tol=1e-8, maxiter=40)
+        sml = shard_solver(ml, n_devices=8)
+        x2 = sml.solve(b, tol=1e-8, maxiter=40)
+        assert np.allclose(x1, x2, atol=1e-6)
