@@ -286,11 +286,9 @@ def _finalize_device_operators(levels, op_dtype=None):
             SH = SparseBDIA(blocks=jnp.asarray(sh_blocks),
                             offsets=sh_boffs, shape=s_shape)
         else:
-            s_offs = None
-            if isinstance(lvl.A, SparseDIA):
-                s_offs = sorted(set(lvl.A.offsets) | {0})
+            # native two-pass staging discovers S's offsets itself (they
+            # coincide with A's plus the diagonal)
             s_diags, s_uniq = SparseDIA.host_diags(meta["S_csr"], dtype=npdt,
-                                                   offsets=s_offs,
                                                    max_offsets=1024)
             S = SparseDIA(diags=jnp.asarray(s_diags), offsets=s_uniq,
                           shape=s_shape)

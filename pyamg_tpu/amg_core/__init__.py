@@ -63,6 +63,7 @@ def have_native() -> bool:
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
 _I = ctypes.c_int64
 _D = ctypes.c_double
 
@@ -90,6 +91,18 @@ def _declare(lib):
     lib.first_fit_coloring.argtypes = [_I, _i64p, _i64p, _i32p]
     lib.bsr_gauss_seidel.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p,
                                      _f64p, _f64p, _I, _I, _I]
+    lib.dia_offsets.argtypes = [_I, _I, _i64p, _i64p, _I, _i64p]
+    lib.dia_offsets.restype = _I
+    lib.dia_offsets_i32.argtypes = [_I, _I, _i32p, _i32p, _I, _i64p]
+    lib.dia_offsets_i32.restype = _I
+    lib.csr_to_dia_f64.argtypes = [_I, _I, _i64p, _i64p, _f64p, _I, _i64p,
+                                   _f64p]
+    lib.csr_to_dia_f32.argtypes = [_I, _I, _i64p, _i64p, _f64p, _I, _i64p,
+                                   _f32p]
+    lib.csr_to_dia_f64_i32.argtypes = [_I, _I, _i32p, _i32p, _f64p, _I,
+                                       _i64p, _f64p]
+    lib.csr_to_dia_f32_i32.argtypes = [_I, _I, _i32p, _i32p, _f64p, _I,
+                                       _i64p, _f32p]
     lib.evolution_nulldim1.argtypes = [_I, _i64p, _i64p, _f64p, _f64p, _D]
     lib.distance_filter.argtypes = [_I, _i64p, _i64p, _f64p, _D]
     lib.standard_interpolation.argtypes = [_I, _i64p, _i64p, _f64p,
@@ -330,3 +343,68 @@ def standard_interpolation_native(A, S, splitting, cmap, nc):
                                      cmap64, Pp, Pj, Px)
     return sp.csr_matrix((Px[:nnz].copy(), Pj[:nnz].copy(), Pp),
                          shape=(n, int(nc)))
+
+
+def dia_offsets_native(A_csr, max_offsets=128):
+    """Distinct diagonal offsets of a CSR matrix (sorted int64 array) in
+    one native pass; None without the library or if more than
+    ``max_offsets`` diagonals."""
+    lib = _load()
+    if not lib:
+        return None
+    n, m = A_csr.shape
+    offsets = np.zeros(max_offsets, dtype=np.int64)
+    idx = (A_csr.indptr, A_csr.indices)
+    if all(a.dtype == np.int32 for a in idx):
+        k = lib.dia_offsets_i32(n, m, np.ascontiguousarray(A_csr.indptr),
+                                np.ascontiguousarray(A_csr.indices),
+                                max_offsets, offsets)
+    else:
+        Ap, Aj = _csr_arrays(A_csr)
+        k = lib.dia_offsets(n, m, Ap, Aj, max_offsets, offsets)
+    if k < 0:
+        return None
+    return offsets[:k].copy()
+
+
+def csr_to_dia_fill_native(A_csr, offsets, dtype=None):
+    """Scatter a real-f64 CSR matrix into zeroed (k, n) diagonal arrays in
+    one native pass (casting on the fly); None for unsupported dtypes."""
+    lib = _load()
+    if not lib or A_csr.dtype != np.float64 \
+            or np.iscomplexobj(A_csr.data):
+        return None
+    dt = np.dtype(dtype) if dtype is not None else A_csr.dtype
+    if dt not in (np.dtype(np.float64), np.dtype(np.float32)):
+        return None
+    n, m = A_csr.shape
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    k = offsets.size
+    Ax = np.ascontiguousarray(A_csr.data, dtype=np.float64)
+    diags = np.zeros((k, n), dtype=dt)
+    idx = (A_csr.indptr, A_csr.indices)
+    if all(a.dtype == np.int32 for a in idx):
+        Ap = np.ascontiguousarray(A_csr.indptr)
+        Aj = np.ascontiguousarray(A_csr.indices)
+        fill = lib.csr_to_dia_f32_i32 if dt == np.float32 \
+            else lib.csr_to_dia_f64_i32
+    else:
+        Ap, Aj = _csr_arrays(A_csr)
+        fill = lib.csr_to_dia_f32 if dt == np.float32 \
+            else lib.csr_to_dia_f64
+    fill(n, m, Ap, Aj, Ax, k, offsets, diags)
+    return diags
+
+
+def csr_to_dia_native(A_csr, dtype=None, max_offsets=128):
+    """(diags, offsets) DIA host arrays for a real-f64 CSR matrix in two
+    single-stream native passes; None without the native library / for
+    unsupported dtypes / too many diagonals (role of the numpy
+    gather-scatter staging in SparseDIA.host_diags)."""
+    offs = dia_offsets_native(A_csr, max_offsets=max_offsets)
+    if offs is None:
+        return None
+    diags = csr_to_dia_fill_native(A_csr, offs, dtype=dtype)
+    if diags is None:
+        return None
+    return diags, tuple(int(o) for o in offs)

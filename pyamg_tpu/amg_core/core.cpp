@@ -465,6 +465,81 @@ void masked_spgemm_i32(int32_t n_row,
 }
 
 // ---------------------------------------------------------------------------
+// CSR -> DIA staging, two single-stream passes (role of the scipy todia /
+// numpy gather-scatter chain in SparseDIA.host_diags, which costs ~4 full
+// memory passes over nnz-sized index arrays on the 1-core host):
+//   dia_offsets  — discover the distinct diagonals (sorted); returns count
+//                  or -1 if more than max_offsets
+//   csr_to_dia_f64 / _f32 — scatter values into caller-zeroed (k, n)
+//                  diagonal arrays, casting once on the fly
+// ---------------------------------------------------------------------------
+}  // extern "C"
+
+template <typename Ix>
+static I dia_offsets_impl(I n, I m, const Ix* Ap, const Ix* Aj,
+                          I max_offsets, I* offsets_out) {
+    std::vector<char> present(n + m + 1, 0);
+    for (I i = 0; i < n; i++)
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++)
+            present[(I)Aj[jj] - i + n] = 1;
+    I k = 0;
+    for (I t = 0; t < (I)present.size(); t++) {
+        if (!present[t]) continue;
+        if (k >= max_offsets) return -1;
+        offsets_out[k++] = t - n;
+    }
+    return k;
+}
+
+template <typename Ix, typename T>
+static void csr_to_dia_impl(I n, I m, const Ix* Ap, const Ix* Aj,
+                            const double* Ax,
+                            I k, const I* offsets, T* diags) {
+    std::vector<int32_t> lut(n + m + 1, -1);
+    for (I t = 0; t < k; t++) lut[offsets[t] + n] = (int32_t)t;
+    for (I i = 0; i < n; i++)
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            const I slot = lut[(I)Aj[jj] - i + n];
+            diags[slot * n + i] = (T)Ax[jj];
+        }
+}
+
+extern "C" {
+
+I dia_offsets(I n, I m, const I* Ap, const I* Aj,
+              I max_offsets, I* offsets_out) {
+    return dia_offsets_impl<I>(n, m, Ap, Aj, max_offsets, offsets_out);
+}
+
+I dia_offsets_i32(I n, I m, const int32_t* Ap, const int32_t* Aj,
+                  I max_offsets, I* offsets_out) {
+    return dia_offsets_impl<int32_t>(n, m, Ap, Aj, max_offsets,
+                                     offsets_out);
+}
+
+void csr_to_dia_f64(I n, I m, const I* Ap, const I* Aj, const double* Ax,
+                    I k, const I* offsets, double* diags) {
+    csr_to_dia_impl<I, double>(n, m, Ap, Aj, Ax, k, offsets, diags);
+}
+
+void csr_to_dia_f32(I n, I m, const I* Ap, const I* Aj, const double* Ax,
+                    I k, const I* offsets, float* diags) {
+    csr_to_dia_impl<I, float>(n, m, Ap, Aj, Ax, k, offsets, diags);
+}
+
+void csr_to_dia_f64_i32(I n, I m, const int32_t* Ap, const int32_t* Aj,
+                        const double* Ax, I k, const I* offsets,
+                        double* diags) {
+    csr_to_dia_impl<int32_t, double>(n, m, Ap, Aj, Ax, k, offsets, diags);
+}
+
+void csr_to_dia_f32_i32(I n, I m, const int32_t* Ap, const int32_t* Aj,
+                        const double* Ax, I k, const I* offsets,
+                        float* diags) {
+    csr_to_dia_impl<int32_t, float>(n, m, Ap, Aj, Ax, k, offsets, diags);
+}
+
+// ---------------------------------------------------------------------------
 // evolution-SOC single-candidate misfit measure (role of the NullDim==1 case
 // of evolution_strength_helper, evolution_strength.h:316), one pass over the
 // evolved operator:  for row i with diagonal z_ii the fit coefficient is

@@ -51,15 +51,26 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
     """Pick the best device representation for a host CSR operator."""
     import scipy.sparse as sp
 
+    from ..amg_core import dia_offsets_native, csr_to_dia_fill_native
+
     A_csr = sp.csr_matrix(A_csr)
     n, m = A_csr.shape
-    entry_rows, entry_offs = _entry_rows_offsets(A_csr)
-    offs = _distinct_offsets(A_csr, entry_offs)
+    offs = dia_offsets_native(A_csr, max_offsets=dia_max_offsets)
+    entry_rows = entry_offs = None
+    if offs is None:
+        # no native library (or >max_offsets): numpy discovery
+        entry_rows, entry_offs = _entry_rows_offsets(A_csr)
+        offs = _distinct_offsets(A_csr, entry_offs)
     k = int(offs.size)
     mem_ok = k * n <= max(DIA_MEM_BUDGET * max(A_csr.nnz, 1), DIA_MEM_FLOOR)
     if k <= dia_max_offsets and mem_ok:
         import jax.numpy as jnp
 
+        diags = csr_to_dia_fill_native(A_csr, offs, dtype=dtype)
+        if diags is not None:
+            return SparseDIA(diags=jnp.asarray(diags),
+                             offsets=tuple(int(o) for o in offs),
+                             shape=A_csr.shape)
         diags, uniq = SparseDIA.host_diags(
             A_csr, max_offsets=dia_max_offsets, dtype=dtype, offsets=offs,
             entry_offsets=entry_offs, entry_rows=entry_rows)

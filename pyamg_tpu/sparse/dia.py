@@ -79,6 +79,15 @@ class SparseDIA:
 
         A = sp.csr_matrix(A)
         n, m = A.shape
+        if offsets is None and entry_offsets is None and entry_rows is None:
+            from ..amg_core import csr_to_dia_native
+
+            out = csr_to_dia_native(A, dtype=dtype,
+                                    max_offsets=max_offsets)
+            if out is not None:
+                return out
+            # fall through: numpy staging (also raises the over-limit
+            # ValueError below for parity with the native rejection)
         if entry_rows is None:
             rows = np.repeat(np.arange(n, dtype=np.int32),
                              np.diff(A.indptr))
