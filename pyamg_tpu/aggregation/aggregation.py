@@ -337,11 +337,15 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
 
     n = A.shape[0]
     K = B.shape[1]
-    if K == 1:
+    q_lvl = max(getattr(lvl, "blocksize", 1), 1)
+    if K == 1 and q_lvl == 1:
         wmap = np.zeros(n, dtype=A.dtype)
         rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
         wmap[rows_w] = T.data
     else:
+        # 2-D wmap (n_dofs, K): required whenever the fine level is
+        # node-blocked (q_lvl > 1), even for K == 1 — the 1-D grid-op form
+        # assumes one dof per grid node
         wmap = np.zeros((n, K), dtype=A.dtype)
         rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
         wmap[rows_w, T.indices % K] = T.data

@@ -568,3 +568,20 @@ class TestStructuredMultiCandidate:
         assert isinstance(ml.levels[0].A, SparseDIA)
         assert all(isinstance(l.A, (SparseDIA, SparseBDIA))
                    for l in ml.levels)
+
+    def test_single_candidate_on_blocked_fine_level(self):
+        """K=1 with a BSR (q>1) fine level: the grid transfers must use the
+        2-D wmap form (regression: 1-D wmap shape mismatch)."""
+        from pyamg_tpu.gallery import linear_elasticity
+        rng = np.random.default_rng(2)
+        A, _B = linear_elasticity((12, 12))
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, B=np.ones((A.shape[0], 1)), max_coarse=30)
+        b = rng.standard_normal(A.shape[0])
+        Ac = A.tocsr()
+        x = ml.solve(b, tol=1e-7, maxiter=60, accel="cg")
+        assert np.linalg.norm(b - Ac @ x) < 1e-5 * np.linalg.norm(b)
+        for i, l in enumerate(ml.levels[:-1]):
+            z = rng.standard_normal(l.P_csr.shape[1])
+            assert np.allclose(np.asarray(l.P @ z), l.P_csr @ z,
+                               atol=1e-8), f"P{i}"
