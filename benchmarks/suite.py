@@ -156,9 +156,13 @@ def main():
         g = (128, 128) if s else (1024, 1024)
         sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
         A = stencil_grid(sten, g, format="csr")
+        # one well-relaxed candidate + zebra line relaxation: the scalar
+        # hierarchy auto-semicoarsens across the weak axis (15 iterations,
+        # ~3 s setup vs 31/~40 s with num_candidates=2; the reference ran
+        # its own default smoothers with num_candidates=2 -> 112 iterations)
         ml, work = pyamg_tpu.adaptive_sa_solver(
-            A, num_candidates=2, max_coarse=100,
-            prepostsmoother="zebra")   # line relaxation for anisotropy
+            A, num_candidates=1, candidate_iters=15, max_coarse=100,
+            prepostsmoother="zebra")
         ml = ml.astype(jnp.float32)
         return A, ml, np.asarray(A @ rng.random(A.shape[0]))
 

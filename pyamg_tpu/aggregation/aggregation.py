@@ -190,6 +190,11 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
     # aggregate=('grid', {'grid': ..., 'block': ...})) enables the
     # gather-free DIA/grid-op fast path on TPU
     levels[0].grid = getattr(A_in, "grid", None)
+    # anisotropy-aware semicoarsening (weak-axis-only grid blocks) is only
+    # contractive together with line relaxation along the strong axis
+    _pre_name = unpack_arg(presmoother)[0]
+    levels[0]._line_smoother = _pre_name in ("zebra", "line_jacobi",
+                                             "line_gauss_seidel")
     agg0 = aggregate[0] if isinstance(aggregate, list) else aggregate
     fn0, kw0 = unpack_arg(agg0)
     if fn0 == "grid" and "grid" in kw0:
@@ -329,7 +334,34 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     from ..relaxation.smoothing import rho_D_inv_A
     from .tentative import fit_candidates
 
-    block = tuple(akw.get("block", (3,) * len(grid)))
+    block = akw.get("block")
+    if block is None:
+        # per-level anisotropy-aware blocks: under strong grid-aligned
+        # anisotropy, line relaxation (zebra) solves along the strong axis
+        # and the remaining error is smooth along the WEAK axes only —
+        # coarsen those, keep the strong axis fine (semicoarsening).
+        # Prolongation smoothing is disabled for such levels: smoothing P
+        # along an uncoarsened axis widens the coarse stencil without bound.
+        strides = [int(np.prod(grid[kk + 1:])) * max(
+            getattr(lvl, "blocksize", 1), 1) for kk in range(len(grid))]
+        coup = np.array([np.abs(A.diagonal(s)).sum() + 1e-300
+                         for s in strides])
+        line_smoothing = getattr(lvl, "_line_smoother", False)
+        # scalar hierarchies only: with K candidates the dof count shrinks
+        # by 3/K per semicoarsened level — for K >= 2 the hierarchy barely
+        # coarsens (or grows) and setup/cycle costs explode
+        scalar = (B.shape[1] == 1
+                  and max(getattr(lvl, "blocksize", 1), 1) == 1)
+        if (line_smoothing and scalar and len(grid) >= 2
+                and coup.max() > 25.0 * coup.min()):
+            geo = float(np.sqrt(coup.max() * coup.min()))
+            block = tuple(1 if c > geo else 3 for c in coup)
+            sfn, skw = None, {}
+        else:
+            block = (3,) * len(grid)
+    block = tuple(block)
+    if all(b == 1 for b in block):
+        block = (3,) * len(grid)
     AggOp, roots, cgrid = grid_aggregation(grid, block)
     T, B_coarse = fit_candidates(AggOp, B)
     T = T.tocsr()
@@ -394,6 +426,7 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     new.symmetry = symmetry
     new.A_bsr = None
     new.grid = cgrid
+    new._line_smoother = getattr(lvl, "_line_smoother", False)
     levels.append(new)
 
 

@@ -585,3 +585,43 @@ class TestStructuredMultiCandidate:
             z = rng.standard_normal(l.P_csr.shape[1])
             assert np.allclose(np.asarray(l.P @ z), l.P_csr @ z,
                                atol=1e-8), f"P{i}"
+
+
+class TestAutoSemicoarsening:
+    """Under strong grid-aligned anisotropy with a line smoother, the
+    structured path semicoarsens the weak axis (tentative-only P) and the
+    cycle becomes nearly mesh-independent."""
+
+    def test_weak_axis_blocks_and_convergence(self):
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        rng = np.random.default_rng(0)
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+        A = stencil_grid(sten, (96, 96), format="csr")
+        b = np.asarray(A @ rng.random(A.shape[0]))
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, max_coarse=60, improve_candidates=None,
+            presmoother="zebra", postsmoother="zebra")
+        # semicoarsening: first coarse level shrinks ~3x (one axis), not 9x
+        n0, n1 = ml.levels[0].A_csr.shape[0], ml.levels[1].A_csr.shape[0]
+        assert n1 > n0 // 5          # would be ~n0/9 with (3, 3) blocks
+        res = []
+        x = ml.solve(b, tol=1e-8, maxiter=30, accel="cg", residuals=res)
+        assert len(res) - 1 <= 12
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
+
+    def test_isotropic_unaffected(self):
+        A = poisson((32, 32), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, max_coarse=50, improve_candidates=None,
+            presmoother="zebra", postsmoother="zebra")
+        n0, n1 = ml.levels[0].A_csr.shape[0], ml.levels[1].A_csr.shape[0]
+        assert n1 <= n0 // 8         # full (3, 3) coarsening
+
+    def test_point_smoothers_unaffected(self):
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+        A = stencil_grid(sten, (48, 48), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, max_coarse=50, improve_candidates=None)
+        n0, n1 = ml.levels[0].A_csr.shape[0], ml.levels[1].A_csr.shape[0]
+        assert n1 <= n0 // 8         # no line smoother -> no semicoarsening
