@@ -740,49 +740,49 @@ class MultilevelSolver:
         if method != "defect":
             raise ValueError(f"unknown solve_mp method {method!r}")
 
-        key = ("mp", accel, cycle, int(inner_maxiter), int(max_rounds),
+        # each refinement round is its own device dispatch (watchdog-safe:
+        # a round is one inner Krylov solve, bounded by inner_maxiter; very
+        # slow hierarchies should lower inner_maxiter rather than rely on a
+        # single multi-round program)
+        key = ("mp_round", accel, cycle, int(inner_maxiter),
                float(inner_tol_factor))
         if key not in self._solve_cache:
             run_inner = self._raw_accel(accel, cycle, int(inner_maxiter))
             ifac = float(inner_tol_factor)
-            rounds_max = int(max_rounds)
 
             @jax.jit
-            def run_mp(hier, A64, b64, tol_abs):
+            def one_round(hier, A64, b64, x64):
                 f32 = hier["As"][0].dtype
+                r64 = b64 - A64.matvec(x64)
+                nr = jnp.linalg.norm(r64)
+                r32 = r64.astype(f32)
+                tol_t = (ifac * nr).astype(jnp.real(r32).dtype)
+                dx32, it, res_buf = run_inner(
+                    hier, jnp.zeros_like(r32), r32, tol_t)
+                x64 = x64 + dx32.astype(b64.dtype)
+                nr_est = jnp.abs(res_buf[it]).astype(jnp.float64)
+                return x64, jnp.stack([nr_est, it.astype(jnp.float64)])
 
-                def body(carry):
-                    x64, _nr_est, rounds, iters = carry
-                    r64 = b64 - A64.matvec(x64)
-                    nr = jnp.linalg.norm(r64)
-                    r32 = r64.astype(f32)
-                    tol_t = (ifac * nr).astype(jnp.real(r32).dtype)
-                    dx32, it, res_buf = run_inner(
-                        hier, jnp.zeros_like(r32), r32, tol_t)
-                    x64 = x64 + dx32.astype(b64.dtype)
-                    nr_est = jnp.abs(res_buf[it]).astype(jnp.float64)
-                    return (x64, nr_est, rounds + 1, iters + it + 1)
-
-                def cond(carry):
-                    _x, nr_est, rounds, _i = carry
-                    return (nr_est > 0.5 * tol_abs) & (rounds < rounds_max)
-
-                x0 = jnp.zeros_like(b64)
-                carry = (x0, jnp.linalg.norm(b64), 0, 0)
-                return jax.lax.while_loop(cond, body, carry)
-
-            self._solve_cache[key] = run_mp
-        run_mp = self._solve_cache[key]
+            self._solve_cache[key] = one_round
+        one_round = self._solve_cache[key]
 
         dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
             else jnp.float64
         b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
-        normb = jnp.linalg.norm(b64)
-        tol_abs = tol * jnp.where(normb == 0, 1.0, normb)
-        x64, _nr, rounds, iters = run_mp(self._dev(), A64, b64, tol_abs)
+        normb = float(np.linalg.norm(np.asarray(b64)))
+        tol_abs = tol * (normb if normb != 0 else 1.0)
+        hier = self._dev()
+        x64 = jnp.zeros_like(b64)
+        rounds, iters = 0, 0
+        while rounds < int(max_rounds):
+            x64, stat = one_round(hier, A64, b64, x64)
+            stat = np.asarray(stat)          # small D2H per round
+            rounds += 1
+            iters += int(stat[1]) + 1
+            if float(stat[0]) <= 0.5 * tol_abs:
+                break
         if return_info:
-            return x64, {"rounds": int(rounds),
-                         "inner_iterations": int(iters)}
+            return x64, {"rounds": rounds, "inner_iterations": iters}
         return x64
 
     # -- public solve API -------------------------------------------------
