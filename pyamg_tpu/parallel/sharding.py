@@ -132,6 +132,15 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
         stri = (NamedSharding(mesh, P(None, axis, None))
                 if nlines % nd == 0 else repl)
         line_tri = jax.device_put(line_tri, stri)
+    color_rows, color_cols, color_data = (sm.color_rows, sm.color_cols,
+                                          sm.color_data)
+    if color_rows is not None:
+        # gather-form GS state: row ids address original rows (< n_pad) and
+        # the x-gather is global; replicate the (C, R, W) arrays (they live
+        # on gather-bound unstructured levels, which are small)
+        color_rows = jax.device_put(color_rows, repl)
+        color_cols = jax.device_put(color_cols, repl)
+        color_data = jax.device_put(color_data, repl)
     return SmootherData(kind=sm.kind, iterations=sm.iterations,
                         sweep=sm.sweep, omega=sm.omega, dinv=dinv,
                         color_masks=masks, coefficients=sm.coefficients,
@@ -140,7 +149,9 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
                         subdomain_idx=subdomain_idx,
                         subdomain_inv=subdomain_inv,
                         line_tri=line_tri, grid=sm.grid,
-                        line_axis=sm.line_axis)
+                        line_axis=sm.line_axis,
+                        color_rows=color_rows, color_cols=color_cols,
+                        color_data=color_data)
 
 
 class ShardedSolver:

@@ -51,11 +51,15 @@ class SmootherData:
     line_tri: Optional[jnp.ndarray] = None   # (3, nlines, L) dl/d/du
     grid: Tuple[int, ...] = ()               # static, for line smoothers
     line_axis: int = -1                      # static
+    color_rows: Optional[jnp.ndarray] = None  # (C, R) int32, -1 padded
+    color_cols: Optional[jnp.ndarray] = None  # (C, R, W) int32
+    color_data: Optional[jnp.ndarray] = None  # (C, R, W)
 
     def tree_flatten(self):
         children = (self.dinv, self.color_masks, self.block_dinv, self.AT,
                     self.dinv_ne, self.subdomain_idx, self.subdomain_inv,
-                    self.line_tri)
+                    self.line_tri, self.color_rows, self.color_cols,
+                    self.color_data)
         aux = (self.kind, self.iterations, self.sweep, self.omega,
                self.coefficients, self.blocksize, self.grid, self.line_axis)
         return children, aux
@@ -63,7 +67,8 @@ class SmootherData:
     @classmethod
     def tree_unflatten(cls, aux, children):
         (dinv, color_masks, block_dinv, AT, dinv_ne, subdomain_idx,
-         subdomain_inv, line_tri) = children
+         subdomain_inv, line_tri, color_rows, color_cols,
+         color_data) = children
         (kind, iterations, sweep, omega, coefficients, blocksize, grid,
          line_axis) = aux
         return cls(kind=kind, iterations=iterations, sweep=sweep, omega=omega,
@@ -71,7 +76,9 @@ class SmootherData:
                    coefficients=coefficients, block_dinv=block_dinv,
                    blocksize=blocksize, AT=AT, dinv_ne=dinv_ne,
                    subdomain_idx=subdomain_idx, subdomain_inv=subdomain_inv,
-                   line_tri=line_tri, grid=grid, line_axis=line_axis)
+                   line_tri=line_tri, grid=grid, line_axis=line_axis,
+                   color_rows=color_rows, color_cols=color_cols,
+                   color_data=color_data)
 
     def astype(self, dtype):
         cast = lambda a: None if a is None else a.astype(dtype)  # noqa: E731
@@ -86,7 +93,9 @@ class SmootherData:
             subdomain_idx=self.subdomain_idx,    # indices stay integer
             subdomain_inv=cast(self.subdomain_inv),
             line_tri=cast(self.line_tri), grid=self.grid,
-            line_axis=self.line_axis)
+            line_axis=self.line_axis,
+            color_rows=self.color_rows, color_cols=self.color_cols,
+            color_data=cast(self.color_data))
 
 
 # ---------------------------------------------------------------------------
@@ -118,6 +127,30 @@ def multicolor_gs_step(A: SparseELL, dinv, color_masks, x, b, reverse=False):
         return x + color_masks[idx] * dinv * r
 
     return jax.lax.fori_loop(0, ncolors, body, x)
+
+
+def multicolor_gs_gather_step(sm: "SmootherData", x, b, reverse=False):
+    """One multicolor Gauss-Seidel sweep in gather form: per color, gather
+    only that color's rows (padded (C, R, W) arrays) and update them.
+
+    Equivalent iteration to :func:`multicolor_gs_step` under the same
+    coloring, but the whole sweep touches each matrix row exactly once —
+    one matvec-equivalent total instead of one FULL matvec per color
+    (decisive on gather-bound ELL levels with dozens of colors)."""
+    C = sm.color_rows.shape[0]
+
+    def body(c, x):
+        idx = C - 1 - c if reverse else c
+        rows = sm.color_rows[idx]                    # (R,)
+        valid = (rows >= 0).astype(x.dtype)
+        safe = jnp.maximum(rows, 0)
+        Ax = jnp.einsum("rw,rw->r", sm.color_data[idx],
+                        x[sm.color_cols[idx]])
+        r = b[safe] - Ax
+        upd = valid * sm.dinv[safe] * r
+        return x.at[safe].add(upd)
+
+    return jax.lax.fori_loop(0, C, body, x)
 
 
 def polynomial_step(A: SparseELL, coefficients, x, b):
@@ -348,11 +381,17 @@ def apply_smoother(sm: SmootherData, A: SparseELL, x, b):
         elif sm.kind == "richardson":
             x = richardson_step(A, x, b, sm.omega)
         elif sm.kind in ("gauss_seidel", "multicolor_gauss_seidel"):
-            if sm.sweep in ("forward", "symmetric"):
-                x = multicolor_gs_step(A, sm.dinv, sm.color_masks, x, b)
-            if sm.sweep in ("backward", "symmetric"):
-                x = multicolor_gs_step(A, sm.dinv, sm.color_masks, x, b,
-                                       reverse=True)
+            if sm.color_rows is not None:
+                if sm.sweep in ("forward", "symmetric"):
+                    x = multicolor_gs_gather_step(sm, x, b)
+                if sm.sweep in ("backward", "symmetric"):
+                    x = multicolor_gs_gather_step(sm, x, b, reverse=True)
+            else:
+                if sm.sweep in ("forward", "symmetric"):
+                    x = multicolor_gs_step(A, sm.dinv, sm.color_masks, x, b)
+                if sm.sweep in ("backward", "symmetric"):
+                    x = multicolor_gs_step(A, sm.dinv, sm.color_masks, x, b,
+                                           reverse=True)
         elif sm.kind in ("polynomial", "chebyshev"):
             x = polynomial_step(A, sm.coefficients, x, b)
         elif sm.kind == "block_jacobi":

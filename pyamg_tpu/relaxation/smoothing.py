@@ -114,9 +114,9 @@ def _grid_coloring(grid, offsets):
     return color
 
 
-def _color_masks(A_csr, blocksize=1, dtype=None, grid=None, offsets=None):
-    """(ncolors, n) float masks from a graph coloring of A — geometric
-    (2 or 2^d colors) on structured grids, Jones-Plassmann otherwise.
+def _coloring(A_csr, blocksize=1, grid=None, offsets=None):
+    """Graph coloring of A (per node): geometric (2 or 2^d colors) on
+    structured grids, greedy first-fit / Jones-Plassmann otherwise.
 
     ``offsets``: known distinct diagonal offsets (skips the O(nnz)
     rediscovery when the level's device operator is DIA)."""
@@ -151,6 +151,15 @@ def _color_masks(A_csr, blocksize=1, dtype=None, grid=None, offsets=None):
         from ..amg_core import have_native
 
         colors = vertex_coloring(G, method="FF" if have_native() else "JP")
+    return np.asarray(colors)
+
+
+def _color_masks(A_csr, blocksize=1, dtype=None, grid=None, offsets=None,
+                 colors=None):
+    """(ncolors, n) float masks from a graph coloring of A."""
+    if colors is None:
+        colors = _coloring(A_csr, blocksize=blocksize, grid=grid,
+                           offsets=offsets)
     ncolors = int(colors.max()) + 1
     nb = colors.shape[0]
     rdt = dtype or np.real(np.zeros(0, dtype=A_csr.dtype)).dtype
@@ -159,6 +168,43 @@ def _color_masks(A_csr, blocksize=1, dtype=None, grid=None, offsets=None):
     if blocksize > 1:
         masks = np.repeat(masks, blocksize, axis=1)
     return jnp.asarray(masks)
+
+
+def _color_gather_arrays(A_csr, colors, dtype=None):
+    """Per-color padded row arrays for the gather-form multicolor GS:
+    ``(color_rows (C,R) int32 -1-padded, color_cols (C,R,W) int32,
+    color_data (C,R,W))``.
+
+    The mask-form sweep costs one FULL matvec per color — ruinous on
+    gather-bound (ELL) levels with dozens of colors.  The gather form
+    touches every matrix row exactly once per sweep (one matvec-equivalent
+    total) by updating only each color's own rows."""
+    n = A_csr.shape[0]
+    colors = np.asarray(colors)
+    C = int(colors.max()) + 1
+    counts = np.bincount(colors, minlength=C)
+    R = int(counts.max())
+    nnz_row = np.diff(A_csr.indptr)
+    W = int(nnz_row.max()) if n else 0
+    order = np.argsort(colors, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    slot = np.arange(n) - starts[colors[order]]
+    color_rows = np.full((C, R), -1, dtype=np.int32)
+    color_rows[colors[order], slot] = order.astype(np.int32)
+    # entry scatter: (color, slot, pos-in-row)
+    rows_e = np.repeat(np.arange(n), nnz_row)
+    pos_e = np.arange(A_csr.nnz) - np.repeat(A_csr.indptr[:-1], nnz_row)
+    slot_of_row = np.empty(n, dtype=np.int64)
+    slot_of_row[order] = slot
+    dt = dtype or A_csr.dtype
+    color_cols = np.zeros((C, R, W), dtype=np.int32)
+    color_data = np.zeros((C, R, W), dtype=dt)
+    color_cols[colors[rows_e], slot_of_row[rows_e], pos_e] = \
+        A_csr.indices.astype(np.int32, copy=False)
+    color_data[colors[rows_e], slot_of_row[rows_e], pos_e] = \
+        A_csr.data.astype(dt, copy=False)
+    return (jnp.asarray(color_rows), jnp.asarray(color_cols),
+            jnp.asarray(color_data))
 
 
 def make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
@@ -221,12 +267,24 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
     grid = getattr(lvl, "grid", None)
 
     if fn_name in ("gauss_seidel", "multicolor_gauss_seidel"):
+        from ..sparse import SparseELL as _ELL
+
+        colors = _coloring(A_csr, grid=grid, offsets=known_offsets)
+        if isinstance(A_dev, _ELL) or int(colors.max()) + 1 > 8:
+            # gather-form sweep: one matvec-equivalent per sweep instead of
+            # ncolors full matvecs — decisive on unstructured (ELL) levels
+            # where colorings run to dozens of colors
+            cr, cc, cd = _color_gather_arrays(A_csr, colors, dtype=npdt)
+            return SmootherData(kind="gauss_seidel", iterations=iterations,
+                                sweep=sweep,
+                                dinv=jnp.asarray(_dinv(A_csr, npdt)),
+                                color_rows=cr, color_cols=cc, color_data=cd)
         return SmootherData(kind="gauss_seidel", iterations=iterations,
                             sweep=sweep,
                             dinv=jnp.asarray(_dinv(A_csr, npdt)),
                             color_masks=_color_masks(
                                 A_csr, dtype=rdt, grid=grid,
-                                offsets=known_offsets))
+                                colors=colors))
 
     if fn_name == "sor":
         omega = float(kwargs.get("omega", 1.0))

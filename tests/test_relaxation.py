@@ -373,3 +373,33 @@ class TestNormalEquationSmoothers:
             x = apply_smoother(sm, lvl.A, jnp.zeros(N), jnp.asarray(b))
             r = np.linalg.norm(b - A @ np.asarray(x))
             assert r < 0.7 * np.linalg.norm(b), name
+
+
+class TestGatherFormMulticolorGS:
+    """The gather-form sweep (per-color row subsets) must produce the
+    identical iteration to the mask-form multicolor GS."""
+
+    def test_matches_mask_form(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.gallery import sprand
+        import scipy.sparse as sp
+        from pyamg_tpu.sparse import SparseELL
+        from pyamg_tpu.relaxation.smoothing import (
+            _coloring, _color_masks, _color_gather_arrays)
+        from pyamg_tpu.relaxation.device import (
+            SmootherData, multicolor_gs_step, multicolor_gs_gather_step)
+        rng = np.random.default_rng(3)
+        A = (sprand(60, 60, 0.1, seed=5) + 10 * sp.eye(60)).tocsr()
+        E = SparseELL.from_scipy(A)
+        colors = _coloring(A)
+        masks = _color_masks(A, colors=colors)
+        cr, cc, cd = _color_gather_arrays(A, colors)
+        dinv = jnp.asarray(1.0 / A.diagonal())
+        sm = SmootherData(kind="gauss_seidel", dinv=dinv, color_rows=cr,
+                          color_cols=cc, color_data=cd)
+        x0 = jnp.asarray(rng.standard_normal(60))
+        b = jnp.asarray(rng.standard_normal(60))
+        for rev in (False, True):
+            x1 = multicolor_gs_step(E, dinv, masks, x0, b, reverse=rev)
+            x2 = multicolor_gs_gather_step(sm, x0, b, reverse=rev)
+            assert np.allclose(np.asarray(x1), np.asarray(x2), atol=1e-12)
