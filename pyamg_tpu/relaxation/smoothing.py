@@ -270,10 +270,11 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
         from ..sparse import SparseELL as _ELL
 
         colors = _coloring(A_csr, grid=grid, offsets=known_offsets)
-        if isinstance(A_dev, _ELL) or int(colors.max()) + 1 > 8:
+        if isinstance(A_dev, _ELL):
             # gather-form sweep: one matvec-equivalent per sweep instead of
-            # ncolors full matvecs — decisive on unstructured (ELL) levels
-            # where colorings run to dozens of colors
+            # ncolors full matvecs — decisive on gather-bound (ELL) levels.
+            # DIA levels keep the mask form: their matvec is so cheap that
+            # ncolors shift-multiply passes beat re-gathering the matrix.
             cr, cc, cd = _color_gather_arrays(A_csr, colors, dtype=npdt)
             return SmootherData(kind="gauss_seidel", iterations=iterations,
                                 sweep=sweep,
