@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ComposedOp", "GridRepeatOp", "GridPoolOp", "DenseOp"]
+__all__ = ["ComposedOp", "GridRepeatOp", "GridPoolOp", "DenseOp",
+           "CptProlongOp", "CptRestrictOp"]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -274,3 +275,96 @@ class DenseOp:
         import scipy.sparse as sp
 
         return sp.csr_matrix(np.asarray(self.mat))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class CptProlongOp:
+    """Classical-AMG prolongation as a fine-embedded DIA operator.
+
+    P (n_fine x n_coarse CSR) has irregular coarse column ids, so a direct
+    device form is gather-bound ELL.  But each coarse dof IS a fine C-point:
+    re-indexing P's columns to the C-points' fine positions gives an
+    (n x n) operator whose offsets are the fine-grid distances to nearby
+    C-points — banded exactly where the level itself is banded.  Applying
+    P = scatter the coarse vector onto the C-point positions (n_c cheap
+    scatters), then one shift-multiply-add DIA matvec. ~7x faster than the
+    ELL form at 1M rows (45 ms -> 6 ms for the P/R pair).
+    """
+
+    dia: "object"                   # SparseDIA (n_fine, n_fine)
+    cpts: jnp.ndarray               # (n_coarse,) int32 fine positions
+    shape: Tuple[int, int]          # (n_fine, n_coarse)
+
+    def tree_flatten(self):
+        return (self.dia, self.cpts), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dia, cpts = children
+        (shape,) = aux
+        return cls(dia=dia, cpts=cpts, shape=shape)
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+    def astype(self, dtype):
+        return CptProlongOp(dia=self.dia.astype(dtype), cpts=self.cpts,
+                            shape=self.shape)
+
+    def matvec(self, xc):
+        xf = jnp.zeros((self.shape[0],), dtype=xc.dtype)
+        xf = xf.at[self.cpts].set(xc)
+        return self.dia.matvec(xf)
+
+    def __matmul__(self, x):
+        return self.matvec(jnp.asarray(x))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        Pf = self.dia.to_scipy().tocsc()
+        cpts = np.asarray(self.cpts)
+        return Pf[:, cpts].tocsr()
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class CptRestrictOp:
+    """P^T in fine-embedded DIA form: one DIA matvec then gather the
+    C-point rows (see :class:`CptProlongOp`)."""
+
+    dia: "object"                   # SparseDIA (n_fine, n_fine) = Pf^T
+    cpts: jnp.ndarray               # (n_coarse,) int32
+    shape: Tuple[int, int]          # (n_coarse, n_fine)
+
+    def tree_flatten(self):
+        return (self.dia, self.cpts), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        dia, cpts = children
+        (shape,) = aux
+        return cls(dia=dia, cpts=cpts, shape=shape)
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+    def astype(self, dtype):
+        return CptRestrictOp(dia=self.dia.astype(dtype), cpts=self.cpts,
+                             shape=self.shape)
+
+    def matvec(self, r):
+        return self.dia.matvec(r)[self.cpts]
+
+    def __matmul__(self, x):
+        return self.matvec(jnp.asarray(x))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        RfT = self.dia.to_scipy().tocsr()
+        cpts = np.asarray(self.cpts)
+        return RfT[cpts, :].tocsr()
