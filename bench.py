@@ -56,7 +56,6 @@ def build_solver(A):
         postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
         improve_candidates=None,
         op_dtype=jnp.float32)      # f32 device hierarchy (preconditioner)
-    ml._op_dtype = jnp.float32
     return ml
 
 

@@ -39,6 +39,12 @@ from .tentative import fit_candidates
 __all__ = ["adaptive_sa_solver", "eliminate_local_candidates",
            "initial_setup_stage"]
 
+# host smoothers that take a `sweep` argument (jacobi/polynomial/schwarz
+# and the Kaczmarz variants do not — passing sweep to them is a TypeError)
+_SWEEP_SMOOTHERS = frozenset(["gauss_seidel", "sor", "block_gauss_seidel",
+                              "gauss_seidel_indexed", "gauss_seidel_ne",
+                              "gauss_seidel_nr"])
+
 
 def _relax_zero(A, x, method, iterations):
     """Relax on A x = 0 in place (host); returns x."""
@@ -49,12 +55,12 @@ def _relax_zero(A, x, method, iterations):
         # device-only smoother names (zebra, chebyshev, ...) fall back to
         # Gauss-Seidel for the host-side candidate relaxation
         fn, kwargs = "gauss_seidel", {"sweep": "symmetric"}
-    fn = getattr(rel, fn)
     b = np.zeros(A.shape[0], dtype=A.dtype)
     kwargs = dict(kwargs)
     kwargs.pop("iterations", None)
-    kwargs.setdefault("sweep", "symmetric")
-    fn(A, x, b, iterations=iterations, **kwargs)
+    if fn in _SWEEP_SMOOTHERS:
+        kwargs.setdefault("sweep", "symmetric")
+    getattr(rel, fn)(A, x, b, iterations=iterations, **kwargs)
     return x
 
 
@@ -180,10 +186,15 @@ def initial_setup_stage(A, symmetry, pdef, candidate_iters, epsilon,
     return x, aggregate, strength, work
 
 
-def _host_vcycle(As, Ps, i, x, b, prepostsmoother, candidate_iters=1):
+def _host_vcycle(As, Ps, i, x, b, prepostsmoother, candidate_iters=1,
+                 Rs=None):
     """One host V-cycle on the (A, P) lists starting at level ``i`` (used to
     refine candidates on partially-updated sub-hierarchies without compiling
-    device programs for every temporary solver)."""
+    device programs for every temporary solver).
+
+    ``Rs``: optional precomputed restrictions (P^H per level) — forming
+    P.conjugate().T on the fly copies P's data at every level of every
+    cycle."""
     A = As[i]
     if i >= len(Ps) or Ps[i] is None or A.shape[0] <= 1:
         try:
@@ -194,9 +205,12 @@ def _host_vcycle(As, Ps, i, x, b, prepostsmoother, candidate_iters=1):
     _relax_rhs(A, x, b, prepostsmoother, candidate_iters)
     r = b - A @ x
     P = Ps[i]
-    bc = P.conjugate().T @ r
+    if Rs is not None and i < len(Rs) and Rs[i] is not None:
+        bc = Rs[i] @ r
+    else:
+        bc = P.conjugate().T @ r
     xc = _host_vcycle(As, Ps, i + 1, np.zeros_like(bc), bc,
-                      prepostsmoother, candidate_iters)
+                      prepostsmoother, candidate_iters, Rs=Rs)
     x = x + P @ xc
     _relax_rhs(A, x, b, prepostsmoother, candidate_iters)
     return x
@@ -210,7 +224,8 @@ def _relax_rhs(A, x, b, method, iterations):
         fn, kwargs = "gauss_seidel", {"sweep": "symmetric"}
     kwargs = dict(kwargs)
     kwargs.pop("iterations", None)
-    kwargs.setdefault("sweep", "symmetric")
+    if fn in _SWEEP_SMOOTHERS:
+        kwargs.setdefault("sweep", "symmetric")
     getattr(rel, fn)(A, x, b, iterations=iterations, **kwargs)
 
 
@@ -256,9 +271,11 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
     # can never pay for itself
     As_full = [l.A_csr for l in levels]
     Ps_full = [getattr(l, "P_csr", None) for l in levels[:-1]]
+    Rs_full = [getattr(l, "R_csr", None) for l in levels[:-1]]
     b0 = np.zeros(n, dtype=A.dtype)
     for _ in range(candidate_iters):
-        x = _host_vcycle(As_full, Ps_full, 0, x, b0, prepostsmoother, 1)
+        x = _host_vcycle(As_full, Ps_full, 0, x, b0, prepostsmoother, 1,
+                         Rs=Rs_full)
     work += 2 * ml.operator_complexity() * A.nnz * candidate_iters
 
     T0 = levels[0].T if hasattr(levels[0], "T") else None
@@ -437,10 +454,12 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                 As_t = [l.A_csr for l in sa_tmp.levels]
                 Ps_t = [getattr(l, "P_csr", None)
                         for l in sa_tmp.levels[:-1]]
+                Rs_t = [getattr(l, "R_csr", None)
+                        for l in sa_tmp.levels[:-1]]
                 x = x0
                 for _ in range(candidate_iters):
                     x = _host_vcycle(As_t, Ps_t, 0, x, b0,
-                                     prepostsmoother, 1)
+                                     prepostsmoother, 1, Rs=Rs_t)
                 work += (2 * sa_tmp.operator_complexity() * A.nnz
                          * candidate_iters)
                 elim, elim_kwargs = unpack_arg(eliminate_local)
@@ -451,17 +470,19 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                         **elim_kwargs)
                 nrm = norm(x, "inf")
                 B = np.column_stack([B, x / (nrm if nrm else 1.0)])
-        ml = build(B, aggregate, strength, keep_flag=keep)
+        ml = build(B, aggregate, strength, keep_flag=keep, device=True)
     elif improvement_iters > 0:
         # single candidate: repeat the initial descent from the current B
         for _ in range(improvement_iters):
-            x, aggregate, strength, w = initial_setup_stage(
+            x, aggregate_f2, strength_f2, w = initial_setup_stage(
                 A, symmetry, pdef, candidate_iters, epsilon,
                 len(aggregate) + 1 if isinstance(aggregate, list)
                 else max_levels,
                 max_coarse, aggregate, prepostsmoother, smooth, strength,
                 initial_candidate=B[:, 0], seed=seed)
             work += w
+            if getattr(A, "grid", None) is None:
+                aggregate, strength = aggregate_f2, strength_f2
             B = (x / max(norm(x, "inf"), 1e-300))[:, None].astype(A.dtype)
         ml = build(B, aggregate, strength, keep_flag=keep, device=True)
     else:

@@ -287,7 +287,9 @@ def _finalize_device_operators(levels, op_dtype=None):
                            shape=s_shape)
             sh_blocks, sh_boffs = SparseBDIA.host_transpose(
                 s_blocks, s_boffs,
-                conj=np_.iscomplexobj(meta["S_csr"].data))
+                conj=(np_.iscomplexobj(meta["S_csr"].data)
+                      and getattr(lvl, "symmetry", "hermitian")
+                      == "hermitian"))
             SH = SparseBDIA(blocks=jnp.asarray(sh_blocks),
                             offsets=sh_boffs, shape=s_shape)
         else:
@@ -299,7 +301,8 @@ def _finalize_device_operators(levels, op_dtype=None):
                           shape=s_shape)
             sh_diags, sh_offs = SparseDIA.host_transpose(s_diags, s_uniq,
                                                          s_shape)
-            if np_.iscomplexobj(meta["S_csr"].data):
+            if np_.iscomplexobj(meta["S_csr"].data) \
+                    and getattr(lvl, "symmetry", "hermitian") == "hermitian":
                 sh_diags = sh_diags.conj()
             SH = SparseDIA(diags=jnp.asarray(sh_diags), offsets=sh_offs,
                            shape=s_shape[::-1])

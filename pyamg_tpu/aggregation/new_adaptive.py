@@ -146,7 +146,6 @@ def local_ritz_process(A, AggOp, B, weak_tol=15.0, verbose=False):
         ptr += m
     T = sp.csr_matrix((vals[:ptr], (rows[:ptr], cols[:ptr])),
                       shape=(n, n_cols))
-    per_agg = np.repeat(counts, sizes * npdes)
     if verbose:
         print(f"local Ritz: {n_cols} columns from {K}x{n_agg} potential")
     return T, counts
@@ -265,6 +264,11 @@ def _try_solve(A_l, levels, level, *, max_targets, min_targets,
             return
         if cur.B.shape[1] >= max_targets:
             return
+        count += 1
+        if count >= max_level_iterations:
+            # iteration cap: exit WITHOUT touching B/T so the stored level
+            # metadata stays consistent with the P/R actually built
+            return
         # the slow error is the next target
         B = global_ritz_process(A_l, cur.B, t, weak_tol=weak_tol,
                                 verbose=verbose)
@@ -272,7 +276,6 @@ def _try_solve(A_l, levels, level, *, max_targets, min_targets,
                                          weak_tol=local_weak_tol,
                                          verbose=verbose)
         cur.B, cur.T = B, T
-        count += 1
 
 
 def tl_sa_solver(A, B=None, max_targets=4, min_targets=0,
@@ -296,6 +299,11 @@ def tl_sa_solver(A, B=None, max_targets=4, min_targets=0,
     if "improvement_iters" in kwargs:
         max_level_iterations = max(kwargs.pop("improvement_iters") // 2, 1)
     kwargs.pop("target_convergence", None)
+    if kwargs:
+        import warnings
+
+        warnings.warn("tl_sa_solver ignoring unsupported options: "
+                      f"{sorted(kwargs)}")
 
     from ..multilevel import MultilevelSolver, Level
     from ..relaxation.smoothing import change_smoothers

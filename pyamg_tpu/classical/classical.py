@@ -209,9 +209,10 @@ def _cpt_embedded_transfers(lvl, dtype=None, max_offsets=96):
     mem_cap = max(10 * max(Pf.nnz, 1), 64_000_000)
     if len(pf_offs) * n > mem_cap:
         return None
+    # R_csr is the PLAIN transpose P.T (classical.py Galerkin build) — the
+    # embedded restriction must match it, so no conjugation even for
+    # complex matrices
     rt_diags, rt_offs = SparseDIA.host_transpose(pf_diags, pf_offs, (n, n))
-    if np.iscomplexobj(P.data):
-        rt_diags = rt_diags.conj()
     cpts_dev = jnp.asarray(cpts)
     Pdia = SparseDIA(diags=jnp.asarray(pf_diags), offsets=pf_offs,
                      shape=(n, n))

@@ -625,3 +625,23 @@ class TestAutoSemicoarsening:
             A, max_coarse=50, improve_candidates=None)
         n0, n1 = ml.levels[0].A_csr.shape[0], ml.levels[1].A_csr.shape[0]
         assert n1 <= n0 // 8         # no line smoother -> no semicoarsening
+
+
+class TestAdaptiveRegressions:
+    """Regressions from the round-2 code review."""
+
+    def test_improvement_iters_multicandidate_returns_device_solver(self):
+        A = poisson((20, 20), format="csr")
+        ml, _w = pyamg_tpu.adaptive_sa_solver(
+            A, num_candidates=2, improvement_iters=1, max_coarse=40)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        x = ml.solve(b, tol=1e-7, maxiter=40)
+        assert np.linalg.norm(b - A @ x) < 1e-5 * np.linalg.norm(b)
+
+    def test_sweepless_prepostsmoother(self):
+        A = poisson((20, 20), format="csr")
+        ml, _w = pyamg_tpu.adaptive_sa_solver(
+            A, prepostsmoother="jacobi", max_coarse=40)
+        b = np.random.default_rng(1).standard_normal(A.shape[0])
+        x = ml.solve(b, tol=1e-6, maxiter=40)
+        assert np.linalg.norm(b - A @ x) < 1e-4 * np.linalg.norm(b)

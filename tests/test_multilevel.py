@@ -286,3 +286,19 @@ class TestSolveMP:
         res = []
         ml64.solve(b, tol=1e-8, accel="cg", maxiter=100, residuals=res)
         assert info["inner_iterations"] <= (len(res) - 1) + 2
+
+
+class TestComplexClassicalTransfers:
+    def test_embedded_R_matches_host_R(self):
+        """Classical R_csr = P.T (plain transpose, no conjugate); the
+        fine-embedded device restriction must match it for complex A."""
+        import scipy.sparse as sp
+        rng = np.random.default_rng(0)
+        A = (poisson((24, 24), format="csr")
+             + 0.05j * sp.eye(576)).tocsr()
+        ml = pyamg_tpu.ruge_stuben_solver(A)
+        for i, l in enumerate(ml.levels[:-1]):
+            r = (rng.standard_normal(l.P_csr.shape[0])
+                 + 1j * rng.standard_normal(l.P_csr.shape[0]))
+            assert np.allclose(np.asarray(l.R @ r), l.R_csr @ r,
+                               atol=1e-12), f"R{i}"
