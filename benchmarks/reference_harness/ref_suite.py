@@ -9,15 +9,22 @@ import pyamg
 from pyamg.gallery import poisson, stencil_grid, linear_elasticity
 from pyamg.gallery.diffusion import diffusion_stencil_2d
 
-rng = np.random.default_rng(0)
 out = json.load(open("/tmp/ref_suite.json")) if __import__("os").path.exists("/tmp/ref_suite.json") else {}
 
 
-def run(name, build, accel="cg", tol=1e-10, maxiter=400):
+def run(name, build, accel="cg", tol=1e-10, maxiter=400, rhs="smooth"):
+    # A FRESH rng per config: the RHS is identical no matter which configs
+    # ran (or were resumed) before, and matches benchmarks/suite.py exactly
+    # ("smooth" = A @ rng.random, as suite.py builds 1/2/3/5; "normal" =
+    # rng.standard_normal, as suite.py build4 does for elasticity).
+    rng = np.random.default_rng(0)
     t0 = time.time()
     A, ml = build()
     ts = time.time() - t0
-    b = np.asarray(A @ rng.random(A.shape[0])).ravel()
+    if rhs == "normal":
+        b = rng.standard_normal(A.shape[0])
+    else:
+        b = np.asarray(A @ rng.random(A.shape[0])).ravel()
     res = []
     t0 = time.time()
     x = ml.solve(b, tol=tol, accel=accel, maxiter=maxiter, residuals=res)
@@ -57,7 +64,7 @@ def build_elasticity():
     return A.tocsr(), ml
 
 
-run("elasticity_rbm_sa", build_elasticity, maxiter=400)
+run("elasticity_rbm_sa", build_elasticity, maxiter=400, rhs="normal")
 
 
 def build_adaptive():

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from ._common import prepare, norm, finalize, make_rmatvec
 
 __all__ = ["cr", "cgne", "cgnr", "steepest_descent", "minimal_residual",
-           "bicgstab"]
+           "bicgstab", "bicgstab_init", "bicgstab_chunk"]
 
 
 def _run(cond, body, carry0, it_index):
@@ -237,6 +237,52 @@ def bicgstab_core(mv, pre, x, b, tol_t, maxiter):
 
     carry = _run(cond, body, (x, r, p, rho, 0, res_buf), -2)
     return carry[0], carry[-2], carry[-1]
+
+
+def bicgstab_init(mv, pre, x, b, maxiter):
+    """Initial BiCGStab carry for :func:`bicgstab_chunk`:
+    ``(x, r, rhat, p, rho, it, res_buf)``."""
+    r = b - mv(x)
+    rho = jnp.vdot(r, r)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(r))
+    return (x, r, r, r, rho, 0, res_buf)
+
+
+def bicgstab_chunk(mv, pre, carry, tol_t, it_cap):
+    """Continue BiCGStab from ``carry`` until ``res <= tol_t`` or ``it >=
+    it_cap`` (both traced) — dispatch-bounded chunks with exact carried
+    state, same rationale as :func:`~pyamg_tpu.krylov._cg.cg_chunk`.
+
+    The carry keeps ``rhat`` (the shadow residual fixed at iteration 0), so
+    the iterate sequence is identical to a single fused loop."""
+
+    def body(c):
+        x, r, rhat, p, rho, it, res_buf = c
+        phat = pre(p)
+        v = mv(phat)
+        d = jnp.vdot(rhat, v)
+        alpha = rho / jnp.where(d == 0, 1, d)
+        s = r - alpha * v
+        shat = pre(s)
+        t = mv(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / jnp.where(tt == 0, 1, tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / jnp.where(rho == 0, 1, rho)) * \
+            (alpha / jnp.where(omega == 0, 1, omega))
+        p = r + beta * (p - omega * v)
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, rhat, p, rho_new, it, res_buf)
+
+    def cond(c):
+        it, res_buf = c[-2], c[-1]
+        return (res_buf[it] > tol_t) & (it < it_cap)
+
+    return jax.lax.while_loop(cond, body, carry)
 
 
 def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,

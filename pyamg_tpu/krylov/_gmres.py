@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ._common import prepare, norm, identity_M, make_matvec
 
-__all__ = ["gmres", "gmres_mgs", "gmres_householder", "fgmres"]
+__all__ = ["gmres", "gmres_mgs", "gmres_householder", "fgmres",
+           "gmres_init", "gmres_chunk"]
 
 
 def gmres(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None, xtype=None,
@@ -182,6 +183,50 @@ def gmres_core(mv, pre, x, b, tol_t, maxiter, restrt=30, flexible=False):
     carry = (x, 0, res_buf, 0, beta0)
     x, it, res_buf, _outer, _last = jax.lax.while_loop(cond, body, carry)
     return x, it, res_buf
+
+
+def gmres_init(mv, pre, x, b, maxiter):
+    """Initial restarted-GMRES carry for :func:`gmres_chunk`:
+    ``(x, it, res_buf, outer, last)`` — matches gmres_core's loop carry."""
+    rdtype = jnp.real(b).dtype
+    res_buf = jnp.zeros(maxiter + 1, dtype=rdtype)
+    r0 = b - mv(x)
+    beta0 = jnp.linalg.norm(r0)
+    res_buf = res_buf.at[0].set(beta0)
+    return (x, 0, res_buf, 0, beta0)
+
+
+def gmres_chunk(mv, pre, b, carry, tol_t, it_cap, maxiter, restrt=30,
+                flexible=False):
+    """Continue restarted GMRES from ``carry`` until ``last <= tol_t`` or
+    ``it >= it_cap`` (both traced).
+
+    Chunking happens at RESTART boundaries: each while_loop body is one
+    Arnoldi cycle of ≤ ``restrt`` iterations, so a chunk overshoots its cap
+    by < restrt iterations and each dispatch stays bounded.  Restart
+    boundaries discard the Krylov basis anyway, so the iterate sequence is
+    identical to the fused gmres_core."""
+    restrt = int(min(restrt, b.shape[0], maxiter))
+    max_outer = max(1, -(-int(maxiter) // restrt))
+
+    def body(c):
+        x, it, res_buf, outer, last = c
+        x_new, res_hist, k, beta = _arnoldi_cycle(
+            mv, pre, x, b, restrt, tol_t, flexible=flexible)
+        idx = it + 1 + jnp.arange(restrt)
+        valid = jnp.arange(restrt) < k
+        idx = jnp.where(valid, idx, maxiter)
+        res_buf = res_buf.at[jnp.minimum(idx, maxiter)].set(
+            jnp.where(valid, res_hist,
+                      res_buf[jnp.minimum(idx, maxiter)]))
+        last_new = jnp.where(k > 0, res_hist[jnp.maximum(k - 1, 0)], last)
+        return (x_new, it + k, res_buf, outer + 1, last_new)
+
+    def cond(c):
+        _x, it, _res, outer, last = c
+        return (last > tol_t) & (outer < max_outer) & (it < it_cap)
+
+    return jax.lax.while_loop(cond, body, carry)
 
 
 def _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback, residuals,

@@ -512,24 +512,10 @@ class MultilevelSolver:
         hier = self._dev()
 
         def bound(x0, b, tol_t):
-            import time as _time
-
             carry = init(hier, x0, b)
-            it, chunk_n = 0, 6
-            while it < maxiter:
-                t0 = _time.time()
-                carry, stat = chunk(hier, b, carry, tol_t,
-                                    min(it + chunk_n, maxiter))
-                stat = np.asarray(stat)      # small D2H, forces completion
-                dt = _time.time() - t0
-                res, it_new = float(stat[0]), int(stat[1])
-                advanced = it_new - it
-                it = it_new
-                if res <= float(tol_t) or advanced == 0:
-                    break
-                chunk_n = int(np.clip(
-                    self._CHUNK_TARGET_S / max(dt / max(advanced, 1), 1e-4),
-                    4, maxiter))
+            carry, _it, _rounds = self._drive_chunks(
+                lambda c, cap: chunk(hier, b, c, tol_t, cap),
+                carry, float(tol_t), maxiter)
             return carry
 
         return bound
@@ -549,65 +535,174 @@ class MultilevelSolver:
         if accel == "cg":
             return self._solve_mp_pcg_cg_chunked(A64, b, tol, cycle,
                                                  maxiter, return_info)
-        key = ("mp_pcg", accel, str(cycle).upper(), int(maxiter))
+        # bicgstab/gmres/fgmres run through the SAME dispatch-bounded chunk
+        # driver as cg: the device watchdog (~60-100 s per dispatch) does
+        # not care which Krylov method is in the program.  gmres/fgmres
+        # chunk at restart boundaries (the basis is discarded there anyway).
+        key = ("mp_pcg_chunk", accel, str(cycle).upper(), int(maxiter))
         if key not in self._solve_cache:
-            import functools
+            from .krylov._cgs_family import bicgstab_init, bicgstab_chunk
+            from .krylov._gmres import gmres_init, gmres_chunk
 
-            from .krylov._cg import cg_core
-            from .krylov._cgs_family import bicgstab_core
-            from .krylov._gmres import gmres_core
-
-            cores = {
-                "cg": cg_core,
-                "bicgstab": bicgstab_core,
-                "gmres": functools.partial(gmres_core,
-                                           restrt=min(30, maxiter)),
-                "fgmres": functools.partial(gmres_core,
-                                            restrt=min(30, maxiter),
-                                            flexible=True),
-            }
-            core = cores[accel]
             raw_cyc = self._raw_cycle(cycle)
 
-            @jax.jit
-            def run(hier, A64, b64, tol_abs):
+            def _ops(hier, A64, dt64):
                 f32 = hier["As"][0].dtype
 
                 def mv(v):
                     return A64.matvec(v)
 
                 def pre(r64):
-                    # scale to O(1) before the f32 cast: late-stage residuals
-                    # (~1e-10·||b||) underflow f32 otherwise
+                    # scale to O(1) before the f32 cast: late-stage
+                    # residuals (~1e-10*||b||) underflow f32 otherwise
                     s = jnp.linalg.norm(r64)
                     s = jnp.where(s == 0, 1.0, s)
                     r32 = (r64 / s).astype(f32)
                     z32 = raw_cyc(hier, jnp.zeros_like(r32), r32)
-                    return z32.astype(b64.dtype) * s
+                    return z32.astype(dt64) * s
 
-                x0 = jnp.zeros_like(b64)
-                return core(mv, pre, x0, b64, tol_abs, maxiter)
+                return mv, pre
 
-            self._solve_cache[key] = run
-        run = self._solve_cache[key]
+            if accel == "bicgstab":
+                @jax.jit
+                def init(hier, A64, b64):
+                    mv, pre = _ops(hier, A64, b64.dtype)
+                    return bicgstab_init(mv, pre, jnp.zeros_like(b64), b64,
+                                         int(maxiter))
+
+                @jax.jit
+                def chunk(hier, A64, b64, carry, tol_abs, it_cap):
+                    mv, pre = _ops(hier, A64, carry[0].dtype)
+                    out = bicgstab_chunk(mv, pre, carry, tol_abs, it_cap)
+                    stat = jnp.stack([out[-1][out[-2]].astype(jnp.float64),
+                                      out[-2].astype(jnp.float64)])
+                    return out, stat
+            else:
+                flexible = accel == "fgmres"
+                restrt = min(30, int(maxiter))
+
+                @jax.jit
+                def init(hier, A64, b64):
+                    mv, pre = _ops(hier, A64, b64.dtype)
+                    return gmres_init(mv, pre, jnp.zeros_like(b64), b64,
+                                      int(maxiter))
+
+                @jax.jit
+                def chunk(hier, A64, b64, carry, tol_abs, it_cap):
+                    mv, pre = _ops(hier, A64, carry[0].dtype)
+                    out = gmres_chunk(mv, pre, b64, carry, tol_abs, it_cap,
+                                      int(maxiter), restrt=restrt,
+                                      flexible=flexible)
+                    # carry: (x, it, res_buf, outer, last)
+                    stat = jnp.stack([out[-1].astype(jnp.float64),
+                                      out[1].astype(jnp.float64)])
+                    return out, stat
+
+            self._solve_cache[key] = (init, chunk)
+        init, chunk = self._solve_cache[key]
 
         op_dt = jnp.dtype(self.levels[0].A.dtype)
         dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
             else jnp.float64
         b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
-        normb = jnp.linalg.norm(b64)
-        tol_abs = tol * jnp.where(normb == 0, 1.0, normb)
-        x64, it, _res_buf = run(self._dev(), A64, b64, tol_abs)
+        normb = float(np.linalg.norm(np.asarray(b64)))
+        tol_abs_f = tol * (normb if normb != 0 else 1.0)
+        tol_abs = jnp.asarray(tol_abs_f, dtype=jnp.float64)
+
+        hier = self._dev()
+        carry = init(hier, A64, b64)
+        carry, it, rounds = self._drive_chunks(
+            lambda c, cap: chunk(hier, A64, b64, c, tol_abs, cap),
+            carry, tol_abs_f, maxiter)
+        if accel == "gmres":
+            # left-preconditioned GMRES tracks ||M r|| (reference
+            # _gmres_mgs.py semantics); with an AMG cycle as M that can be
+            # orders below the TRUE residual.  solve_mp promises a true
+            # f64 relative residual, so verify and, if short, tighten the
+            # tracked tolerance by the observed ratio and continue (restart
+            # boundaries make continuation exact).
+            for _ in range(4):
+                if it >= maxiter:
+                    break
+                r_true = float(jnp.linalg.norm(b64 - A64.matvec(carry[0])))
+                if r_true <= tol_abs_f or r_true == 0:
+                    break
+                tracked = float(np.asarray(carry[-1]))
+                ratio = max(tracked / r_true, 1e-12)
+                tol_t2 = tol_abs_f * ratio * 0.3
+                carry, it, r2 = self._drive_chunks(
+                    lambda c, cap: chunk(hier, A64, b64, c,
+                                         jnp.asarray(tol_t2,
+                                                     dtype=jnp.float64),
+                                         cap),
+                    carry, tol_t2, maxiter, it0=it)
+                rounds += r2
+        x64 = carry[0]
         if return_info:
-            return x64, {"rounds": 1, "inner_iterations": int(it)}
+            return x64, {"rounds": rounds, "inner_iterations": it}
         return x64
 
     _CHUNK_TARGET_S = 20.0       # wall-time budget per device dispatch
 
+    def _drive_chunks(self, chunk_call, carry, tol_abs_f, maxiter,
+                      first_chunk=6, it0=0):
+        """Drive a dispatch-bounded device loop with depth-1 speculation.
+
+        ``chunk_call(carry, it_cap) -> (carry, stat)`` continues the loop on
+        device until ``res <= tol`` or ``it >= it_cap``; ``stat`` is a
+        2-vector ``[res, it]``.  A converged carry passes through any
+        further chunk as a no-op (the while_loop condition fails on entry),
+        so the NEXT chunk can be enqueued before the previous chunk's stat
+        arrives — the D2H stat fetch (~35-85 ms over the axon tunnel)
+        overlaps with device execution instead of stalling it.  The iterate
+        sequence is identical to a single fused loop.
+
+        Returns ``(carry, it, rounds)``.
+        """
+        import time as _time
+        from collections import deque
+
+        it, rounds = int(it0), 0
+        chunk_n = int(first_chunk)
+        caps_planned = int(it0)
+        inflight = deque()
+        last_fetch_t = _time.time()
+
+        def enqueue():
+            nonlocal carry, caps_planned
+            cap = min(caps_planned + chunk_n, maxiter)
+            carry, stat = chunk_call(carry, cap)
+            inflight.append((stat, _time.time()))
+            caps_planned = cap
+
+        enqueue()
+        if caps_planned < maxiter:
+            enqueue()                        # speculative
+        while inflight:
+            stat, t_enq = inflight.popleft()
+            stat = np.asarray(stat)          # ordered D2H; forces completion
+            now = _time.time()
+            res, it_new = float(stat[0]), int(stat[1])
+            advanced = it_new - it
+            it = it_new
+            rounds += 1
+            if res <= tol_abs_f or advanced == 0 or it >= maxiter:
+                break
+            # per-iteration wall estimate: chunks execute serially on
+            # device, so this chunk effectively started when the previous
+            # fetch returned (minus one RTT) — use the later of enqueue
+            # time and previous fetch time.  Overestimating shrinks chunks
+            # (safe direction for the device watchdog).
+            t_iter = (now - max(t_enq, last_fetch_t)) / max(advanced, 1)
+            last_fetch_t = now
+            chunk_n = int(np.clip(
+                self._CHUNK_TARGET_S / max(t_iter, 1e-4), 4, maxiter))
+            while caps_planned < maxiter and len(inflight) < 2:
+                enqueue()
+        return carry, it, rounds
+
     def _solve_mp_pcg_cg_chunked(self, A64, b, tol, cycle, maxiter,
                                  return_info):
-        import time as _time
-
         key = ("mp_pcg_chunk", str(cycle).upper(), int(maxiter))
         if key not in self._solve_cache:
             from .krylov._cg import cg_init, cg_chunk
@@ -658,22 +753,9 @@ class MultilevelSolver:
 
         hier = self._dev()
         carry = init(hier, A64, b64)
-        it, chunk_n, rounds = 0, 6, 0
-        while it < maxiter:
-            t0 = _time.time()
-            carry, stat = chunk(hier, A64, carry, tol_abs,
-                                min(it + chunk_n, maxiter))
-            stat = np.asarray(stat)          # small D2H; forces completion
-            dt = _time.time() - t0
-            res, it_new = float(stat[0]), int(stat[1])
-            advanced = it_new - it
-            it = it_new
-            rounds += 1
-            if res <= tol_abs_f or advanced == 0:
-                break
-            t_iter = dt / max(advanced, 1)
-            chunk_n = int(np.clip(self._CHUNK_TARGET_S / max(t_iter, 1e-4),
-                                  4, maxiter))
+        carry, it, rounds = self._drive_chunks(
+            lambda c, cap: chunk(hier, A64, c, tol_abs, cap),
+            carry, tol_abs_f, maxiter)
         x64 = carry[0]
         if return_info:
             return x64, {"rounds": rounds, "inner_iterations": it}
@@ -715,12 +797,13 @@ class MultilevelSolver:
                              "outer residual; enable it or use solve()")
         op_dt = jnp.dtype(self.levels[0].A.dtype)
         if op_dt in (jnp.dtype(jnp.float64), jnp.dtype(jnp.complex128)):
-            x, info = self.solve(b, tol=tol, accel=accel, cycle=cycle,
-                                 maxiter=inner_maxiter * max_rounds,
-                                 return_info=True)
+            res = []
+            x = self.solve(b, tol=tol, accel=accel, cycle=cycle,
+                           maxiter=inner_maxiter * max_rounds,
+                           residuals=res)
             if return_info:
-                return x, {"rounds": 1, "inner_iterations": info.get(
-                    "iterations", None) if isinstance(info, dict) else info}
+                return x, {"rounds": 1,
+                           "inner_iterations": max(len(res) - 1, 0)}
             return x
 
         if self._A64_dev is None:
