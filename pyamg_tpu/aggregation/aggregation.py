@@ -224,11 +224,23 @@ def _finalize_device_operators(levels, op_dtype=None):
     """Build the device representation of every level: DIA/dense/ELL for A,
     composed gather-free grid operators for structured P/R.
 
-    ``op_dtype``: target device dtype (host-side casts before transfer)."""
+    ``op_dtype``: target device dtype (host-side casts before transfer).
+
+    Arrays are host-STAGED (numpy pytree leaves): the axon tunnel charges a
+    ~25 ms round-trip per individual upload, so the whole hierarchy ships in
+    one batched ``device_put`` at ``MultilevelSolver._dev()`` instead."""
+    from ..util.staging import staging
+
+    with staging():
+        _finalize_device_operators_impl(levels, op_dtype=op_dtype)
+
+
+def _finalize_device_operators_impl(levels, op_dtype=None):
     import numpy as np_
     import jax.numpy as jnp
     from ..sparse import (device_operator, ComposedOp, GridRepeatOp,
                           GridPoolOp, SparseDIA, SparseBDIA)
+    from ..util.staging import stage_array
 
     npdt = None if op_dtype is None else np_.dtype(str(jnp.dtype(op_dtype)))
 
@@ -241,7 +253,7 @@ def _finalize_device_operators(levels, op_dtype=None):
                 A_csr.tobsr(blocksize=(q, q)), max_offsets=64, dtype=npdt)
         except ValueError:
             return None
-        return SparseBDIA(blocks=jnp.asarray(blocks), offsets=offs,
+        return SparseBDIA(blocks=stage_array(blocks), offsets=offs,
                           shape=A_csr.shape)
 
     for lvl in levels:
@@ -263,13 +275,19 @@ def _finalize_device_operators(levels, op_dtype=None):
         wmap = meta["wmap"]
         if npdt is not None:
             wmap = wmap.astype(npdt, copy=False)
-        wmap = jnp.asarray(wmap)
+        wmap = stage_array(wmap)
         Tdev = GridRepeatOp(wmap=wmap, fine_grid=meta["grid"],
                             block=meta["block"], shape=(n_f, n_c),
                             node_dofs=q)
+        # For symmetry='symmetric' the host builds R_csr = P.T (no
+        # conjugation) — the device restriction must match it, else the
+        # compiled cycle uses an R inconsistent with the Galerkin coarse
+        # operators (real wmap: conj is a no-op either way).
+        pool_conj = (np_.iscomplexobj(meta["wmap"])
+                     and getattr(lvl, "symmetry", "hermitian") == "hermitian")
         Ttdev = GridPoolOp(wmap=wmap, fine_grid=meta["grid"],
                            block=meta["block"], shape=(n_c, n_f),
-                           node_dofs=q)
+                           node_dofs=q, conj=pool_conj)
         if meta["degree"] == 0 or meta["S_csr"] is None:
             lvl.P = Tdev
             lvl.R = Ttdev
@@ -283,28 +301,28 @@ def _finalize_device_operators(levels, op_dtype=None):
         if q > 1:
             s_blocks, s_boffs = SparseBDIA.host_blocks(
                 meta["S_csr"].tobsr(blocksize=(q, q)), dtype=npdt)
-            S = SparseBDIA(blocks=jnp.asarray(s_blocks), offsets=s_boffs,
+            S = SparseBDIA(blocks=stage_array(s_blocks), offsets=s_boffs,
                            shape=s_shape)
             sh_blocks, sh_boffs = SparseBDIA.host_transpose(
                 s_blocks, s_boffs,
                 conj=(np_.iscomplexobj(meta["S_csr"].data)
                       and getattr(lvl, "symmetry", "hermitian")
                       == "hermitian"))
-            SH = SparseBDIA(blocks=jnp.asarray(sh_blocks),
+            SH = SparseBDIA(blocks=stage_array(sh_blocks),
                             offsets=sh_boffs, shape=s_shape)
         else:
             # native two-pass staging discovers S's offsets itself (they
             # coincide with A's plus the diagonal)
             s_diags, s_uniq = SparseDIA.host_diags(meta["S_csr"], dtype=npdt,
                                                    max_offsets=1024)
-            S = SparseDIA(diags=jnp.asarray(s_diags), offsets=s_uniq,
+            S = SparseDIA(diags=stage_array(s_diags), offsets=s_uniq,
                           shape=s_shape)
             sh_diags, sh_offs = SparseDIA.host_transpose(s_diags, s_uniq,
                                                          s_shape)
             if np_.iscomplexobj(meta["S_csr"].data) \
                     and getattr(lvl, "symmetry", "hermitian") == "hermitian":
                 sh_diags = sh_diags.conj()
-            SH = SparseDIA(diags=jnp.asarray(sh_diags), offsets=sh_offs,
+            SH = SparseDIA(diags=stage_array(sh_diags), offsets=sh_offs,
                            shape=s_shape[::-1])
         chain_P = tuple([S] * meta["degree"] + [Tdev])
         chain_R = tuple([Ttdev] + [SH] * meta["degree"])

@@ -176,17 +176,22 @@ class GridPoolOp:
     block: Tuple[int, ...]
     shape: Tuple[int, int]        # (n_coarse, n_fine)
     node_dofs: int = 1
+    # conj=True gives R = T^H (hermitian hierarchies); conj=False gives
+    # R = T^T (symmetry='symmetric', where the host builds R_csr = P.T
+    # without conjugation).  Static aux data: the branch resolves at trace
+    # time and the wmap array stays shared with the paired GridRepeatOp.
+    conj: bool = True
 
     def tree_flatten(self):
         return (self.wmap,), (self.fine_grid, self.block, self.shape,
-                              self.node_dofs)
+                              self.node_dofs, self.conj)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (wmap,) = children
-        fine_grid, block, shape, node_dofs = aux
+        fine_grid, block, shape, node_dofs, conj = aux
         return cls(wmap=wmap, fine_grid=fine_grid, block=block, shape=shape,
-                   node_dofs=node_dofs)
+                   node_dofs=node_dofs, conj=conj)
 
     @property
     def dtype(self):
@@ -199,12 +204,16 @@ class GridPoolOp:
     def astype(self, dtype):
         return GridPoolOp(wmap=self.wmap.astype(dtype),
                           fine_grid=self.fine_grid, block=self.block,
-                          shape=self.shape, node_dofs=self.node_dofs)
+                          shape=self.shape, node_dofs=self.node_dofs,
+                          conj=self.conj)
+
+    def _w(self):
+        return jnp.conj(self.wmap) if self.conj else self.wmap
 
     def matvec(self, xf):
         cg = self.coarse_grid
         if self.wmap.ndim == 1:
-            w = (jnp.conj(self.wmap) * xf).reshape(self.fine_grid)
+            w = (self._w() * xf).reshape(self.fine_grid)
             pads = tuple((0, cg[d] * self.block[d] - self.fine_grid[d])
                          for d in range(len(cg)))
             w = jnp.pad(w, pads)
@@ -215,7 +224,7 @@ class GridPoolOp:
             return w.reshape(-1)
         K = self.wmap.shape[1]
         q = self.node_dofs
-        w = jnp.conj(self.wmap) * xf[:, None]    # (n_dofs, K)
+        w = self._w() * xf[:, None]              # (n_dofs, K)
         if q > 1:
             w = w.reshape(-1, q, K).sum(axis=1)  # (n_nodes, K)
         w = w.reshape(self.fine_grid + (K,))
@@ -232,10 +241,10 @@ class GridPoolOp:
         return self.matvec(jnp.asarray(x))
 
     def to_scipy(self):
-        return GridRepeatOp(self.wmap, self.fine_grid, self.block,
-                            (self.shape[1], self.shape[0]),
-                            node_dofs=self.node_dofs) \
-            .to_scipy().T.tocsr()
+        T = GridRepeatOp(self.wmap, self.fine_grid, self.block,
+                         (self.shape[1], self.shape[0]),
+                         node_dofs=self.node_dofs).to_scipy()
+        return (T.conj() if self.conj else T).T.tocsr()
 
 
 @jax.tree_util.register_pytree_node_class

@@ -168,6 +168,32 @@ class TestSAConvergence:
         ml.solve(b, tol=1e-8, maxiter=100, accel="gmres", residuals=res)
         assert res[-1] / res[0] < 1e-4
 
+    def test_complex_structured_transfers_match_host(self):
+        # Complex-symmetric vs hermitian structured hierarchies: the device
+        # grid transfer ops must agree with the host P_csr/R_csr (for
+        # symmetry='symmetric' the host builds R = P.T with NO conjugation,
+        # so GridPoolOp must not conjugate wmap either).
+        g = (24, 24)
+        A = (poisson(g, format="csr") * (1.0 + 0.3j)).tocsr()
+        A.grid = g
+        rng_ = rng()
+        for sym in ("symmetric", "hermitian"):
+            ml = smoothed_aggregation_solver(A, symmetry=sym, max_coarse=20)
+            for lvl in ml.levels[:-1]:
+                assert getattr(lvl, "struct_meta", None) is not None
+                assert np.iscomplexobj(lvl.struct_meta["wmap"])
+                n_f, n_c = lvl.P_csr.shape
+                xf = (rng_.standard_normal(n_f)
+                      + 1j * rng_.standard_normal(n_f))
+                xc = (rng_.standard_normal(n_c)
+                      + 1j * rng_.standard_normal(n_c))
+                np.testing.assert_allclose(
+                    np.asarray(lvl.R.matvec(xf)), lvl.R_csr @ xf,
+                    rtol=1e-12, atol=1e-12)
+                np.testing.assert_allclose(
+                    np.asarray(lvl.P.matvec(xc)), lvl.P_csr @ xc,
+                    rtol=1e-12, atol=1e-12)
+
     def test_structured_grid_path(self):
         A = poisson((27, 27), format="csr")
         ml = smoothed_aggregation_solver(A, max_coarse=5)
