@@ -85,6 +85,12 @@ def main():
     from pyamg_tpu.gallery import (poisson, stencil_grid,
                                    diffusion_stencil_2d, linear_elasticity)
 
+    # Force backend init (the axon tunnel client takes seconds to connect)
+    # and warm the H2D/D2H transfer paths BEFORE any timed region — the
+    # reference columns don't time library startup either.  (Measured: the
+    # FIRST transfer pays ~1 s of path setup; steady state is ~ms.)
+    np.asarray(jnp.asarray(np.zeros(1 << 20, np.float32)) + 1.0)
+
     # Each config seeds a FRESH rng so the RHS is identical regardless of
     # which configs ran before (and matches reference_harness/ref_suite.py,
     # which does the same — resume there used to shift the stream).

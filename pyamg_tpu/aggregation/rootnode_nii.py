@@ -136,11 +136,13 @@ def newideal_solver(A, B=None, strength="symmetric", aggregate="standard",
             break
         levels.append(new)
 
-    for lvl in levels:
-        lvl.A = device_operator(lvl.A_csr)
-        if hasattr(lvl, "P_csr"):
-            lvl.P = device_operator(lvl.P_csr)
-            lvl.R = device_operator(lvl.R_csr)
+    from ..util.staging import staging
+    with staging():
+        for lvl in levels:
+            lvl.A = device_operator(lvl.A_csr)
+            if hasattr(lvl, "P_csr"):
+                lvl.P = device_operator(lvl.P_csr)
+                lvl.R = device_operator(lvl.R_csr)
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     change_smoothers(ml, presmoother, postsmoother)

@@ -21,6 +21,7 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
            "bfs_levels_native", "drake_matching_native",
            "masked_spgemm_native", "bsr_gauss_seidel_native",
+           "direct_interpolation_native", "classical_strength_native",
            "first_fit_coloring_native"]
 
 _HERE = os.path.dirname(__file__)
@@ -110,6 +111,14 @@ def _declare(lib):
                                            _i32p, _i64p, _i64p, _i64p,
                                            _f64p]
     lib.standard_interpolation.restype = _I
+    lib.direct_interpolation_kernel.argtypes = [_I, _i64p, _i64p, _f64p,
+                                                _i64p, _i64p,
+                                                _i32p, _i64p, _i64p, _i64p,
+                                                _f64p]
+    lib.direct_interpolation_kernel.restype = _I
+    lib.classical_strength.argtypes = [_I, _i64p, _i64p, _f64p, _D,
+                                       _i64p, _i64p, _f64p]
+    lib.classical_strength.restype = _I
 
 
 def _csr_arrays(A):
@@ -315,6 +324,51 @@ def distance_filter_native(C, epsilon):
     assert C.data.flags["C_CONTIGUOUS"]
     lib.distance_filter(C.shape[0], Cp, Cj, C.data, float(epsilon))
     return True
+
+
+def classical_strength_native(A, theta):
+    """One-pass classical SOC with filter/abs/row-scale fused (roles of
+    ruge_stuben.h:46 + scale_rows_by_largest_entry); returns CSR S or None
+    without the native library / for non-f64 data."""
+    lib = _load()
+    if not lib or A.dtype != np.float64 or np.iscomplexobj(A.data):
+        return None
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    Ap, Aj = _csr_arrays(A)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    Sp = np.zeros(n + 1, dtype=np.int64)
+    Sj = np.zeros(A.nnz, dtype=np.int64)
+    Sx = np.zeros(A.nnz, dtype=np.float64)
+    nnz = lib.classical_strength(n, Ap, Aj, Ax, float(theta), Sp, Sj, Sx)
+    return sp.csr_matrix((Sx[:nnz].copy(), Sj[:nnz].copy(), Sp),
+                         shape=A.shape)
+
+
+def direct_interpolation_native(A, C, splitting, cmap, nc):
+    """One-pass direct interpolation with the A-on-C-pattern projection
+    fused in (roles of rs_direct_interpolation_pass1/2, ruge_stuben.h:497);
+    returns CSR P or None without the native library / for non-f64 data."""
+    lib = _load()
+    if not lib or A.dtype != np.float64 or np.iscomplexobj(A.data):
+        return None
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    Ap, Aj = _csr_arrays(A)
+    Cp, Cj = _csr_arrays(C)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    split32 = np.ascontiguousarray(splitting, dtype=np.int32)
+    cmap64 = np.ascontiguousarray(cmap, dtype=np.int64)
+    cap = C.nnz + n
+    Pp = np.zeros(n + 1, dtype=np.int64)
+    Pj = np.zeros(cap, dtype=np.int64)
+    Px = np.zeros(cap, dtype=np.float64)
+    nnz = lib.direct_interpolation_kernel(n, Ap, Aj, Ax, Cp, Cj, split32,
+                                          cmap64, Pp, Pj, Px)
+    return sp.csr_matrix((Px[:nnz].copy(), Pj[:nnz].copy(), Pp),
+                         shape=(n, int(nc)))
 
 
 def standard_interpolation_native(A, S, splitting, cmap, nc):

@@ -605,6 +605,113 @@ void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
 // values (diagonal ignored).  Emits CSR P (capacity: strong-C count over F
 // rows + #C); rows with d_i == 0 emit nothing.  Returns nnz written.
 // ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// classical strength of connection (role of ruge_stuben.h:46
+// classical_strength_of_connection + util scale_rows_by_largest_entry) in ONE
+// pass: keep j == i or |a_ij| >= theta * max_{k != i} |a_ik|, store |a_ij|,
+// scale each row so its largest kept entry is 1.  Stored zeros are dropped
+// (the numpy path's eliminate_zeros).  A sorted CSR; emits CSR S (capacity
+// A.nnz).  Returns nnz written.
+// ---------------------------------------------------------------------------
+I classical_strength(I n, const I* Ap, const I* Aj, const double* Ax,
+                     double theta, I* Sp, I* Sj, double* Sx) {
+    I nnz = 0;
+    Sp[0] = 0;
+    for (I i = 0; i < n; i++) {
+        double rowmax = 0.0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++)
+            if (Aj[jj] != i) rowmax = std::max(rowmax, std::fabs(Ax[jj]));
+        const double thresh = theta * rowmax;
+        const I row_start = nnz;
+        double kept_max = 0.0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            const double m = std::fabs(Ax[jj]);
+            if (m == 0.0) continue;                  // eliminate_zeros
+            if (Aj[jj] != i && m < thresh) continue;
+            Sj[nnz] = Aj[jj];
+            Sx[nnz++] = m;
+            kept_max = std::max(kept_max, m);
+        }
+        if (kept_max != 0.0) {
+            const double s = 1.0 / kept_max;
+            for (I jj = row_start; jj < nnz; jj++) Sx[jj] *= s;
+        }
+        Sp[i + 1] = nnz;
+    }
+    return nnz;
+}
+
+// ---------------------------------------------------------------------------
+// rs_direct_interpolation (roles of ruge_stuben.h:497 pass1 + :520 pass2) in
+// ONE pass, with the A-values-on-C-pattern projection fused in as a sorted
+// merge walk (the numpy path pays a scipy .multiply() + sort for the same
+// projection).  Semantics match classical/interpolate.py direct_interpolation
+// exactly:
+//   F row i:  alpha = sum(all negative off-diag of A row) / sum(strong
+//             negative), beta likewise for positives (sum of all positive
+//             off-diag lumped into the diagonal when there is no strong
+//             positive connection); P_ij = -(alpha or beta)/d_i * a_ij over
+//             strong C-neighbors j.
+//   C row i:  single 1 at cmap[i].
+// A sorted CSR; C = strength pattern (indices only, sorted; values unused).
+// Emits CSR P (capacity: C.nnz + n).  Returns nnz written.
+// ---------------------------------------------------------------------------
+I direct_interpolation_kernel(I n,
+                              const I* Ap, const I* Aj, const double* Ax,
+                              const I* Cp, const I* Cj,
+                              const int32_t* splitting, const I* cmap,
+                              I* Pp, I* Pj, double* Px) {
+    I nnz = 0;
+    Pp[0] = 0;
+    for (I i = 0; i < n; i++) {
+        if (splitting[i] == 1) {
+            Pj[nnz] = cmap[i];
+            Px[nnz++] = 1.0;
+            Pp[i + 1] = nnz;
+            continue;
+        }
+        double diag = 0.0, sum_all_neg = 0.0, sum_all_pos = 0.0;
+        for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            const double x = Ax[jj];
+            if (Aj[jj] == i) diag += x;
+            else if (x < 0.0) sum_all_neg += x;
+            else sum_all_pos += x;
+        }
+        // strong sums over the (A ∩ C) pattern at C-points
+        double ssn = 0.0, ssp = 0.0;
+        const I ae = Ap[i + 1];
+        I a = Ap[i];
+        for (I cc = Cp[i]; cc < Cp[i + 1]; cc++) {
+            const I j = Cj[cc];
+            if (j == i || splitting[j] != 1) continue;
+            while (a < ae && Aj[a] < j) a++;
+            if (a < ae && Aj[a] == j) {
+                const double x = Ax[a];
+                if (x < 0.0) ssn += x; else ssp += x;
+            }
+        }
+        const bool no_pos = (ssp == 0.0);
+        const double d = diag + (no_pos ? sum_all_pos : 0.0);
+        const double alpha = (ssn != 0.0) ? sum_all_neg / ssn : 0.0;
+        const double beta = no_pos ? 0.0 : sum_all_pos / ssp;
+        const double negc = -alpha / d;   // d == 0 -> inf, as in numpy
+        const double posc = -beta / d;
+        a = Ap[i];
+        for (I cc = Cp[i]; cc < Cp[i + 1]; cc++) {
+            const I j = Cj[cc];
+            if (j == i || splitting[j] != 1) continue;
+            while (a < ae && Aj[a] < j) a++;
+            if (a < ae && Aj[a] == j) {
+                const double x = Ax[a];
+                Pj[nnz] = cmap[j];
+                Px[nnz++] = (x < 0.0 ? negc : posc) * x;
+            }
+        }
+        Pp[i + 1] = nnz;
+    }
+    return nnz;
+}
+
 I standard_interpolation(I n,
                          const I* Ap, const I* Aj, const double* Ax,
                          const I* Sp, const I* Sj, const double* Sx,

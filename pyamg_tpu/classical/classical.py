@@ -88,15 +88,17 @@ def ruge_stuben_solver(A, strength=("classical", {"theta": 0.25}),
     from ..sparse import device_operator
 
     op_dtype = kwargs.pop("op_dtype", None)
-    for lvl in levels:
-        lvl.A = device_operator(lvl.A_csr, dtype=op_dtype)
-        if hasattr(lvl, "P_csr"):
-            pr = _cpt_embedded_transfers(lvl, dtype=op_dtype)
-            if pr is not None:
-                lvl.P, lvl.R = pr
-            else:
-                lvl.P = device_operator(lvl.P_csr, dtype=op_dtype)
-                lvl.R = device_operator(lvl.R_csr, dtype=op_dtype)
+    from ..util.staging import staging
+    with staging():
+        for lvl in levels:
+            lvl.A = device_operator(lvl.A_csr, dtype=op_dtype)
+            if hasattr(lvl, "P_csr"):
+                pr = _cpt_embedded_transfers(lvl, dtype=op_dtype)
+                if pr is not None:
+                    lvl.P, lvl.R = pr
+                else:
+                    lvl.P = device_operator(lvl.P_csr, dtype=op_dtype)
+                    lvl.R = device_operator(lvl.R_csr, dtype=op_dtype)
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     if op_dtype is not None:
@@ -213,10 +215,11 @@ def _cpt_embedded_transfers(lvl, dtype=None, max_offsets=96):
     # embedded restriction must match it, so no conjugation even for
     # complex matrices
     rt_diags, rt_offs = SparseDIA.host_transpose(pf_diags, pf_offs, (n, n))
-    cpts_dev = jnp.asarray(cpts)
-    Pdia = SparseDIA(diags=jnp.asarray(pf_diags), offsets=pf_offs,
+    from ..util.staging import stage_array
+    cpts_dev = stage_array(cpts)
+    Pdia = SparseDIA(diags=stage_array(pf_diags), offsets=pf_offs,
                      shape=(n, n))
-    Rdia = SparseDIA(diags=jnp.asarray(rt_diags), offsets=rt_offs,
+    Rdia = SparseDIA(diags=stage_array(rt_diags), offsets=rt_offs,
                      shape=(n, n))
     return (CptProlongOp(dia=Pdia, cpts=cpts_dev, shape=(n, nc)),
             CptRestrictOp(dia=Rdia, cpts=cpts_dev, shape=(nc, n)))

@@ -45,6 +45,16 @@ def direct_interpolation(A, C, splitting):
     splitting = np.asarray(splitting, dtype=np.int32)
     n = A.shape[0]
 
+    from ..amg_core import direct_interpolation_native
+
+    A.sort_indices()
+    C.sort_indices()
+    cmap_n = np.cumsum(splitting) - splitting
+    P = direct_interpolation_native(A, C, splitting, cmap_n,
+                                    int(splitting.sum()))
+    if P is not None:
+        return P
+
     # copy A's entries onto C's pattern
     S = C.copy()
     S.data = np.ones_like(S.data)

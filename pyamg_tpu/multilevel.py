@@ -80,20 +80,21 @@ def _build_coarse_state(A_csr, name, kwargs=None, dtype=None):
 
     def dev(a):
         a = np.asarray(a)
-        if dtype is not None:
+        if dtype is not None and np.issubdtype(a.dtype, np.inexact):
             tgt = np.dtype(str(jnp.dtype(dtype)))
             if np.iscomplexobj(a) and not np.issubdtype(tgt,
                                                         np.complexfloating):
                 tgt = np.dtype({"float32": "complex64",
                                 "float64": "complex128"}[tgt.name])
             a = a.astype(tgt)
-        return jnp.asarray(a)
+        from .util.staging import stage_array
+        return stage_array(a)
 
     if name in ("pinv", "pinv2"):
         return "dense", (dev(np.linalg.pinv(A_csr.toarray())),)
     if name == "lu":
         lu, piv = sla.lu_factor(A_csr.toarray(), **kwargs)
-        return "lu", (dev(lu), jnp.asarray(piv.astype(np.int32)))
+        return "lu", (dev(lu), dev(piv.astype(np.int32)))
     if name == "cholesky":
         c, _low = sla.cho_factor(A_csr.toarray(), lower=True, **kwargs)
         return "chol", (dev(np.tril(c)),)
@@ -108,9 +109,9 @@ def _build_coarse_state(A_csr, name, kwargs=None, dtype=None):
         f = spla.splu(Ared, **kwargs)
         pr_inv = np.argsort(f.perm_r).astype(np.int32)
         return "splu", (dev(f.L.toarray()), dev(f.U.toarray()),
-                        jnp.asarray(pr_inv),
-                        jnp.asarray(f.perm_c.astype(np.int32)),
-                        jnp.asarray(keep.astype(np.int32)))
+                        dev(pr_inv),
+                        dev(f.perm_c.astype(np.int32)),
+                        dev(keep.astype(np.int32)))
     raise ValueError(f"not a dense/factorized coarse solver: {name!r}")
 
 
@@ -290,6 +291,8 @@ class MultilevelSolver:
         compiled program (never closed over: large closure constants would
         be embedded into the serialized HLO)."""
         if getattr(self, "_devh", None) is None:
+            from .util.staging import staging, batch_device_put
+
             override = getattr(self, "_coarse_mat_override", None)
             coarse_mat, traceable = None, False
             if override is not None:
@@ -300,12 +303,13 @@ class MultilevelSolver:
                 name, ckw = unpack_arg(spec) if not callable(spec) \
                     else (spec, {})
                 if isinstance(name, str) and name in _DENSE_COARSE_NAMES:
-                    kind, state = _build_coarse_state(
-                        self.levels[-1].A_csr, name, ckw,
-                        dtype=getattr(self, "_op_dtype", None))
+                    with staging():
+                        kind, state = _build_coarse_state(
+                            self.levels[-1].A_csr, name, ckw,
+                            dtype=getattr(self, "_op_dtype", None))
                     coarse_mat, traceable = state, True
                     self._coarse_kind = kind
-            self._devh = {
+            devh = {
                 "As": tuple(l.A for l in self.levels),
                 "Ps": tuple(getattr(l, "P", None) for l in self.levels[:-1]),
                 "Rs": tuple(getattr(l, "R", None) for l in self.levels[:-1]),
@@ -313,6 +317,24 @@ class MultilevelSolver:
                 "posts": tuple(l.postsmoother for l in self.levels),
                 "coarse": coarse_mat,
             }
+            # Finalize/change_smoothers stage their arrays host-side; one
+            # batched device_put here ships the whole hierarchy in a single
+            # tunnel round-trip (vs one ~25 ms RTT per array).  Leaves that
+            # are already device arrays pass through unchanged.
+            devh = batch_device_put(devh)
+            # Write the device versions back so later eager access (tests,
+            # shard_solver re-placement) sees device arrays, not the staged
+            # numpy twins.
+            for i, lvl in enumerate(self.levels):
+                lvl.A = devh["As"][i]
+                lvl.presmoother = devh["pres"][i]
+                lvl.postsmoother = devh["posts"][i]
+                if i < len(self.levels) - 1:
+                    if devh["Ps"][i] is not None:
+                        lvl.P = devh["Ps"][i]
+                    if devh["Rs"][i] is not None:
+                        lvl.R = devh["Rs"][i]
+            self._devh = devh
             self._coarse_mat_traceable = traceable
         return self._devh
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..util.staging import stage_array
+
 from ..util.utils import unpack_arg, get_block_diag
 from ..util.linalg import approximate_spectral_radius
 from .chebyshev import chebyshev_polynomial_coefficients
@@ -167,7 +169,7 @@ def _color_masks(A_csr, blocksize=1, dtype=None, grid=None, offsets=None,
     masks[colors, np.arange(nb)] = 1
     if blocksize > 1:
         masks = np.repeat(masks, blocksize, axis=1)
-    return jnp.asarray(masks)
+    return stage_array(masks)
 
 
 def _color_gather_arrays(A_csr, colors, dtype=None):
@@ -203,8 +205,8 @@ def _color_gather_arrays(A_csr, colors, dtype=None):
         A_csr.indices.astype(np.int32, copy=False)
     color_data[colors[rows_e], slot_of_row[rows_e], pos_e] = \
         A_csr.data.astype(dt, copy=False)
-    return (jnp.asarray(color_rows), jnp.asarray(color_cols),
-            jnp.asarray(color_data))
+    return (stage_array(color_rows), stage_array(color_cols),
+            stage_array(color_data))
 
 
 def make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
@@ -256,7 +258,7 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
             omega = omega / rho_D_inv_A(A_csr, symmetric=sym_hint)
         return SmootherData(kind="jacobi", iterations=iterations,
                             omega=omega,
-                            dinv=jnp.asarray(_dinv(A_csr, npdt)))
+                            dinv=stage_array(_dinv(A_csr, npdt)))
 
     if fn_name == "richardson":
         omega = float(kwargs.get("omega", 1.0))
@@ -278,11 +280,11 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
             cr, cc, cd = _color_gather_arrays(A_csr, colors, dtype=npdt)
             return SmootherData(kind="gauss_seidel", iterations=iterations,
                                 sweep=sweep,
-                                dinv=jnp.asarray(_dinv(A_csr, npdt)),
+                                dinv=stage_array(_dinv(A_csr, npdt)),
                                 color_rows=cr, color_cols=cc, color_data=cd)
         return SmootherData(kind="gauss_seidel", iterations=iterations,
                             sweep=sweep,
-                            dinv=jnp.asarray(_dinv(A_csr, npdt)),
+                            dinv=stage_array(_dinv(A_csr, npdt)),
                             color_masks=_color_masks(
                                 A_csr, dtype=rdt, grid=grid,
                                 colors=colors))
@@ -291,7 +293,7 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
         omega = float(kwargs.get("omega", 1.0))
         return SmootherData(kind="sor", iterations=iterations, sweep=sweep,
                             omega=omega,
-                            dinv=jnp.asarray(_dinv(A_csr, npdt)),
+                            dinv=stage_array(_dinv(A_csr, npdt)),
                             color_masks=_color_masks(
                                 A_csr, dtype=rdt, grid=grid,
                                 offsets=known_offsets))
@@ -326,13 +328,13 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
                 omega = omega / rho_block_D_inv_A(A_csr, Dinv)
             return SmootherData(kind="block_jacobi", iterations=iterations,
                                 omega=omega,
-                                block_dinv=jnp.asarray(
+                                block_dinv=stage_array(
                                     Dinv if npdt is None
                                     else Dinv.astype(npdt, copy=False)),
                                 blocksize=bs)
         return SmootherData(kind="block_gauss_seidel", iterations=iterations,
                             sweep=sweep,
-                            block_dinv=jnp.asarray(
+                            block_dinv=stage_array(
                                 Dinv if npdt is None
                                 else Dinv.astype(npdt, copy=False)),
                             blocksize=bs,
@@ -363,7 +365,7 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
                 else "jacobi_nr")
         return SmootherData(kind=kind, iterations=iterations,
                             omega=omega, AT=SparseELL.from_scipy(AH),
-                            dinv_ne=jnp.asarray(
+                            dinv_ne=stage_array(
                                 dinv_ne if npdt is None
                                 else dinv_ne.astype(npdt, copy=False)))
 
@@ -407,7 +409,7 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
         kind = "line_jacobi" if fn_name == "line_jacobi" else "zebra"
         return SmootherData(kind=kind, iterations=iterations, sweep=sweep,
                             omega=omega,
-                            line_tri=jnp.asarray(
+                            line_tri=stage_array(
                                 tri if npdt is None
                                 else tri.astype(npdt, copy=False)),
                             grid=grid, line_axis=axis)
@@ -436,8 +438,8 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
         omega = float(kwargs.get("omega", 1.0))
         return SmootherData(kind="schwarz", iterations=iterations,
                             omega=omega,
-                            subdomain_idx=jnp.asarray(idx),
-                            subdomain_inv=jnp.asarray(
+                            subdomain_idx=stage_array(idx),
+                            subdomain_inv=stage_array(
                                 binv if npdt is None
                                 else binv.astype(npdt, copy=False)))
 
@@ -458,7 +460,17 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
 
 def change_smoothers(ml, presmoother, postsmoother):
     """Attach pre/post SmootherData to every level of ``ml``
-    (reference smoothing.py:24)."""
+    (reference smoothing.py:24).
+
+    Smoother arrays are host-staged; the batched upload happens at
+    ``MultilevelSolver._dev()`` (one tunnel round-trip for the hierarchy)."""
+    from ..util.staging import staging
+
+    with staging():
+        return _change_smoothers_impl(ml, presmoother, postsmoother)
+
+
+def _change_smoothers_impl(ml, presmoother, postsmoother):
     from ..util.utils import levelize_smooth_or_improve_candidates
 
     n = len(ml.levels)

@@ -95,8 +95,9 @@ class SparseBDIA:
     @staticmethod
     def from_scipy_bsr(A_bsr, max_offsets: int = 128,
                        dtype=None) -> "SparseBDIA":
+        from ..util.staging import stage_array
         blocks, offsets = SparseBDIA.host_blocks(A_bsr, max_offsets, dtype)
-        return SparseBDIA(blocks=jnp.asarray(blocks), offsets=offsets,
+        return SparseBDIA(blocks=stage_array(blocks), offsets=offsets,
                           shape=A_bsr.shape)
 
     @staticmethod

@@ -73,10 +73,11 @@ class BlockELL:
         offs = np.arange(len(B.indices)) - np.repeat(B.indptr[:-1], nnz_per_row)
         data[rows, offs] = B.data.astype(dt)
         cols[rows, offs] = B.indices.astype(np.int32)
+        from ..util.staging import stage_array
         return BlockELL(
-            data=jnp.asarray(data),
-            cols=jnp.asarray(cols),
-            row_nnz=jnp.asarray(nnz_per_row),
+            data=stage_array(data),
+            cols=stage_array(cols),
+            row_nnz=stage_array(nnz_per_row),
             shape=B.shape,
         )
 

@@ -64,23 +64,23 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
     k = int(offs.size)
     mem_ok = k * n <= max(DIA_MEM_BUDGET * max(A_csr.nnz, 1), DIA_MEM_FLOOR)
     if k <= dia_max_offsets and mem_ok:
-        import jax.numpy as jnp
+        from ..util.staging import stage_array
 
         diags = csr_to_dia_fill_native(A_csr, offs, dtype=dtype)
         if diags is not None:
-            return SparseDIA(diags=jnp.asarray(diags),
+            return SparseDIA(diags=stage_array(diags),
                              offsets=tuple(int(o) for o in offs),
                              shape=A_csr.shape)
         diags, uniq = SparseDIA.host_diags(
             A_csr, max_offsets=dia_max_offsets, dtype=dtype, offsets=offs,
             entry_offsets=entry_offs, entry_rows=entry_rows)
-        return SparseDIA(diags=jnp.asarray(diags), offsets=uniq,
+        return SparseDIA(diags=stage_array(diags), offsets=uniq,
                          shape=A_csr.shape)
     if n <= dense_max and m <= dense_max:
-        import jax.numpy as jnp
+        from ..util.staging import stage_array
 
         mat = A_csr.toarray()
         if dtype is not None:
             mat = mat.astype(dtype)
-        return DenseOp(mat=jnp.asarray(mat), shape=(n, m))
+        return DenseOp(mat=stage_array(mat), shape=(n, m))
     return SparseELL.from_scipy(A_csr, dtype=dtype)

@@ -132,7 +132,8 @@ class SparseDIA:
         diags, uniq = SparseDIA.host_diags(
             A, max_offsets=max_offsets, dtype=dtype, offsets=offsets,
             entry_offsets=entry_offsets)
-        return SparseDIA(diags=jnp.asarray(diags), offsets=uniq,
+        from ..util.staging import stage_array
+        return SparseDIA(diags=stage_array(diags), offsets=uniq,
                          shape=A.shape)
 
     @staticmethod

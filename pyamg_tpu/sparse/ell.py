@@ -113,10 +113,11 @@ class SparseELL:
         offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz_per_row)
         data[rows, offs] = A.data.astype(dt)
         cols[rows, offs] = A.indices.astype(np.int32)
+        from ..util.staging import stage_array
         return SparseELL(
-            data=jnp.asarray(data),
-            cols=jnp.asarray(cols),
-            row_nnz=jnp.asarray(nnz_per_row),
+            data=stage_array(data),
+            cols=stage_array(cols),
+            row_nnz=stage_array(nnz_per_row),
             shape=(n, m),
         )
 

@@ -89,6 +89,14 @@ def classical_strength_of_connection(A, theta=0.0):
     if theta < 0 or theta > 1:
         raise ValueError("expected theta in [0,1]")
 
+    if blocksize == 1:
+        from .amg_core import classical_strength_native
+
+        A.sort_indices()
+        S = classical_strength_native(A, theta)
+        if S is not None:
+            return S
+
     n = A.shape[0]
     rows = np.repeat(np.arange(n), np.diff(A.indptr))
     offdiag = rows != A.indices
