@@ -6,7 +6,7 @@ amg_core kernels ``rs_cf_splitting`` (ruge_stuben.h:158) and
 ``cljp_naive_splitting`` (ruge_stuben.h:317).
 
 RS is the inherently sequential classical algorithm (exact lambda-ordered
-implementation, heap-based).  PMIS/CLJP are the parallel-friendly round-based
+interval-list implementation, traversal-order-faithful).  PMIS/CLJP are the parallel-friendly round-based
 formulations — the device-path defaults (SURVEY.md §2.3).
 
 Convention: splitting[i] == 1 for C points, 0 for F points.
@@ -14,7 +14,6 @@ Convention: splitting[i] == 1 for C points, 0 for F points.
 
 from __future__ import annotations
 
-import heapq
 
 import numpy as np
 import scipy.sparse as sp
@@ -64,7 +63,8 @@ def RS(S):
     and each new F node's influences gain weight.
 
     Uses the native C++ kernel (amg_core/core.cpp) when available; the
-    Python heap implementation below is the reference/fallback.
+    Python interval-list implementation below is the fallback (same
+    traversal order, same hierarchies).
     """
     S, T = preprocess_strength(S)
     from ..amg_core import rs_cf_splitting as _native_rs
@@ -72,37 +72,76 @@ def RS(S):
     native = _native_rs(S, T)
     if native is not None:
         return native
+    # Pure-Python port of the SAME interval-list formulation as the native
+    # kernel (amg_core/core.cpp rs_cf_splitting) — the traversal/tie-break
+    # ORDER is observable in coarse-grid structure at deeper levels, so the
+    # fallback must move node-for-node with it (a max-heap formulation
+    # yields different tie-breaks and different hierarchies; see
+    # tests/test_parity.py::TestReferenceFingerprints).
     n = S.shape[0]
-    lam = np.diff(T.indptr).astype(np.int64)
-
-    splitting = np.full(n, U_NODE, dtype=np.int32)
-    # isolated nodes (nothing depends on them) start as F
-    splitting[lam == 0] = F_NODE
-
-    heap = [(-lam[i], i) for i in range(n)]
-    heapq.heapify(heap)
     Sp, Sj = S.indptr, S.indices
     Tp, Tj = T.indptr, T.indices
+    lam = np.diff(T.indptr).astype(np.int64)
 
-    while heap:
-        neg_l, i = heapq.heappop(heap)
-        if splitting[i] != U_NODE or -neg_l != lam[i]:
-            continue                      # stale heap entry or decided
+    ivl_start = np.zeros(n + 2, dtype=np.int64)
+    ivl_len = np.zeros(n + 2, dtype=np.int64)
+    at_pos = np.empty(n, dtype=np.int64)
+    pos_of = np.empty(n, dtype=np.int64)
+    np.add.at(ivl_len, lam, 1)
+    acc = 0
+    for v in range(n + 1):
+        ivl_start[v] = acc
+        acc += ivl_len[v]
+        ivl_len[v] = 0
+    for i in range(n):
+        p = ivl_start[lam[i]] + ivl_len[lam[i]]
+        ivl_len[lam[i]] += 1
+        at_pos[p] = i
+        pos_of[i] = p
+
+    splitting = np.full(n, U_NODE, dtype=np.int32)
+    splitting[lam == 0] = F_NODE
+
+    def swap_nodes(pa, pb):
+        pos_of[at_pos[pa]] = pb
+        pos_of[at_pos[pb]] = pa
+        at_pos[pa], at_pos[pb] = at_pos[pb], at_pos[pa]
+
+    for scan in range(n - 1, -1, -1):
+        i = at_pos[scan]
+        ivl_len[lam[i]] -= 1
+        if splitting[i] == F_NODE:
+            continue
         splitting[i] = C_NODE
+        # undecided influences become F; their dependencies gain weight
         for j in Tj[Tp[i]:Tp[i + 1]]:
-            if splitting[j] == U_NODE:
-                splitting[j] = F_NODE
-                for k in Sj[Sp[j]:Sp[j + 1]]:
-                    if splitting[k] == U_NODE:
-                        lam[k] += 1
-                        heapq.heappush(heap, (-lam[k], k))
+            if splitting[j] != U_NODE:
+                continue
+            splitting[j] = F_NODE
+            for k in Sj[Sp[j]:Sp[j + 1]]:
+                if splitting[k] != U_NODE or lam[k] >= n - 1:
+                    continue
+                lv = lam[k]
+                tail = ivl_start[lv] + ivl_len[lv] - 1
+                swap_nodes(pos_of[k], tail)
+                ivl_len[lv] -= 1
+                ivl_len[lv + 1] += 1
+                ivl_start[lv + 1] = tail
+                lam[k] += 1
+        # undecided dependencies lose weight
         for j in Sj[Sp[i]:Sp[i + 1]]:
-            if splitting[j] == U_NODE and lam[j] > 0:
-                lam[j] -= 1
-                heapq.heappush(heap, (-lam[j], j))
+            if splitting[j] != U_NODE or lam[j] == 0:
+                continue
+            lv = lam[j]
+            head = ivl_start[lv]
+            swap_nodes(pos_of[j], head)
+            ivl_len[lv] -= 1
+            ivl_len[lv - 1] += 1
+            ivl_start[lv] += 1
+            ivl_start[lv - 1] = ivl_start[lv] - ivl_len[lv - 1]
+            lam[j] -= 1
 
-    splitting[splitting == U_NODE] = F_NODE
-    return splitting.astype(np.int32)
+    return (splitting == C_NODE).astype(np.int32)
 
 
 def _edges(S):
