@@ -183,21 +183,54 @@ def main():
 
     def solve5(ctx):
         A, ml, b = ctx
-        out = _solve_mp(A, ml, b, inner_maxiter=60)
-
-        from pyamg_tpu.krylov import gmres, bicgstab
-
-        E = ml.levels[0].A
-        bb = b.astype(np.float32)
-        t0 = time.time()
-        xg, _ = gmres(E, bb, tol=1e-4, maxiter=100, restrt=30)
-        out["gmres_s"] = round(time.time() - t0, 3)
-        t0 = time.time()
-        xb, _ = bicgstab(E, bb, tol=1e-4, maxiter=300)
-        out["bicgstab_s"] = round(time.time() - t0, 3)
-        return out
+        return _solve_mp(A, ml, b, inner_maxiter=60)
 
     run_config("adaptive_sa_anisotropy_1024", build5, solve5)
+
+    # 5b. standalone GMRES/BiCGStab Krylov suite on the gallery set at the
+    #     suite's 1e-10 / f64-host-verified standard (BASELINE config 5)
+    def krylov_gallery():
+        from pyamg_tpu.gallery import load_example
+        from pyamg_tpu.krylov import gmres, bicgstab
+        from pyamg_tpu.sparse import device_operator
+
+        sc = 2 if s else 1
+        probs = {}
+        probs["poisson2d_64"] = poisson((64 // sc, 64 // sc), format="csr")
+        probs["poisson3d_16"] = poisson((16 // sc,) * 3, format="csr")
+        probs["aniso_64"] = stencil_grid(
+            diffusion_stencil_2d(epsilon=0.01, theta=np.pi / 4, type="FD"),
+            (64 // sc, 64 // sc), format="csr")
+        Ae, _Be = linear_elasticity((24 // sc, 24 // sc))
+        probs["elasticity_24"] = Ae.tocsr()
+        probs["recirc_flow"] = load_example("recirc_flow")["A"].tocsr()
+
+        ref = _REF.get("standalone_krylov_gallery", {})
+        for name, A in probs.items():
+            b = np.asarray(A @ rng().random(A.shape[0]))
+            Ad = device_operator(A)
+            out = {"config": "standalone_krylov_gallery", "problem": name,
+                   "n": int(A.shape[0]), "tol": TOL}
+            for meth, fn, kw in [
+                    ("gmres", gmres, {"restrt": None, "maxiter": 800}),
+                    ("bicgstab", bicgstab, {"maxiter": 20000})]:
+                fn(Ad, b, tol=TOL, **kw)               # warm-up (compile)
+                res = []
+                t0 = time.time()
+                x, info = fn(Ad, b, tol=TOL, residuals=res, **kw)
+                t = time.time() - t0
+                rr = float(np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+                           / np.linalg.norm(b))
+                out[f"{meth}_s"] = round(t, 4)
+                out[f"{meth}_iters"] = len(res) - 1
+                out[f"{meth}_relres"] = rr
+                r = ref.get(name)
+                if r:
+                    out[f"ref_cpu_{meth}_s"] = r.get(f"{meth}_s")
+                    out[f"ref_cpu_{meth}_iters"] = r.get(f"{meth}_iters")
+            print(json.dumps(out))
+
+    krylov_gallery()
 
 
 if __name__ == "__main__":

@@ -247,10 +247,20 @@ def _finalize_device_operators_impl(levels, op_dtype=None):
     def _banded_device_op(A_csr, q):
         """Structured level with q dofs/node: block-banded → SparseBDIA
         (shifted batched block products, no gathers); None when the block
-        pattern is not banded enough."""
+        pattern is not banded enough or the dense bands would blow the
+        memory budget (same fill-ratio rule as the scalar DIA chooser)."""
+        from ..sparse.device_op import DIA_MEM_BUDGET, DIA_MEM_FLOOR
+
+        A_bsr = A_csr.tobsr(blocksize=(q, q))
+        nb = A_bsr.shape[0] // q
+        brows = np_.repeat(np_.arange(nb), np_.diff(A_bsr.indptr))
+        n_off = np_.unique(A_bsr.indices - brows).size
+        stored = n_off * nb * q * q
+        if stored > max(DIA_MEM_BUDGET * max(A_bsr.nnz, 1), DIA_MEM_FLOOR):
+            return None
         try:
             blocks, offs = SparseBDIA.host_blocks(
-                A_csr.tobsr(blocksize=(q, q)), max_offsets=64, dtype=npdt)
+                A_bsr, max_offsets=64, dtype=npdt)
         except ValueError:
             return None
         return SparseBDIA(blocks=stage_array(blocks), offsets=offs,

@@ -136,6 +136,11 @@ def _extend_hierarchy(levels, strength, CF, interpolation, keep,
         splitting = split.CLJPc(C, **kwargs)
     elif fn == "MIS":
         splitting = split.MIS(C, **kwargs)
+    elif fn == "CR":
+        # compatible relaxation runs on A itself, not the strength graph
+        from .cr import CR as _CR
+
+        splitting = _CR(A, **kwargs)
     else:
         raise ValueError(f"unknown C/F splitting method {CF!r}")
 

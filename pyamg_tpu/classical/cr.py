@@ -39,9 +39,18 @@ def _cr_sweep(A, x, findex, nu, method="habituated"):
     return x, norms
 
 
-def CR(A, method="habituated", maxiter=20, tol=0.7, nu=3, thetacr=0.7,
-       thetacs=None, seed=0, verbose=False):
+def CR(A, method="habituated", B=None, maxiter=20, nu=3, thetacr=0.7,
+       thetacs="auto", seed=0, verbose=False):
     """Compatible-relaxation C/F splitting (reference cr.py:81).
+
+    ``thetacr``: target CR convergence factor — iteration stops once the
+    measured rho drops below it.  ``thetacs``: candidate-set threshold on
+    the normalized slow-error measure gamma = |e/B| / max|e/B| over F
+    points (reference cr.py:101-146 + cr_helper, ruge_stuben.h:641):
+    a float is used every iteration, a list is consumed progressively
+    (first element first, last held), and ``'auto'`` uses 1 - rho from the
+    most recent sweep.  ``B``: target algebraically smooth vector
+    (constant when None).
 
     Returns splitting array (1 = C, 0 = F).
     """
@@ -51,6 +60,22 @@ def CR(A, method="habituated", maxiter=20, tol=0.7, nu=3, thetacr=0.7,
         raise ValueError("expected square matrix")
     if method not in ("habituated", "concurrent"):
         raise ValueError("method must be 'habituated' or 'concurrent'")
+    if not (0 < thetacr < 1):
+        raise ValueError("Must have 0 < thetacr < 1")
+    if thetacs != "auto":
+        sched = [float(t) for t in (thetacs if isinstance(thetacs, (list,
+                 tuple)) else [thetacs])]
+        if max(sched) >= 1 or min(sched) <= 0:
+            raise ValueError("Must have 0 < thetacs < 1")
+    else:
+        sched = None
+
+    if B is None:
+        target = np.ones(n)
+    else:
+        target = np.asarray(B, dtype=float)
+        if target.ndim > 1:
+            target = target[:, 0]
 
     rng = np.random.default_rng(seed)
     splitting = np.zeros(n, dtype=np.int32)   # start: everything F
@@ -68,18 +93,29 @@ def CR(A, method="habituated", maxiter=20, tol=0.7, nu=3, thetacr=0.7,
         if verbose:
             print(f"CR iter {it}: rho = {rho:.3f}, "
                   f"|C| = {int(splitting.sum())}")
-        if rho < tol:
+        if rho < thetacr:
             break
-        # candidate measure: normalized slow-to-converge error
-        e = np.abs(x)
+        # per-iteration candidate threshold
+        if sched is None:
+            tcs = 1.0 - rho
+        else:
+            tcs = sched[0]
+            if len(sched) > 1:
+                sched.pop(0)
+        # candidate measure: normalized slow-to-converge error relative to
+        # the target vector (cr_helper's gamma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e = np.abs(np.where(target != 0, x / np.where(target != 0,
+                                                          target, 1), x))
         emax = e[findex].max() if findex.size else 0.0
         if emax == 0:
             break
-        candidates = findex[e[findex] > thetacr * emax]
+        gamma = e / emax
+        candidates = findex[gamma[findex] > tcs]
         if candidates.size == 0:
             break
-        # add an independent subset of the candidates to C
-        added = _independent_subset(A, candidates, e)
+        # add a weighted independent subset of the candidates to C
+        added = _independent_subset(A, candidates, gamma, splitting)
         if added.size == 0:
             break
         splitting[added] = 1
@@ -90,13 +126,17 @@ def CR(A, method="habituated", maxiter=20, tol=0.7, nu=3, thetacr=0.7,
     return splitting
 
 
-def _independent_subset(A, candidates, measure):
-    """Greedy independent subset of candidate nodes, largest measure first
-    (the serial core of amg_core cr_helper, ruge_stuben.h:641)."""
-    order = candidates[np.argsort(-measure[candidates])]
+def _independent_subset(A, candidates, gamma, splitting):
+    """Greedy maximal independent subset of candidate nodes by the
+    cr_helper weight omega_i = |N_i ∩ F| + gamma_i, heaviest first
+    (ruge_stuben.h:641)."""
+    indptr, indices = A.indptr, A.indices
+    nF = np.array([int((splitting[indices[indptr[i]:indptr[i + 1]]]
+                        == 0).sum()) for i in candidates], dtype=float)
+    omega = nF + gamma[candidates]
+    order = candidates[np.argsort(-omega, kind="stable")]
     chosen = []
     excluded = set()
-    indptr, indices = A.indptr, A.indices
     for i in order:
         if i in excluded:
             continue

@@ -302,3 +302,47 @@ class TestComplexClassicalTransfers:
                  + 1j * rng.standard_normal(l.P_csr.shape[0]))
             assert np.allclose(np.asarray(l.R @ r), l.R_csr @ r,
                                atol=1e-12), f"R{i}"
+
+
+class TestCompatibleRelaxation:
+    """CR coarsening (reference cr.py:81 + cr_helper, ruge_stuben.h:641)."""
+
+    def test_cr_splitting_poisson(self):
+        from pyamg_tpu.classical import CR
+        from pyamg_tpu.gallery import poisson
+
+        A = poisson((20, 20), format="csr")
+        s = CR(A)
+        frac = s.sum() / s.size
+        assert 0.1 < frac < 0.6        # sensible coarsening ratio
+
+    def test_cr_thetacs_schedules(self):
+        from pyamg_tpu.classical import CR
+        from pyamg_tpu.gallery import poisson
+
+        A = poisson((16, 16), format="csr")
+        s_auto = CR(A, thetacs="auto")
+        s_flt = CR(A, thetacs=0.5)
+        s_lst = CR(A, thetacs=[0.9, 0.7, 0.5])
+        for s in (s_auto, s_flt, s_lst):
+            assert s.sum() > 0
+        # a lower threshold admits at least as many candidates
+        assert s_flt.sum() >= CR(A, thetacs=0.95).sum()
+        import pytest
+
+        with pytest.raises(ValueError):
+            CR(A, thetacs=1.5)
+
+    def test_cr_splitting_converges_aniso(self):
+        # CR-driven hierarchy on anisotropic Poisson converges
+        # (VERDICT r2 item 8; quality oracle in the reference's CR paper)
+        import pyamg_tpu
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+
+        sten = diffusion_stencil_2d(epsilon=0.01, theta=0.0, type="FD")
+        A = stencil_grid(sten, (32, 32), format="csr")
+        ml = pyamg_tpu.ruge_stuben_solver(A, CF="CR", max_levels=2)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=100, accel="cg", residuals=res)
+        assert res[-1] / res[0] < 1e-8
