@@ -21,6 +21,7 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
            "bfs_levels_native", "drake_matching_native",
            "masked_spgemm_native", "bsr_gauss_seidel_native",
+           "identity_minus_scaled_native", "evolution_epilogue_native",
            "direct_interpolation_native", "classical_strength_native",
            "first_fit_coloring_native"]
 
@@ -119,6 +120,24 @@ def _declare(lib):
     lib.classical_strength.argtypes = [_I, _i64p, _i64p, _f64p, _D,
                                        _i64p, _i64p, _f64p]
     lib.classical_strength.restype = _I
+    lib.identity_minus_scaled.argtypes = [_I, _i64p, _i64p, _f64p, _D,
+                                          _f64p]
+    lib.identity_minus_scaled.restype = _I
+    lib.identity_minus_scaled_i32.argtypes = [_I, _i32p, _i32p, _f64p, _D,
+                                              _f64p]
+    lib.identity_minus_scaled_i32.restype = _I
+    lib.masked_spgemm_rr.argtypes = [_I, _I, _i64p, _i64p, _f64p,
+                                     _i64p, _i64p, _f64p,
+                                     _i64p, _i64p, _f64p]
+    lib.masked_spgemm_rr_i32.argtypes = [_I, _I, _i32p, _i32p, _f64p,
+                                         _i32p, _i32p, _f64p,
+                                         _i32p, _i32p, _f64p]
+    lib.evolution_epilogue.argtypes = [_I, _i64p, _i64p, _f64p, _D, _I,
+                                       _i64p, _i64p, _f64p]
+    lib.evolution_epilogue.restype = _I
+    lib.evolution_epilogue_i32.argtypes = [_I, _i32p, _i32p, _f64p, _D, _I,
+                                           _i32p, _i32p, _f64p]
+    lib.evolution_epilogue_i32.restype = _I
 
 
 def _csr_arrays(A):
@@ -218,7 +237,10 @@ def bfs_levels_native(A, seed):
 
 def masked_spgemm_native(A, B, pattern):
     """C = (A @ B) restricted to ``pattern``'s sparsity (CSR in/out);
-    returns None without the native library or for non-float64 data."""
+    returns None without the native library or for non-float64 data.
+
+    Row-scatter kernel: all three operands stay CSR — no CSC conversion
+    of B (a full O(nnz) transpose pass the earlier merge-form kernel paid)."""
     lib = _load()
     if not lib:
         return None
@@ -227,29 +249,88 @@ def masked_spgemm_native(A, B, pattern):
     A = sp.csr_matrix(A)
     if A.dtype != np.float64 or np.iscomplexobj(A.data):
         return None
-    Bc = sp.csc_matrix(B)
-    if Bc.dtype != np.float64:
+    Br = sp.csr_matrix(B)
+    if Br.dtype != np.float64:
         return None
     P = sp.csr_matrix(pattern)        # only the structure of P is read
     A.sort_indices()
-    Bc.sort_indices()
     P.sort_indices()
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
-    Bx = np.ascontiguousarray(Bc.data, dtype=np.float64)
+    Bx = np.ascontiguousarray(Br.data, dtype=np.float64)
     Cx = np.zeros(P.nnz, dtype=np.float64)
-    idx = (A.indptr, A.indices, Bc.indptr, Bc.indices, P.indptr, P.indices)
+    idx = (A.indptr, A.indices, Br.indptr, Br.indices, P.indptr, P.indices)
     if all(a.dtype == np.int32 for a in idx):
         # scipy's native index width: no int64 widening copies
         a = [np.ascontiguousarray(x) for x in idx]
-        lib.masked_spgemm_i32(A.shape[0], a[0], a[1], Ax,
-                              a[2], a[3], Bx, a[4], a[5], Cx)
+        lib.masked_spgemm_rr_i32(A.shape[0], Br.shape[1], a[0], a[1], Ax,
+                                 a[2], a[3], Bx, a[4], a[5], Cx)
     else:
         a = [np.ascontiguousarray(x, dtype=np.int64) for x in idx]
-        lib.masked_spgemm(A.shape[0], a[0], a[1], Ax,
-                          a[2], a[3], Bx, a[4], a[5], Cx)
+        lib.masked_spgemm_rr(A.shape[0], Br.shape[1], a[0], a[1], Ax,
+                             a[2], a[3], Bx, a[4], a[5], Cx)
     # fresh index arrays: callers mutate the result in place
     return sp.csr_matrix((Cx, P.indices.copy(), P.indptr.copy()),
                          shape=P.shape)
+
+
+def identity_minus_scaled_native(M, c):
+    """Data array of S = I - c*M over M's own CSR pattern, or None when the
+    native library is missing, dtypes don't fit, or a row lacks a stored
+    diagonal (the caller then falls back to a sparse add)."""
+    lib = _load()
+    if not lib:
+        return None
+    if M.dtype != np.float64 or np.iscomplexobj(M.data):
+        return None
+    n = M.shape[0]
+    Sx = np.empty(M.nnz, dtype=np.float64)
+    Ax = np.ascontiguousarray(M.data, dtype=np.float64)
+    if M.indptr.dtype == np.int32 and M.indices.dtype == np.int32:
+        got = lib.identity_minus_scaled_i32(
+            n, np.ascontiguousarray(M.indptr),
+            np.ascontiguousarray(M.indices), Ax, float(c), Sx)
+    else:
+        got = lib.identity_minus_scaled(
+            n, np.ascontiguousarray(M.indptr, dtype=np.int64),
+            np.ascontiguousarray(M.indices, dtype=np.int64), Ax, float(c),
+            Sx)
+    return Sx if got == n else None
+
+
+def evolution_epilogue_native(Atilde, epsilon, symmetrize):
+    """Fused evolution-SOC tail: distance filter + 0.5(A+A^T) symmetrize +
+    unit diagonal + inversion + row scaling in one native call.  Returns the
+    finished CSR strength matrix, or None when unavailable.  Consumes
+    ``Atilde.data`` (modified in place)."""
+    lib = _load()
+    if not lib:
+        return None
+    import scipy.sparse as sp
+
+    if Atilde.dtype != np.float64 or np.iscomplexobj(Atilde.data):
+        return None
+    n = Atilde.shape[0]
+    cap = 2 * Atilde.nnz + n
+    Ax = np.ascontiguousarray(Atilde.data, dtype=np.float64)
+    eps = np.inf if epsilon is None else float(epsilon)
+    sym = int(bool(symmetrize))
+    if Atilde.indptr.dtype == np.int32 and Atilde.indices.dtype == np.int32:
+        Op = np.empty(n + 1, dtype=np.int32)
+        Oj = np.empty(cap, dtype=np.int32)
+        Ox = np.empty(cap, dtype=np.float64)
+        nnz = lib.evolution_epilogue_i32(
+            n, np.ascontiguousarray(Atilde.indptr),
+            np.ascontiguousarray(Atilde.indices), Ax, eps, sym, Op, Oj, Ox)
+    else:
+        Op = np.empty(n + 1, dtype=np.int64)
+        Oj = np.empty(cap, dtype=np.int64)
+        Ox = np.empty(cap, dtype=np.float64)
+        nnz = lib.evolution_epilogue(
+            n, np.ascontiguousarray(Atilde.indptr, dtype=np.int64),
+            np.ascontiguousarray(Atilde.indices, dtype=np.int64), Ax, eps,
+            sym, Op, Oj, Ox)
+    return sp.csr_matrix((Ox[:nnz], Oj[:nnz], Op),
+                         shape=Atilde.shape)
 
 
 def first_fit_coloring_native(G):

@@ -592,6 +592,195 @@ void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
 }
 
 // ---------------------------------------------------------------------------
+// S = I - c*M over M's CSR arrays in ONE value pass: Sx = -c*Mx, +1.0 at the
+// stored diagonal (role of the eye-plus-scale chain in evolution SOC, which
+// costs an O(nnz) int64 row-expansion plus two O(nnz) data passes in numpy).
+// Returns the number of rows with a stored diagonal; the caller falls back
+// to a sparse add when any row lacks one.
+// ---------------------------------------------------------------------------
+}  // extern "C"
+
+template <typename Ix>
+static I identity_minus_scaled_impl(I n, const Ix* Ap, const Ix* Aj,
+                                    const double* Ax, double c, double* Sx) {
+    I diag_rows = 0;
+    for (I i = 0; i < n; i++) {
+        bool has_diag = false;
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            double v = -c * Ax[jj];
+            if ((I)Aj[jj] == i) { v += 1.0; has_diag = true; }
+            Sx[jj] = v;
+        }
+        diag_rows += has_diag;
+    }
+    return diag_rows;
+}
+
+// ---------------------------------------------------------------------------
+// masked SpGEMM, row-scatter form: C = (A @ B) restricted to C's pattern
+// with ALL operands CSR — no CSC conversion of B (a full transpose pass the
+// merge-form kernel above needs).  Mask row i's columns are tagged in a
+// dense slot map; A row i's entries stream B's rows into the tagged slots.
+// Work per row = sum_k nnz(B_k) predicated FMAs vs ~2x that in merge steps.
+// Cx must be caller-zeroed.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static void masked_spgemm_rr_impl(I n_row, I n_col,
+                                  const Ix* Ap, const Ix* Aj,
+                                  const double* Ax,
+                                  const Ix* Bp, const Ix* Bj,
+                                  const double* Bx,
+                                  const Ix* Cp, const Ix* Cj, double* Cx) {
+    std::vector<int64_t> slot(n_col, -1);
+    for (I i = 0; i < n_row; i++) {
+        for (Ix cc = Cp[i]; cc < Cp[i + 1]; cc++) slot[Cj[cc]] = cc;
+        for (Ix ka = Ap[i]; ka < Ap[i + 1]; ka++) {
+            const Ix k = Aj[ka];
+            const double a = Ax[ka];
+            for (Ix kb = Bp[k]; kb < Bp[k + 1]; kb++) {
+                const int64_t s = slot[Bj[kb]];
+                if (s >= 0) Cx[s] += a * Bx[kb];
+            }
+        }
+        for (Ix cc = Cp[i]; cc < Cp[i + 1]; cc++) slot[Cj[cc]] = -1;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// evolution-SOC epilogue, fused (role of apply_distance_filter + 0.5(A+A^T)
+// + unit diagonal + 1/x inversion + scale_rows_by_largest_entry — five
+// scipy/numpy passes with two format conversions): distance-filter Ax in
+// place, build the filtered transpose once, merge-union each row with its
+// transpose row (guaranteeing a diagonal), then invert and row-scale inside
+// the still-cached output row.  Output capacity 2*nnz + n; returns nnz.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static I evolution_epilogue_impl(I n, const Ix* Ap, const Ix* Aj, double* Ax,
+                                 double eps, int symmetrize,
+                                 Ix* Op, Ix* Oj, double* Ox) {
+    const double inf = std::numeric_limits<double>::infinity();
+    // pass 1: relative distance filter (diag -> 1, dropped -> 0)
+    for (I i = 0; i < n; i++) {
+        double dmin = inf;
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++)
+            if ((I)Aj[jj] != i && Ax[jj] < dmin) dmin = Ax[jj];
+        const double thresh = eps * dmin;
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            if ((I)Aj[jj] == i) Ax[jj] = 1.0;
+            else if (!(Ax[jj] < thresh)) Ax[jj] = 0.0;
+        }
+    }
+
+    // pass 2: filtered transpose via counting scatter (rows of T sorted
+    // because the source scan is row-major)
+    std::vector<Ix> Tp(n + 1, 0);
+    std::vector<Ix> Tj;
+    std::vector<double> Tx;
+    if (symmetrize) {
+        for (I i = 0; i < n; i++)
+            for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++)
+                if (Ax[jj] != 0.0) Tp[(I)Aj[jj] + 1]++;
+        for (I t = 0; t < n; t++) Tp[t + 1] += Tp[t];
+        Tj.resize(Tp[n]);
+        Tx.resize(Tp[n]);
+        std::vector<Ix> fill(Tp.begin(), Tp.end() - 1);
+        for (I i = 0; i < n; i++)
+            for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++)
+                if (Ax[jj] != 0.0) {
+                    const Ix pos = fill[(I)Aj[jj]]++;
+                    Tj[pos] = (Ix)i;
+                    Tx[pos] = Ax[jj];
+                }
+    }
+
+    // pass 3: per-row union-merge (0.5*(a + a^T)), forced diagonal, then
+    // invert + scale so the largest entry in the row is 1
+    I nnz = 0;
+    Op[0] = 0;
+    for (I i = 0; i < n; i++) {
+        const I row_start = nnz;
+        Ix ka = Ap[i], ea = Ap[i + 1];
+        Ix kt = symmetrize ? Tp[i] : ea;
+        const Ix et = symmetrize ? Tp[i + 1] : ea;
+        bool wrote_diag = false;
+        while (true) {
+            while (ka < ea && Ax[ka] == 0.0) ka++;       // skip dropped
+            const bool ha = ka < ea, ht = kt < et;
+            if (!ha && !ht) break;
+            I ja = ha ? (I)Aj[ka] : n, jt = ht ? (I)Tj[kt] : n;
+            I j; double v;
+            if (ja == jt)      { v = 0.5 * (Ax[ka] + Tx[kt]); j = ja;
+                                 ka++; kt++; }
+            else if (ja < jt)  { v = symmetrize ? 0.5 * Ax[ka] : Ax[ka];
+                                 j = ja; ka++; }
+            else               { v = 0.5 * Tx[kt]; j = jt; kt++; }
+            if (!wrote_diag && j >= i) {
+                if (j == i) { v = 1.0; wrote_diag = true; }
+                else { Oj[nnz] = (Ix)i; Ox[nnz++] = 1.0; wrote_diag = true; }
+            }
+            Oj[nnz] = (Ix)j;
+            Ox[nnz++] = v;
+        }
+        if (!wrote_diag) { Oj[nnz] = (Ix)i; Ox[nnz++] = 1.0; }
+        double mx = 0.0;
+        for (I t = row_start; t < nnz; t++) {
+            Ox[t] = 1.0 / Ox[t];
+            const double a = std::abs(Ox[t]);
+            if (a > mx) mx = a;
+        }
+        if (mx != 0.0) {
+            const double s = 1.0 / mx;
+            for (I t = row_start; t < nnz; t++) Ox[t] *= s;
+        }
+        Op[i + 1] = (Ix)nnz;
+    }
+    return nnz;
+}
+
+extern "C" {
+
+I identity_minus_scaled(I n, const I* Ap, const I* Aj, const double* Ax,
+                        double c, double* Sx) {
+    return identity_minus_scaled_impl<I>(n, Ap, Aj, Ax, c, Sx);
+}
+
+I identity_minus_scaled_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                            const double* Ax, double c, double* Sx) {
+    return identity_minus_scaled_impl<int32_t>(n, Ap, Aj, Ax, c, Sx);
+}
+
+void masked_spgemm_rr(I n_row, I n_col,
+                      const I* Ap, const I* Aj, const double* Ax,
+                      const I* Bp, const I* Bj, const double* Bx,
+                      const I* Cp, const I* Cj, double* Cx) {
+    masked_spgemm_rr_impl<I>(n_row, n_col, Ap, Aj, Ax, Bp, Bj, Bx,
+                             Cp, Cj, Cx);
+}
+
+void masked_spgemm_rr_i32(I n_row, I n_col,
+                          const int32_t* Ap, const int32_t* Aj,
+                          const double* Ax,
+                          const int32_t* Bp, const int32_t* Bj,
+                          const double* Bx,
+                          const int32_t* Cp, const int32_t* Cj, double* Cx) {
+    masked_spgemm_rr_impl<int32_t>(n_row, n_col, Ap, Aj, Ax, Bp, Bj, Bx,
+                                   Cp, Cj, Cx);
+}
+
+I evolution_epilogue(I n, const I* Ap, const I* Aj, double* Ax,
+                     double eps, I symmetrize, I* Op, I* Oj, double* Ox) {
+    return evolution_epilogue_impl<I>(n, Ap, Aj, Ax, eps, (int)symmetrize,
+                                      Op, Oj, Ox);
+}
+
+I evolution_epilogue_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                         double* Ax, double eps, I symmetrize,
+                         int32_t* Op, int32_t* Oj, double* Ox) {
+    return evolution_epilogue_impl<int32_t>(n, Ap, Aj, Ax, eps,
+                                            (int)symmetrize, Op, Oj, Ox);
+}
+
+// ---------------------------------------------------------------------------
 // standard (distance-2) interpolation, one pass (role of the unexported
 // rs_standard_interpolation, ruge_stuben.h:601; matches the vectorized and
 // per-row Python formulations in classical/interpolate.py):

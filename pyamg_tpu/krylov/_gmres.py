@@ -91,19 +91,30 @@ def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False):
         safe = jnp.where(hj1 == 0, 1, hj1)
         V_new = V.at[j + 1].set(w / safe)
 
-        # apply stored Givens rotations 0..j-1 to h
-        def rot_body(i, h):
-            hi = h[i]
-            hi1 = h[i + 1]
-            c, s = cs[i], sn[i]
-            new_hi = jnp.conj(c) * hi + jnp.conj(s) * hi1
-            new_hi1 = -s * hi + c * hi1
-            upd = i < j
-            h = h.at[i].set(jnp.where(upd, new_hi, hi))
-            h = h.at[i + 1].set(jnp.where(upd, new_hi1, hi1))
-            return h
+        # Apply stored Givens rotations 0..j-1 to h.  Rotation i maps
+        #   (h_i, h_{i+1}) <- (c̄_i h_i + s̄_i h_{i+1}, -s_i h_i + c_i h_{i+1})
+        # and rotation i+1 reads the value rotation i wrote at position i+1,
+        # so the chain is a first-order affine recurrence in that carried
+        # value:  v_{i+1} = -s_i v_i + c_i h_{i+1},  v_0 = h_0  (h on the
+        # right-hand side is the pre-rotation vector).  Evaluating it with
+        # an associative scan is O(log m) depth on the VPU — the sequential
+        # form costs m scalar-unit steps per Arnoldi iteration, which made
+        # the Givens update O(m^2) over a full-GMRES solve.
+        i_idx = jnp.arange(m)
+        act = i_idx < j
+        a_aff = jnp.where(act, -sn[:m], jnp.ones((), dtype))
+        b_aff = jnp.where(act, cs[:m] * h[1:m + 1], jnp.zeros((), dtype))
 
-        h = jax.lax.fori_loop(0, m, rot_body, h)
+        def _affine_compose(p, q):
+            (a1, b1), (a2, b2) = p, q
+            return a2 * a1, a2 * b1 + b2
+
+        Pa, Qa = jax.lax.associative_scan(_affine_compose, (a_aff, b_aff))
+        v = jnp.concatenate([h[:1], Pa * h[0] + Qa])        # v_i, i = 0..m
+        h = h.at[:m].set(jnp.where(
+            act, jnp.conj(cs[:m]) * v[:m] + jnp.conj(sn[:m]) * h[1:m + 1],
+            h[:m]))
+        h = h.at[j].set(v[j])
 
         # new rotation to zero h[j+1]
         hj = h[j]

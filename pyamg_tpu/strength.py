@@ -272,16 +272,23 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     # stored diagonal — avoids two O(nnz) sparse binop passes
     W = Dinv_A.tocsc()
     W.sort_indices()
-    Atilde = sparse.csr_matrix(
-        ((-1.0 / rho_DinvA) * W.data, W.indices, W.indptr),
-        shape=(dimen, dimen))
-    rows_t = np.repeat(np.arange(dimen), np.diff(Atilde.indptr))
-    dmask_t = rows_t == Atilde.indices
-    if int(dmask_t.sum()) == dimen:
-        Atilde.data[dmask_t] += 1.0
+    from .amg_core import identity_minus_scaled_native
+
+    Sx = identity_minus_scaled_native(W, 1.0 / rho_DinvA)
+    if Sx is not None:
+        Atilde = sparse.csr_matrix((Sx, W.indices, W.indptr),
+                                   shape=(dimen, dimen))
     else:
-        Atilde = (sparse.eye(dimen, dimen, format="csr",
-                             dtype=A.dtype) + Atilde).tocsr()
+        Atilde = sparse.csr_matrix(
+            ((-1.0 / rho_DinvA) * W.data, W.indices, W.indptr),
+            shape=(dimen, dimen))
+        rows_t = np.repeat(np.arange(dimen), np.diff(Atilde.indptr))
+        dmask_t = rows_t == Atilde.indices
+        if int(dmask_t.sum()) == dimen:
+            Atilde.data[dmask_t] += 1.0
+        else:
+            Atilde = (sparse.eye(dimen, dimen, format="csr",
+                                 dtype=A.dtype) + Atilde).tocsr()
 
     # mask = pattern of A restricted to same-PDE couplings
     mask = A
@@ -357,6 +364,17 @@ def _evolution_epilogue(Atilde, epsilon, symmetrize_measure, bsr_in=False,
     evolution paths."""
     dimen = Atilde.shape[1]
     Atilde.data = np.asarray(np.real(Atilde.data), dtype=float)
+
+    if not bsr_in:
+        # fused native tail: filter + symmetrize + diag + invert + scale in
+        # one call (five scipy/numpy passes and two format conversions saved)
+        from .amg_core import evolution_epilogue_native
+
+        Atilde.sort_indices()
+        native = evolution_epilogue_native(Atilde, epsilon,
+                                           symmetrize_measure)
+        if native is not None:
+            return native
 
     if epsilon != np.inf:
         Atilde = apply_distance_filter(Atilde, epsilon)
