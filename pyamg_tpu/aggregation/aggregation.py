@@ -378,16 +378,28 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
         coup = np.array([np.abs(A.diagonal(s)).sum() + 1e-300
                          for s in strides])
         line_smoothing = getattr(lvl, "_line_smoother", False)
-        # scalar hierarchies only: with K candidates the dof count shrinks
-        # by 3/K per semicoarsened level — for K >= 2 the hierarchy barely
-        # coarsens (or grows) and setup/cycle costs explode
-        scalar = (B.shape[1] == 1
-                  and max(getattr(lvl, "blocksize", 1), 1) == 1)
-        if (line_smoothing and scalar and len(grid) >= 2
+        # Width of the weak-axis aggregates: an aggregate of w grid nodes
+        # (w*q fine dofs) yields K coarse dofs, so w = 3K/q keeps the DOF
+        # coarsening ratio at 3 — with w = 3 a K>=2 hierarchy would shrink
+        # by only 3/K per semicoarsened level and setup/cycle costs explode.
+        # Level 0 of a K-candidate hierarchy has q=1 (w=3K); its coarse
+        # levels carry q=K dofs/node (w=3).
+        K_cand = B.shape[1]
+        q_node = max(getattr(lvl, "blocksize", 1), 1)
+        if (line_smoothing and K_cand % max(q_node, 1) == 0
+                and q_node in (1, K_cand) and len(grid) >= 2
                 and coup.max() > 25.0 * coup.min()):
             geo = float(np.sqrt(coup.max() * coup.min()))
-            block = tuple(1 if c > geo else 3 for c in coup)
-            sfn, skw = None, {}
+            w = 3 * K_cand // q_node
+            block = tuple(1 if c > geo else w for c in coup)
+            # Smoothing P with the full S = I - c D^{-1} A would widen the
+            # stencil along the UNCOARSENED strong axis without bound (that
+            # axis never coarsens, so RAP accumulates bands every level).
+            # Restricted to the coarsened weak axes, S's support lies inside
+            # the aggregates' axes: P keeps strong-axis width 1 and the
+            # coarse stencil stays bounded — while the weak-axis
+            # interpolation regains the accuracy tentative-only P lacks.
+            sfn, skw = "jacobi_weak", {}
         else:
             block = (3,) * len(grid)
     block = tuple(block)
@@ -431,6 +443,35 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
             A, symmetric=sym_hint or None)
         S_data = (-c) * A.data.copy()
         S_csr = _add_identity_inplace(S_data, A, n)
+    elif sfn == "jacobi_weak":
+        # Jacobi prolongation smoothing restricted to the COARSENED axes:
+        # stencil couplings with a nonzero delta along an uncoarsened
+        # (strong) axis are dropped before building S = I - c D^{-1} A_w,
+        # so S's support lies along the weak axes (plus intra-node dofs)
+        # and S P keeps strong-axis width 1.
+        omega = float(skw.get("omega", 4.0 / 3.0))
+        strides_w = [int(np.prod(grid[kk + 1:])) * q_lvl
+                     for kk in range(len(grid))]
+        offs = (A.indices.astype(np.int64)
+                - np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(A.indptr)))
+        rem = offs
+        keep_w = np.ones(A.nnz, dtype=bool)
+        for k in np.argsort(strides_w)[::-1]:
+            s = strides_w[k]
+            dk = np.rint(rem / s).astype(np.int64)
+            rem = rem - dk * s
+            if block[k] == 1:
+                keep_w &= dk == 0
+        # fresh index arrays: eliminate_zeros compacts them IN PLACE before
+        # pruning, which would corrupt A's shared arrays
+        Aw = sp.csr_matrix((np.where(keep_w, A.data, 0), A.indices.copy(),
+                            A.indptr.copy()), shape=A.shape)
+        Aw.eliminate_zeros()
+        c = omega / rho_D_inv_A(Aw, symmetric=sym_hint)
+        Dinv = get_diagonal(A, inv=True)
+        S_data = (-c) * np.repeat(Dinv, np.diff(Aw.indptr)) * Aw.data
+        S_csr = _add_identity_inplace(S_data, Aw, n)
 
     P = T
     for _ in range(degree):
@@ -457,6 +498,11 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     new.symmetry = symmetry
     new.A_bsr = None
     new.grid = cgrid
+    # host-side line relaxation (adaptive candidate generation) reads the
+    # geometry off the matrix itself; scalar levels only — node-blocked
+    # lines need the block solver, which is device-side
+    if K == 1:
+        A_coarse.grid = cgrid
     new._line_smoother = getattr(lvl, "_line_smoother", False)
     levels.append(new)
 

@@ -188,13 +188,22 @@ def _geometric_masks(grid, two_colors, dtype):
 def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
                         max_levels=10, max_coarse=200,
                         presmoother_sweep="symmetric",
-                        coarse_solver="pinv", dtype=jnp.float32):
+                        coarse_solver="pinv", dtype=jnp.float32,
+                        mesh=None, mesh_axis=None):
     """Build an SA hierarchy for a stencil matrix with the numeric setup on
     device.  ``A`` may be scipy CSR or a SparseDIA.
 
     Returns a MultilevelSolver whose compiled cycle is identical in form to
     the host-staged one.
-    """
+
+    ``mesh``: a ``jax.sharding.Mesh`` distributes the CONSTRUCTION itself
+    (SURVEY §7 step 8 "distributed RAP and setup"): the fine operator's
+    diagonals and the candidate are row-sharded over the mesh, every level
+    build (power iteration, smoothing factor, tentative pooling, comb-probe
+    RAP) is one SPMD program with XLA-inserted collectives, and each coarse
+    operator comes out of the jit already sharded — no single-host setup
+    stage.  Numerically identical to the single-device build up to
+    reduction reassociation in the norms (~1 ulp-scale)."""
     import scipy.sparse as sp
 
     dtype = jnp.dtype(dtype)
@@ -207,6 +216,29 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
     else:
         A_dev = A.astype(dtype)
         A_csr0 = A.to_scipy()
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        mesh_axis = mesh_axis or mesh.axis_names[0]
+        _nd = mesh.shape[mesh_axis]
+
+        def _place(A_d, B_v):
+            # row-shard while the level divides the mesh; replicate the
+            # small ragged coarse levels (their work is negligible)
+            if A_d.shape[0] % _nd == 0:
+                sh_diag = NamedSharding(mesh, _P(None, mesh_axis))
+                sh_vec = NamedSharding(mesh, _P(mesh_axis))
+            else:
+                sh_diag = NamedSharding(mesh, _P())
+                sh_vec = NamedSharding(mesh, _P())
+            A_d = SparseDIA(diags=jax.device_put(A_d.diags, sh_diag),
+                            offsets=A_d.offsets, shape=A_d.shape)
+            return A_d, (None if B_v is None
+                         else jax.device_put(B_v, sh_vec))
+    else:
+        def _place(A_d, B_v):
+            return A_d, B_v
 
     grid = tuple(int(g) for g in grid)
     if int(np.prod(grid)) != A_dev.shape[0]:
@@ -275,6 +307,7 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
 
     levels = []
     B = jnp.ones((A_dev.shape[0],), dtype=dtype)
+    A_dev, B = _place(A_dev, B)
     cur_grid = grid
 
     while len(levels) < max_levels - 1 and A_dev.shape[0] > max_coarse:
@@ -284,6 +317,9 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
 
         P, R, A_c, B_c, dinv = build_level(A_dev, B, cur_grid, block,
                                            degree)
+        # keep coarse operands on the mesh in the canonical row-sharded
+        # placement (XLA's propagated output sharding may differ)
+        A_c, B_c = _place(A_c, B_c)
         cgrid = tuple(-(-g // b) for g, b in zip(cur_grid, block))
         lvl.P = P
         lvl.R = R
@@ -317,4 +353,5 @@ def structured_sa_setup(A, grid, block=None, omega=4.0 / 3.0, degree=1,
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
     ml._smoother_config = (("gauss_seidel", {"sweep": presmoother_sweep}),) * 2
+    ml._mesh = mesh
     return ml

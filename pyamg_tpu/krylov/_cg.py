@@ -9,7 +9,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ._common import prepare, norm, finalize
+from ._common import (prepare, norm, finalize, operator_jittable,
+                      run_core_jit)
 
 __all__ = ["cg", "cg_core", "cg_init", "cg_chunk"]
 
@@ -101,5 +102,8 @@ def cg(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
     normb = norm(b)
     normb = jnp.where(normb == 0, 1.0, normb)
     tol_t = tol * normb
-    x, it, res_buf = cg_core(mv, pre, x, b, tol_t, maxiter)
+    if operator_jittable(A, M):
+        x, it, res_buf = run_core_jit(cg_core, A, M, x, b, maxiter, tol_t)
+    else:
+        x, it, res_buf = cg_core(mv, pre, x, b, tol_t, maxiter)
     return finalize(x, res_buf, it + 1, float(tol_t), callback, residuals)

@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ._common import prepare, norm, finalize, make_rmatvec
+from ._common import (prepare, norm, finalize, make_rmatvec,
+                      operator_jittable, run_core_jit)
 
 __all__ = ["cr", "cgne", "cgnr", "steepest_descent", "minimal_residual",
            "bicgstab", "bicgstab_init", "bicgstab_chunk"]
@@ -291,5 +292,9 @@ def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
     mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
-    x, it, res_buf = bicgstab_core(mv, pre, x, b, tol_t, maxiter)
+    if operator_jittable(A, M):
+        x, it, res_buf = run_core_jit(bicgstab_core, A, M, x, b, maxiter,
+                                      tol_t)
+    else:
+        x, it, res_buf = bicgstab_core(mv, pre, x, b, tol_t, maxiter)
     return finalize(x, res_buf, it + 1, tol_t, callback, residuals)

@@ -16,11 +16,14 @@ amg_core/krylov.h:35,98).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ._common import prepare, norm, identity_M, make_matvec
+from ._common import (prepare, norm, identity_M, make_matvec,
+                      operator_jittable)
 
 __all__ = ["gmres", "gmres_mgs", "gmres_householder", "fgmres",
            "gmres_init", "gmres_chunk"]
@@ -41,17 +44,35 @@ def gmres(A, b, x0=None, tol=1e-5, restrt=None, maxiter=None, xtype=None,
     raise ValueError(f"unknown orthogonalization {orthog!r}")
 
 
-def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _extend_jit(A, M, state, flexible, tol_t):
+    """Jitted Arnoldi extension with the operator as a pytree ARGUMENT —
+    the eager while_loop dispatch re-hashes the whole jaxpr (operator
+    embedded as constants) per call, ~0.5 s through the axon tunnel; this
+    path hits the jit C++ fast path (73 ms measured, same program)."""
+    return _arnoldi_extend(make_matvec(A), identity_M(M), state, tol_t,
+                           flexible)
+
+
+def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False,
+                   progressive=False, ops=None):
     """One restart cycle: returns (x_new, res_history(m,), n_done).
 
     Left-preconditioned GMRES on M A; the tracked residual is ||M r||.
     When ``flexible`` is True the preconditioned vectors Z are stored and the
     update uses Z (right-preconditioned FGMRES); the tracked residual is the
     true ||r||.
+
+    For large ``m`` the Krylov buffer GROWS progressively (64 → 128 → … → m)
+    instead of being allocated at full size up front: every device op in the
+    Arnoldi body — the CGS2 products, the basis-row update — is O(m_buffer)
+    regardless of how many basis vectors exist yet, so a full-GMRES solve
+    that converges at j ≪ m pays ~m/j times the necessary work.  Growth is
+    an exact continuation (state is zero-padded; the iterate sequence is
+    identical to the monolithic buffer).
     """
     n = b.shape[0]
     dtype = b.dtype
-    rdtype = jnp.real(b).dtype
 
     if flexible:
         r = b - mv(x)
@@ -59,17 +80,89 @@ def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False):
         r = pre(b - mv(x))
     beta = norm(r)
 
+    m0 = min(m, 64) if (progressive and m > 96) else m
+    state = _arnoldi_state(r, beta, m0, flexible)
+    if ops is not None:
+        def extend(st):
+            return _extend_jit(ops[0], ops[1], st, flexible, tol_t)
+    else:
+        def extend(st):
+            return _arnoldi_extend(mv, pre, st, tol_t, flexible)
+    while True:
+        state = extend(state)
+        cur_m = state[0].shape[0] - 1
+        if cur_m >= m:
+            break
+        k = int(state[-1])           # host sync, once per growth stage
+        res_hist = state[-2]
+        if k < cur_m or (k and float(res_hist[k - 1]) <= tol_t):
+            break
+        state = _arnoldi_grow(state, min(2 * cur_m, m))
+
+    x_new, res_hist, k = _arnoldi_finish(x, state, flexible)
+    return x_new, res_hist, k, beta
+
+
+def _arnoldi_state(r, beta, m, flexible):
+    """Fresh Arnoldi carry with an (m+1, n) basis buffer."""
+    n = r.shape[0]
+    dtype = r.dtype
     V = jnp.zeros((m + 1, n), dtype=dtype)
     Z = jnp.zeros((m + 1, n), dtype=dtype) if flexible else None
     R = jnp.zeros((m + 1, m + 1), dtype=dtype)   # triangular factor
     g = jnp.zeros(m + 1, dtype=dtype)
     cs = jnp.zeros(m + 1, dtype=dtype)
     sn = jnp.zeros(m + 1, dtype=dtype)
-    res_hist = jnp.zeros(m, dtype=rdtype)
-
+    res_hist = jnp.zeros(m, dtype=jnp.real(r).dtype)
     safe_beta = jnp.where(beta == 0, 1, beta)
     V = V.at[0].set(r / safe_beta)
     g = g.at[0].set(beta.astype(dtype))
+    return (V, Z, R, g, cs, sn, res_hist, 0)
+
+
+def _arnoldi_grow(state, m2):
+    """Zero-pad every carry buffer to Krylov size ``m2`` (exact
+    continuation: existing rows/columns are preserved in place)."""
+    V, Z, R, g, cs, sn, res_hist, j = state
+
+    def pad(arr, shape):
+        out = jnp.zeros(shape, dtype=arr.dtype)
+        return out.at[tuple(slice(0, s) for s in arr.shape)].set(arr)
+
+    n = V.shape[1]
+    V2 = pad(V, (m2 + 1, n))
+    Z2 = pad(Z, (m2 + 1, n)) if Z is not None else None
+    R2 = pad(R, (m2 + 1, m2 + 1))
+    g2 = pad(g, (m2 + 1,))
+    cs2 = pad(cs, (m2 + 1,))
+    sn2 = pad(sn, (m2 + 1,))
+    res2 = pad(res_hist, (m2,))
+    return (V2, Z2, R2, g2, cs2, sn2, res2, j)
+
+
+def _arnoldi_finish(x, state, flexible):
+    """Back-substitute y over the first k columns and form the new iterate."""
+    V, Z, R, g, cs, sn, res_hist, k = state
+    m = V.shape[0] - 1
+    dtype = V.dtype
+    Rm = R[:m, :m]
+    idx = jnp.arange(m)
+    diag_fix = jnp.where(idx >= k, 1.0, 0.0).astype(dtype)
+    Rm = Rm + jnp.diag(diag_fix)
+    gm = jnp.where(idx < k, g[:m], 0.0).astype(dtype)
+    y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
+    if flexible:
+        x_new = x + Z[:m].T @ y
+    else:
+        x_new = x + V[:m].T @ y
+    return x_new, res_hist, k
+
+
+def _arnoldi_extend(mv, pre, state, tol_t, flexible=False):
+    """Continue the Arnoldi build inside ``state``'s buffer until it fills
+    or the projected residual drops below ``tol_t``."""
+    m = state[0].shape[0] - 1
+    dtype = state[0].dtype
 
     def body(carry):
         V, Z, R, g, cs, sn, res_hist, j = carry
@@ -142,21 +235,7 @@ def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False):
                              > tol_t)
         return (j < m) & not_conv
 
-    carry = (V, Z, R, g, cs, sn, res_hist, 0)
-    V, Z, R, g, cs, sn, res_hist, k = jax.lax.while_loop(cond, body, carry)
-
-    # back-substitution for y over the first k columns (masked for the rest)
-    Rm = R[:m, :m]
-    idx = jnp.arange(m)
-    diag_fix = jnp.where(idx >= k, 1.0, 0.0).astype(dtype)
-    Rm = Rm + jnp.diag(diag_fix)
-    gm = jnp.where(idx < k, g[:m], 0.0).astype(dtype)
-    y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
-    if flexible:
-        x_new = x + Z[:m].T @ y
-    else:
-        x_new = x + V[:m].T @ y
-    return x_new, res_hist, k, beta
+    return jax.lax.while_loop(cond, body, state)
 
 
 def gmres_core(mv, pre, x, b, tol_t, maxiter, restrt=30, flexible=False):
@@ -261,9 +340,11 @@ def _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback, residuals,
     all_res = []
     r0 = b - mv(x)
     all_res.append(float(norm(r0)))
+    ops = (A, M) if operator_jittable(A, M) else None
     for _ in range(max_outer):
         x, res_hist, k, beta = _arnoldi_cycle(mv, pre, x, b, restrt, tol_t,
-                                              flexible=flexible)
+                                              flexible=flexible,
+                                              progressive=True, ops=ops)
         k = int(k)
         hist = np.asarray(res_hist)[:k]
         all_res.extend([float(h) for h in hist])

@@ -537,7 +537,8 @@ class MultilevelSolver:
             carry = init(hier, x0, b)
             carry, _it, _rounds = self._drive_chunks(
                 lambda c, cap: chunk(hier, b, c, tol_t, cap),
-                carry, float(tol_t), maxiter)
+                carry, float(tol_t), maxiter,
+                first_chunk=self._first_chunk_guess(maxiter))
             return carry
 
         return bound
@@ -635,7 +636,8 @@ class MultilevelSolver:
         carry = init(hier, A64, b64)
         carry, it, rounds = self._drive_chunks(
             lambda c, cap: chunk(hier, A64, b64, c, tol_abs, cap),
-            carry, tol_abs_f, maxiter)
+            carry, tol_abs_f, maxiter,
+            first_chunk=self._first_chunk_guess(maxiter))
         if accel == "gmres":
             # left-preconditioned GMRES tracks ||M r|| (reference
             # _gmres_mgs.py semantics); with an AMG cycle as M that can be
@@ -665,6 +667,28 @@ class MultilevelSolver:
         return x64
 
     _CHUNK_TARGET_S = 20.0       # wall-time budget per device dispatch
+
+    def _first_chunk_guess(self, maxiter):
+        """Initial chunk length from a conservative per-iteration wall
+        estimate (~20M effective nnz/s through cycle + f64 matvec): small
+        problems converge inside the FIRST dispatch instead of paying a
+        second ~50-85 ms stat round-trip; big problems still start small
+        enough that a bad estimate cannot approach the ~60 s device
+        watchdog."""
+        lvl0 = self.levels[0]
+        nnz = None
+        A_csr = getattr(lvl0, "A_csr", None)
+        if A_csr is not None:
+            nnz = A_csr.nnz
+        else:
+            A0 = getattr(lvl0, "A", None)
+            if A0 is not None and hasattr(A0, "shape"):
+                nnz = 9 * A0.shape[0]          # stencil-ish guess
+        if not nnz:
+            return 6
+        t_guess = 5e-8 * float(nnz)            # seconds per iteration
+        return int(np.clip(self._CHUNK_TARGET_S / max(t_guess, 1e-4),
+                           6, min(256, maxiter)))
 
     def _drive_chunks(self, chunk_call, carry, tol_abs_f, maxiter,
                       first_chunk=6, it0=0):
@@ -777,7 +801,8 @@ class MultilevelSolver:
         carry = init(hier, A64, b64)
         carry, it, rounds = self._drive_chunks(
             lambda c, cap: chunk(hier, A64, c, tol_abs, cap),
-            carry, tol_abs_f, maxiter)
+            carry, tol_abs_f, maxiter,
+            first_chunk=self._first_chunk_guess(maxiter))
         x64 = carry[0]
         if return_info:
             return x64, {"rounds": rounds, "inner_iterations": it}

@@ -213,24 +213,89 @@ def batched_tridiag_pcr(dl, d, du, B):
     return B / d
 
 
+def batched_block_tridiag_pcr(dl, d, du, B):
+    """Batched BLOCK-tridiagonal solve by parallel cyclic reduction.
+
+    dl/d/du: (nlines, L, q, q) node blocks; B: (nlines, L, q).  Same
+    log2(L) elimination rounds as the scalar kernel with q x q block
+    algebra — the q-dof-per-node levels of a K-candidate structured
+    hierarchy stay exactly line-solvable.  Out-of-range neighbors are
+    identity blocks / zero blocks via padding.
+    """
+    L = d.shape[1]
+    q = d.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(q, dtype=d.dtype), d.shape[:2] + (q, q))
+
+    def shift(a, s, fill):
+        if s == 0:
+            return a
+        pad = fill[:, :abs(s)] if hasattr(fill, "shape") \
+            else jnp.zeros(a.shape[:1] + (abs(s),) + a.shape[2:], a.dtype)
+        if s > 0:
+            return jnp.concatenate([a[:, s:], pad], axis=1)
+        return jnp.concatenate([pad, a[:, :s]], axis=1)
+
+    def bmm(X, Y):
+        return jnp.einsum("nlij,nljk->nlik", X, Y)
+
+    def bmv(X, v):
+        return jnp.einsum("nlij,nlj->nli", X, v)
+
+    def rsolve(num, den):
+        # num @ den^{-1} via a batched LU solve of the transposed system
+        mT = lambda a: jnp.swapaxes(a, -1, -2)  # noqa: E731
+        return mT(jnp.linalg.solve(mT(den), mT(num)))
+
+    s = 1
+    while s < L:
+        dm = shift(d, -s, eye)
+        dp = shift(d, s, eye)
+        alpha = -rsolve(dl, dm)
+        beta = -rsolve(du, dp)
+        d = d + bmm(alpha, shift(du, -s, None)) + bmm(beta, shift(dl, s,
+                                                                  None))
+        B = B + bmv(alpha, shift(B, -s, None)) + bmv(beta, shift(B, s,
+                                                                 None))
+        dl = bmm(alpha, shift(dl, -s, None))
+        du = bmm(beta, shift(du, s, None))
+        s *= 2
+    return jnp.linalg.solve(d, B[..., None])[..., 0]
+
+
 def line_relaxation_step(A, sm: "SmootherData", x, b, zebra_phase=None):
     """Damped line-Jacobi (or one zebra half-sweep): exact tridiagonal
     solves along the ``line_axis`` grid direction.
 
     The TPU-native counterpart of line/block Gauss-Seidel for anisotropic
-    problems: all lines solve simultaneously via cyclic reduction.
+    problems: all lines solve simultaneously via cyclic reduction.  A 5-D
+    ``line_tri`` marks a node-blocked level (q dofs per grid node): lines
+    are block-tridiagonal and solve via the block kernel.
     ``zebra_phase``: None = all lines (line Jacobi), 0/1 = even/odd lines
     only (zebra line Gauss-Seidel).
     """
     grid = sm.grid
     axis = sm.line_axis % len(grid)
     r = b - A.matvec(x)
+    dl, d, du = sm.line_tri[0], sm.line_tri[1], sm.line_tri[2]
+    if sm.line_tri.ndim == 5:
+        q = sm.line_tri.shape[-1]
+        L = d.shape[1]
+        Rg = r.reshape(tuple(grid) + (q,))
+        Rg = jnp.moveaxis(Rg, axis, len(grid) - 1)
+        lead_shape = Rg.shape[:-2]
+        R2 = Rg.reshape(-1, L, q)
+        dx = batched_block_tridiag_pcr(dl, d, du, R2)
+        if zebra_phase is not None:
+            mask = (jnp.arange(dx.shape[0]) % 2 == zebra_phase)
+            dx = dx * mask[:, None, None].astype(dx.dtype)
+        dxg = jnp.moveaxis(dx.reshape(lead_shape + (L, q)),
+                           len(grid) - 1, axis)
+        return x + sm.omega * dxg.reshape(-1)
     Rg = r.reshape(grid)
     Rg = jnp.moveaxis(Rg, axis, -1)
     lead_shape = Rg.shape[:-1]
     L = Rg.shape[-1]
     R2 = Rg.reshape(-1, L)
-    dl, d, du = sm.line_tri[0], sm.line_tri[1], sm.line_tri[2]
     dx = batched_tridiag_pcr(dl, d, du, R2)
     if zebra_phase is not None:
         nlines = dx.shape[0]

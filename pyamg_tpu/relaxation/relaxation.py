@@ -21,7 +21,7 @@ __all__ = [
     "make_system", "sor", "gauss_seidel", "jacobi", "polynomial",
     "block_jacobi", "block_gauss_seidel", "gauss_seidel_indexed",
     "jacobi_ne", "gauss_seidel_ne", "gauss_seidel_nr", "schwarz",
-    "schwarz_parameters",
+    "schwarz_parameters", "zebra", "line_gauss_seidel", "line_jacobi",
 ]
 
 
@@ -118,6 +118,117 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
             raise ValueError(f"valid sweep directions: forward/backward/"
                              f"symmetric, got {sweep!r}")
     np.asarray(x).reshape(-1)[:] = x_v
+    return x
+
+
+def zebra(A, x, b, iterations=1, sweep="symmetric", grid=None, axis=None,
+          omega=1.0):
+    """Host zebra line relaxation: exact tridiagonal solves along one grid
+    axis, alternating even/odd lines (the host twin of the device PCR
+    zebra, relaxation/device.py:line_relaxation_step).
+
+    ``grid`` defaults to ``A.grid`` (stencil matrices carry it; the
+    structured SA path attaches it to coarse levels).  Without a usable
+    grid — or on node-blocked levels — falls back to symmetric GS, like
+    the device smoother factory does for structure-less levels.
+
+    The adaptive (aSA) candidate machinery resolves smoothers from this
+    module by name: candidates must be relaxed with the SAME iteration the
+    final cycle uses, or the 'algebraically smooth error' the candidates
+    capture is the wrong one (Brezina et al., §3 — the reference relaxes
+    candidates with its cycle smoother too, adaptive.py:363).  A GS-relaxed
+    candidate on a strongly anisotropic problem looks locally constant
+    along the strong axis, gets eliminated as redundant, and leaves a
+    multi-candidate hierarchy effectively single-candidate.
+    """
+    A, x, b = make_system(A, x, b)
+    n = A.shape[0]
+    if grid is None:
+        grid = getattr(A, "grid", None)
+    if grid is None or int(np.prod(grid)) != n:
+        return gauss_seidel(A, x, b, iterations=iterations,
+                            sweep="symmetric")
+    lines, unlines, solve_lines, parity = _line_setup(A, grid, axis)
+    phases = (0, 1) if sweep in ("forward", "symmetric") else (1, 0)
+    for _ in range(iterations):
+        for ph in phases:
+            dx = solve_lines(lines(b - A @ x))
+            dx[parity != ph] = 0.0
+            x += omega * unlines(dx)
+    return x
+
+
+def _line_setup(A, grid, axis):
+    """Shared host line-solve machinery: returns (lines, unlines,
+    solve_lines, parity) for tridiagonal lines along ``axis``."""
+    n = A.shape[0]
+    grid = tuple(int(g) for g in grid)
+    d = len(grid)
+    strides = [int(np.prod(grid[k + 1:])) for k in range(d)]
+    if axis is None:
+        coup = [np.abs(A.diagonal(s)).sum() for s in strides]
+        axis = int(np.argmax(coup))
+    axis = axis % d
+    stride = strides[axis]
+    L = grid[axis]
+
+    d_flat = A.diagonal().copy()
+    d_flat[d_flat == 0] = 1.0
+    du_flat = np.zeros(n, dtype=A.dtype)
+    du_flat[:n - stride] = A.diagonal(stride)
+    dl_flat = np.zeros(n, dtype=A.dtype)
+    dl_flat[stride:] = A.diagonal(-stride)
+    coords = np.unravel_index(np.arange(n), grid)
+    du_flat[coords[axis] == L - 1] = 0.0
+    dl_flat[coords[axis] == 0] = 0.0
+
+    def lines(v):
+        return np.moveaxis(v.reshape(grid), axis, -1).reshape(-1, L)
+
+    def unlines(M):
+        shp = tuple(grid[k] for k in range(d) if k != axis) + (L,)
+        return np.moveaxis(M.reshape(shp), -1, axis).ravel()
+
+    dl, dm, du = lines(dl_flat), lines(d_flat), lines(du_flat)
+    parity = np.arange(dm.shape[0]) % 2
+
+    def solve_lines(R):
+        """Vectorized Thomas over all lines: (nlines, L) rhs -> solution."""
+        cp = np.zeros_like(dm)
+        xp = np.zeros_like(R)
+        cp[:, 0] = du[:, 0] / dm[:, 0]
+        xp[:, 0] = R[:, 0] / dm[:, 0]
+        for i in range(1, L):
+            den = dm[:, i] - dl[:, i] * cp[:, i - 1]
+            den = np.where(den == 0, 1.0, den)
+            cp[:, i] = du[:, i] / den
+            xp[:, i] = (R[:, i] - dl[:, i] * xp[:, i - 1]) / den
+        for i in range(L - 2, -1, -1):
+            xp[:, i] -= cp[:, i] * xp[:, i + 1]
+        return xp
+
+    return lines, unlines, solve_lines, parity
+
+
+def line_gauss_seidel(A, x, b, iterations=1, sweep="symmetric", grid=None,
+                      axis=None):
+    """Alias of :func:`zebra` (even/odd line Gauss-Seidel)."""
+    return zebra(A, x, b, iterations=iterations, sweep=sweep, grid=grid,
+                 axis=axis)
+
+
+def line_jacobi(A, x, b, iterations=1, grid=None, axis=None, omega=0.7):
+    """Damped line Jacobi: all lines solved simultaneously from one
+    residual (host twin of the device line_jacobi)."""
+    A, x, b = make_system(A, x, b)
+    if grid is None:
+        grid = getattr(A, "grid", None)
+    if grid is None or int(np.prod(grid)) != A.shape[0]:
+        return jacobi(A, x, b, iterations=iterations, omega=omega)
+    lines, unlines, solve_lines, _parity = _line_setup(A, grid, axis)
+    for _ in range(iterations):
+        dx = solve_lines(lines(b - A @ x))
+        x += omega * unlines(dx)
     return x
 
 

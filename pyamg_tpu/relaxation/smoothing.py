@@ -229,6 +229,71 @@ def make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
     return sm
 
 
+def _make_block_line_data(lvl, A_csr, grid, q, fn_name, iterations, sweep,
+                          kwargs, npdt) -> SmootherData:
+    """Line-relaxation data for a node-blocked structured level: the lines
+    along the strong axis are BLOCK-tridiagonal (q x q node blocks), solved
+    by block parallel cyclic reduction on the device.
+
+    line_tri: (3, nlines, L, q, q) [sub, diag, super] node-block diagonals
+    (5-D marks the blocked form to ``line_relaxation_step``)."""
+    nb = int(np.prod(grid))
+    A_bsr = A_csr.tobsr(blocksize=(q, q))
+    A_bsr.sort_indices()
+    strides = [int(np.prod(grid[k + 1:])) for k in range(len(grid))]
+    axis = kwargs.get("axis")
+    if axis is None:
+        # strongest coupling direction, via same-dof node-neighbor coupling
+        coup = [np.abs(A_csr.diagonal(s * q)).sum() for s in strides]
+        axis = int(np.argmax(coup))
+    axis = axis % len(grid)
+    stride = strides[axis]
+    L = grid[axis]
+
+    brows = np.repeat(np.arange(nb), np.diff(A_bsr.indptr))
+    delta = A_bsr.indices - brows
+    blocks = A_bsr.data
+    d = np.zeros((nb, q, q), dtype=A_csr.dtype)
+    du = np.zeros((nb, q, q), dtype=A_csr.dtype)
+    dl = np.zeros((nb, q, q), dtype=A_csr.dtype)
+    for target, want in ((d, 0), (du, stride), (dl, -stride)):
+        m = delta == want
+        target[brows[m]] = blocks[m]
+    # zero couplings across line ends (block-diagonal extraction cannot
+    # wrap, but guard against degenerate grids)
+    coords = np.unravel_index(np.arange(nb), grid)
+    du[coords[axis] == L - 1] = 0.0
+    dl[coords[axis] == 0] = 0.0
+    # Zero dof rows (e.g. locally-eliminated aSA candidates produce zero
+    # columns in T, hence zero rows/columns in the coarse operator) make
+    # the node diagonal blocks singular; identity-ize those dofs so the
+    # block solves stay nonsingular (their line residual is zero, so the
+    # update for them is exactly zero).
+    rowmass = (np.abs(d).sum(axis=2) + np.abs(du).sum(axis=2)
+               + np.abs(dl).sum(axis=2))                       # (nb, q)
+    zr = rowmass == 0
+    if zr.any():
+        nz_n, nz_q = np.nonzero(zr)
+        d[nz_n, nz_q, nz_q] = 1.0
+
+    def lines(blk):
+        # (grid..., q, q) -> (nlines, L, q, q) with the line axis innermost
+        g = blk.reshape(grid + (q, q))
+        g = np.moveaxis(g, axis, len(grid) - 1)
+        return g.reshape(-1, L, q, q)
+
+    tri = np.stack([lines(dl), lines(d), lines(du)])
+    omega = float(kwargs.get("omega",
+                             0.7 if fn_name == "line_jacobi" else 1.0))
+    kind = "line_jacobi" if fn_name == "line_jacobi" else "zebra"
+    return SmootherData(kind=kind, iterations=iterations, sweep=sweep,
+                        omega=omega,
+                        line_tri=stage_array(
+                            tri if npdt is None
+                            else tri.astype(npdt, copy=False)),
+                        grid=grid, line_axis=axis)
+
+
 def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
     if not hasattr(lvl, "A_csr"):
         # device-built hierarchies materialize host twins lazily
@@ -372,7 +437,19 @@ def _make_smoother_data(lvl, fn_name, kwargs, dtype=None) -> SmootherData:
     if fn_name in ("line_jacobi", "zebra", "line_gauss_seidel"):
         # exact tridiagonal solves along one grid axis (TPU-native line
         # relaxation for anisotropic problems; batched cyclic reduction)
-        if grid is None or int(np.prod(grid)) != A_csr.shape[0]:
+        n_dof = A_csr.shape[0]
+        q_node = max(getattr(lvl, "blocksize", 1), 1)
+        if grid is not None and q_node > 1 \
+                and int(np.prod(grid)) * q_node == n_dof:
+            # node-blocked structured level (q dofs per grid node, e.g. the
+            # K-channel coarse levels of a multi-candidate hierarchy):
+            # BLOCK-tridiagonal line solves — the scalar fallback to point
+            # GS here destroyed the line-relaxation property the
+            # semicoarsened hierarchy above it relies on
+            return _make_block_line_data(lvl, A_csr, tuple(
+                int(g) for g in grid), q_node, fn_name, iterations, sweep,
+                kwargs, npdt)
+        if grid is None or int(np.prod(grid)) != n_dof:
             # level lost its grid structure (e.g. classical coarse levels):
             # fall back to multicolor GS, which needs no geometry
             return make_smoother_data(lvl, "gauss_seidel",

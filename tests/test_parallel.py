@@ -178,3 +178,43 @@ class TestShardedBlockHierarchies:
         sml = shard_solver(ml, n_devices=8)
         x2 = sml.solve(b, tol=1e-8, maxiter=40)
         assert np.allclose(x1, x2, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestDistributedSetup:
+    """Round-3: the setup phase itself runs distributed (SURVEY §7 step 8).
+
+    The structured hierarchy is CONSTRUCTED on the mesh — row-sharded
+    diagonals, SPMD level builds, sharded comb-probe RAP — and must agree
+    with the single-device build to reduction-reassociation accuracy."""
+
+    def test_sharded_setup_matches_single_device(self):
+        import jax.numpy as jnp
+        from pyamg_tpu.aggregation.device_setup import structured_sa_setup
+        from pyamg_tpu.parallel import structured_sa_setup_sharded
+
+        A = poisson((48, 48), format="csr")
+        ml_ref = structured_sa_setup(A, (48, 48), dtype=jnp.float64)
+        ml_sh = structured_sa_setup_sharded(A, (48, 48), n_devices=8,
+                                            dtype=jnp.float64)
+        assert len(ml_ref.levels) == len(ml_sh.levels)
+        for i, (lr, ls) in enumerate(zip(ml_ref.levels, ml_sh.levels)):
+            assert lr.A.offsets == ls.A.offsets, f"level {i} offsets"
+            dr = np.asarray(lr.A.diags)
+            ds = np.asarray(ls.A.diags)
+            err = np.abs(dr - ds).max() / max(np.abs(dr).max(), 1e-300)
+            assert err < 1e-12, f"level {i} rel err {err}"
+        # divisible levels stay row-sharded on the mesh (not replicated)
+        spec0 = ml_sh.levels[0].A.diags.sharding.spec
+        assert tuple(spec0) == (None, "rows")
+
+    def test_sharded_setup_solves(self):
+        from pyamg_tpu.parallel import structured_sa_setup_sharded
+
+        A = poisson((48, 24), format="csr")
+        ml = structured_sa_setup_sharded(A, (48, 24), n_devices=8,
+                                         max_coarse=20)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-6, maxiter=40, accel="cg", residuals=res)
+        assert res[-1] / res[0] < 1e-6
