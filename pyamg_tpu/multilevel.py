@@ -535,7 +535,7 @@ class MultilevelSolver:
 
         def bound(x0, b, tol_t):
             carry = init(hier, x0, b)
-            carry, _it, _rounds = self._drive_chunks(
+            carry, _it, _rounds, _stat = self._drive_chunks(
                 lambda c, cap: chunk(hier, b, c, tol_t, cap),
                 carry, float(tol_t), maxiter,
                 first_chunk=self._first_chunk_guess(maxiter))
@@ -593,13 +593,15 @@ class MultilevelSolver:
                     return bicgstab_init(mv, pre, jnp.zeros_like(b64), b64,
                                          int(maxiter))
 
+                piggy = self.levels[0].A.shape[0] <= self._PIGGYBACK_N
+
                 @jax.jit
                 def chunk(hier, A64, b64, carry, tol_abs, it_cap):
                     mv, pre = _ops(hier, A64, carry[0].dtype)
                     out = bicgstab_chunk(mv, pre, carry, tol_abs, it_cap)
                     stat = jnp.stack([out[-1][out[-2]].astype(jnp.float64),
                                       out[-2].astype(jnp.float64)])
-                    return out, stat
+                    return out, self._stat_x(stat, out[0], piggy)
             else:
                 flexible = accel == "fgmres"
                 restrt = min(30, int(maxiter))
@@ -610,6 +612,8 @@ class MultilevelSolver:
                     return gmres_init(mv, pre, jnp.zeros_like(b64), b64,
                                       int(maxiter))
 
+                piggy = self.levels[0].A.shape[0] <= self._PIGGYBACK_N
+
                 @jax.jit
                 def chunk(hier, A64, b64, carry, tol_abs, it_cap):
                     mv, pre = _ops(hier, A64, carry[0].dtype)
@@ -619,7 +623,7 @@ class MultilevelSolver:
                     # carry: (x, it, res_buf, outer, last)
                     stat = jnp.stack([out[-1].astype(jnp.float64),
                                       out[1].astype(jnp.float64)])
-                    return out, stat
+                    return out, self._stat_x(stat, out[0], piggy)
 
             self._solve_cache[key] = (init, chunk)
         init, chunk = self._solve_cache[key]
@@ -627,14 +631,18 @@ class MultilevelSolver:
         op_dt = jnp.dtype(self.levels[0].A.dtype)
         dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
             else jnp.float64
-        b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
-        normb = float(np.linalg.norm(np.asarray(b64)))
+        b_host = np.ravel(np.asarray(b))
+        b64 = jnp.asarray(b_host, dtype=dt64)
+        # host norm: np.asarray(b64) here would round-trip the whole vector
+        # through the tunnel (a ~40-80 ms sync) before the solve starts
+        normb = float(np.linalg.norm(
+            b_host.astype(np.dtype(str(jnp.dtype(dt64))), copy=False)))
         tol_abs_f = tol * (normb if normb != 0 else 1.0)
         tol_abs = jnp.asarray(tol_abs_f, dtype=jnp.float64)
 
         hier = self._dev()
         carry = init(hier, A64, b64)
-        carry, it, rounds = self._drive_chunks(
+        carry, it, rounds, stat_np = self._drive_chunks(
             lambda c, cap: chunk(hier, A64, b64, c, tol_abs, cap),
             carry, tol_abs_f, maxiter,
             first_chunk=self._first_chunk_guess(maxiter))
@@ -654,14 +662,15 @@ class MultilevelSolver:
                 tracked = float(np.asarray(carry[-1]))
                 ratio = max(tracked / r_true, 1e-12)
                 tol_t2 = tol_abs_f * ratio * 0.3
-                carry, it, r2 = self._drive_chunks(
+                carry, it, r2, stat_np = self._drive_chunks(
                     lambda c, cap: chunk(hier, A64, b64, c,
                                          jnp.asarray(tol_t2,
                                                      dtype=jnp.float64),
                                          cap),
                     carry, tol_t2, maxiter, it0=it)
                 rounds += r2
-        x64 = carry[0]
+        x64 = (stat_np[2:] if stat_np is not None and stat_np.shape[0] > 2
+               else carry[0])
         if return_info:
             return x64, {"rounds": rounds, "inner_iterations": it}
         return x64
@@ -690,6 +699,17 @@ class MultilevelSolver:
         return int(np.clip(self._CHUNK_TARGET_S / max(t_guess, 1e-4),
                            6, min(256, maxiter)))
 
+    _PIGGYBACK_N = 1 << 18       # piggyback x onto the stat D2H below this n
+
+    @staticmethod
+    def _stat_x(stat2, x, piggyback):
+        """Append the iterate to the stat vector for small real-f64 solves:
+        the solution rides the same D2H transfer as the convergence check
+        (one ~35-85 ms tunnel round-trip per solve instead of two)."""
+        if piggyback and x.dtype == jnp.dtype(jnp.float64):
+            return jnp.concatenate([stat2, x])
+        return stat2
+
     def _drive_chunks(self, chunk_call, carry, tol_abs_f, maxiter,
                       first_chunk=6, it0=0):
         """Drive a dispatch-bounded device loop with depth-1 speculation.
@@ -703,7 +723,13 @@ class MultilevelSolver:
         overlaps with device execution instead of stalling it.  The iterate
         sequence is identical to a single fused loop.
 
-        Returns ``(carry, it, rounds)``.
+        ``stat`` may carry MORE than the 2 leading entries: small solves
+        append the iterate x to the stat vector so the solution rides the
+        same D2H transfer as the convergence check (one round-trip per
+        solve instead of two).
+
+        Returns ``(carry, it, rounds, last_stat)`` with ``last_stat`` the
+        final fetched numpy stat vector.
         """
         import time as _time
         from collections import deque
@@ -724,9 +750,11 @@ class MultilevelSolver:
         enqueue()
         if caps_planned < maxiter:
             enqueue()                        # speculative
+        stat_np = None
         while inflight:
             stat, t_enq = inflight.popleft()
-            stat = np.asarray(stat)          # ordered D2H; forces completion
+            stat_np = np.asarray(stat)       # ordered D2H; forces completion
+            stat = stat_np
             now = _time.time()
             res, it_new = float(stat[0]), int(stat[1])
             advanced = it_new - it
@@ -745,7 +773,7 @@ class MultilevelSolver:
                 self._CHUNK_TARGET_S / max(t_iter, 1e-4), 4, maxiter))
             while caps_planned < maxiter and len(inflight) < 2:
                 enqueue()
-        return carry, it, rounds
+        return carry, it, rounds, stat_np
 
     def _solve_mp_pcg_cg_chunked(self, A64, b, tol, cycle, maxiter,
                                  return_info):
@@ -778,13 +806,15 @@ class MultilevelSolver:
                 return cg_init(mv, pre, jnp.zeros_like(b64), b64,
                                int(maxiter))
 
+            piggy = self.levels[0].A.shape[0] <= self._PIGGYBACK_N
+
             @jax.jit
             def chunk(hier, A64, carry, tol_abs, it_cap):
                 mv, pre = _ops(hier, A64, carry[0].dtype)
                 out = cg_chunk(mv, pre, carry, tol_abs, it_cap)
                 stat = jnp.stack([out[-1][out[-2]].astype(jnp.float64),
                                   out[-2].astype(jnp.float64)])
-                return out, stat
+                return out, self._stat_x(stat, out[0], piggy)
 
             self._solve_cache[key] = (init, chunk)
         init, chunk = self._solve_cache[key]
@@ -792,18 +822,23 @@ class MultilevelSolver:
         op_dt = jnp.dtype(self.levels[0].A.dtype)
         dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
             else jnp.float64
-        b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
-        normb = float(np.linalg.norm(np.asarray(b64)))
+        b_host = np.ravel(np.asarray(b))
+        b64 = jnp.asarray(b_host, dtype=dt64)
+        # host norm: np.asarray(b64) here would round-trip the whole vector
+        # through the tunnel (a ~40-80 ms sync) before the solve starts
+        normb = float(np.linalg.norm(
+            b_host.astype(np.dtype(str(jnp.dtype(dt64))), copy=False)))
         tol_abs_f = tol * (normb if normb != 0 else 1.0)
         tol_abs = jnp.asarray(tol_abs_f, dtype=jnp.float64)
 
         hier = self._dev()
         carry = init(hier, A64, b64)
-        carry, it, rounds = self._drive_chunks(
+        carry, it, rounds, stat_np = self._drive_chunks(
             lambda c, cap: chunk(hier, A64, c, tol_abs, cap),
             carry, tol_abs_f, maxiter,
             first_chunk=self._first_chunk_guess(maxiter))
-        x64 = carry[0]
+        x64 = (stat_np[2:] if stat_np is not None and stat_np.shape[0] > 2
+               else carry[0])
         if return_info:
             return x64, {"rounds": rounds, "inner_iterations": it}
         return x64
@@ -898,8 +933,12 @@ class MultilevelSolver:
 
         dt64 = jnp.complex128 if np.iscomplexobj(np.zeros(0, op_dt)) \
             else jnp.float64
-        b64 = jnp.asarray(np.ravel(np.asarray(b)), dtype=dt64)
-        normb = float(np.linalg.norm(np.asarray(b64)))
+        b_host = np.ravel(np.asarray(b))
+        b64 = jnp.asarray(b_host, dtype=dt64)
+        # host norm: np.asarray(b64) here would round-trip the whole vector
+        # through the tunnel (a ~40-80 ms sync) before the solve starts
+        normb = float(np.linalg.norm(
+            b_host.astype(np.dtype(str(jnp.dtype(dt64))), copy=False)))
         tol_abs = tol * (normb if normb != 0 else 1.0)
         hier = self._dev()
         x64 = jnp.zeros_like(b64)
