@@ -277,8 +277,17 @@ def _finalize_device_operators_impl(levels, op_dtype=None):
             continue
         meta = getattr(lvl, "struct_meta", None)
         if meta is None:
-            lvl.P = device_operator(lvl.P_csr, dtype=npdt)
-            lvl.R = device_operator(lvl.R_csr, dtype=npdt)
+            # general (unstructured) path: try the aggregate-root DIA
+            # embedding first — gather-free transfers whenever the embedded
+            # pattern is banded (grid-ordered aggregates)
+            from ..sparse.embed import root_embedded_transfers
+
+            emb = root_embedded_transfers(lvl, dtype=npdt)
+            if emb is not None:
+                lvl.P, lvl.R = emb
+            else:
+                lvl.P = device_operator(lvl.P_csr, dtype=npdt)
+                lvl.R = device_operator(lvl.R_csr, dtype=npdt)
             continue
         n_f, n_c = lvl.P_csr.shape
         q = meta.get("q", 1)
@@ -594,6 +603,22 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
         lvl.T = T
     lvl.P_csr = to_csr(P)
     lvl.R_csr = to_csr(R)
+
+    # aggregate-root embedding positions for the gather-free DIA transfer
+    # form (sparse/embed.py): coarse dof agg*K+k embeds at fine dof
+    # roots[agg]*q+k — injective when K matches the fine dofs/node (scalar
+    # K=1 levels and the node-blocked coarse levels of any K-candidate
+    # hierarchy; level 0 of a blocked problem with K != q falls back to ELL)
+    if Cpts is not None:
+        n_agg = AggOp.shape[1]
+        nc = lvl.P_csr.shape[1]
+        roots = np.asarray(Cpts, dtype=np.int64)
+        if n_agg and roots.size == n_agg and nc % n_agg == 0:
+            K = nc // n_agg
+            q = max(bs, 1)
+            if K == q or (q == 1 and K == 1):
+                lvl.root_dofs = (roots[:, None] * q
+                                 + np.arange(K)[None, :]).ravel()
 
     A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
     A_coarse.eliminate_zeros()

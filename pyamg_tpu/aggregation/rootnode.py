@@ -90,16 +90,24 @@ def rootnode_solver(A, B=None, BH=None, symmetry="hermitian",
             break
 
     from ..sparse import device_operator
+    from ..sparse.embed import root_embedded_transfers
 
+    op_dtype = kwargs.pop("op_dtype", None)
     from ..util.staging import staging
     with staging():
         for lvl in levels:
-            lvl.A = device_operator(lvl.A_csr)
+            lvl.A = device_operator(lvl.A_csr, dtype=op_dtype)
             if hasattr(lvl, "P_csr"):
-                lvl.P = device_operator(lvl.P_csr)
-                lvl.R = device_operator(lvl.R_csr)
+                emb = root_embedded_transfers(lvl, dtype=op_dtype)
+                if emb is not None:
+                    lvl.P, lvl.R = emb
+                else:
+                    lvl.P = device_operator(lvl.P_csr, dtype=op_dtype)
+                    lvl.R = device_operator(lvl.R_csr, dtype=op_dtype)
 
     ml = MultilevelSolver(levels, coarse_solver=coarse_solver)
+    if op_dtype is not None:
+        ml._op_dtype = op_dtype
     change_smoothers(ml, presmoother, postsmoother)
     return ml
 
@@ -179,6 +187,16 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
     lvl.Cpts = Cpt_params["Cpts"]
     lvl.P_csr = to_csr(P)
     lvl.R_csr = to_csr(R)
+    lvl.symmetry = symmetry
+    # embedding positions for the gather-free DIA transfer form: rootnode
+    # coarse dofs ARE fine root dofs by injection (P_I maps coarse column
+    # -> fine root-dof row), so invert P_I's map when it is one-to-one
+    Pi = Cpt_params["P_I"].tocoo()
+    nc = lvl.P_csr.shape[1]
+    root_dofs = np.full(nc, -1, dtype=np.int64)
+    root_dofs[Pi.col] = Pi.row
+    if (root_dofs >= 0).all():
+        lvl.root_dofs = root_dofs
 
     A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
     A_coarse.eliminate_zeros()

@@ -193,38 +193,15 @@ def _cpt_embedded_transfers(lvl, dtype=None, max_offsets=96):
     at 1M rows.  Returns None when the level has no splitting or the
     embedded pattern is not banded enough (device_operator ELL fallback).
     """
-    import jax.numpy as jnp
-    from ..sparse import SparseDIA, CptProlongOp, CptRestrictOp
+    from ..sparse.embed import embedded_dia_transfers
 
     splitting = getattr(lvl, "splitting", None)
     if splitting is None:
         return None
-    P = lvl.P_csr
-    n, nc = P.shape
-    cpts = np.flatnonzero(np.asarray(splitting)).astype(np.int32)
-    if cpts.size != nc:
-        return None
-    import scipy.sparse as sp
-
-    Pf = sp.csr_matrix((P.data, cpts[P.indices], P.indptr), shape=(n, n))
-    npdt = None if dtype is None else np.dtype(str(jnp.dtype(dtype)))
-    try:
-        pf_diags, pf_offs = SparseDIA.host_diags(Pf, dtype=npdt,
-                                                 max_offsets=max_offsets)
-    except ValueError:
-        return None
-    mem_cap = max(10 * max(Pf.nnz, 1), 64_000_000)
-    if len(pf_offs) * n > mem_cap:
-        return None
+    cpts = np.flatnonzero(np.asarray(splitting))
     # R_csr is the PLAIN transpose P.T (classical.py Galerkin build) — the
     # embedded restriction must match it, so no conjugation even for
     # complex matrices
-    rt_diags, rt_offs = SparseDIA.host_transpose(pf_diags, pf_offs, (n, n))
-    from ..util.staging import stage_array
-    cpts_dev = stage_array(cpts)
-    Pdia = SparseDIA(diags=stage_array(pf_diags), offsets=pf_offs,
-                     shape=(n, n))
-    Rdia = SparseDIA(diags=stage_array(rt_diags), offsets=rt_offs,
-                     shape=(n, n))
-    return (CptProlongOp(dia=Pdia, cpts=cpts_dev, shape=(n, nc)),
-            CptRestrictOp(dia=Rdia, cpts=cpts_dev, shape=(nc, n)))
+    return embedded_dia_transfers(lvl.P_csr, cpts, dtype=dtype,
+                                  max_offsets=max_offsets,
+                                  restrict="transpose")

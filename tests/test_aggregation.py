@@ -671,3 +671,78 @@ class TestAdaptiveRegressions:
         b = np.random.default_rng(1).standard_normal(A.shape[0])
         x = ml.solve(b, tol=1e-6, maxiter=40)
         assert np.linalg.norm(b - A @ x) < 1e-4 * np.linalg.norm(b)
+
+
+class TestRootEmbeddedTransfers:
+    """Aggregate-root DIA embedding of general-path SA/rootnode transfers
+    (sparse/embed.py): coarse dof agg*K+k is re-indexed to fine dof
+    roots[agg]*q+k, turning P/R into banded (n x n) stencil operators plus
+    an n_c scatter/gather — no per-entry gathers in the cycle."""
+
+    def _check_level(self, lvl, rng_seed=0, tol=1e-12):
+        x = np.random.default_rng(rng_seed).standard_normal(
+            lvl.P_csr.shape[1])
+        if np.iscomplexobj(lvl.P_csr.data):
+            x = x + 1j * np.random.default_rng(rng_seed + 7).\
+                standard_normal(lvl.P_csr.shape[1])
+        r = np.random.default_rng(rng_seed + 1).standard_normal(
+            lvl.R_csr.shape[1])
+        if np.iscomplexobj(lvl.R_csr.data):
+            r = r + 1j * np.random.default_rng(rng_seed + 8).\
+                standard_normal(lvl.R_csr.shape[1])
+        errP = np.abs(np.asarray(lvl.P @ x) - lvl.P_csr @ x).max()
+        errR = np.abs(np.asarray(lvl.R @ r) - lvl.R_csr @ r).max()
+        assert errP < tol
+        assert errR < tol
+
+    def test_sa_general_path_embeds(self):
+        from pyamg_tpu.sparse.linop import CptProlongOp, CptRestrictOp
+        A = poisson((12, 12, 12), format="csr")      # 3D -> general path
+        ml = smoothed_aggregation_solver(A)
+        lvl = ml.levels[0]
+        assert isinstance(lvl.P, CptProlongOp)
+        assert isinstance(lvl.R, CptRestrictOp)
+        for lv in ml.levels[:-1]:
+            self._check_level(lv)
+        b = np.asarray(A @ rng().random(A.shape[0]))
+        res = []
+        x = ml.solve(b, tol=1e-8, residuals=res)
+        assert conv_factor(res) < 0.35
+
+    def test_sa_complex_hermitian_embed(self):
+        A = sp.csr_matrix(poisson((10, 10, 10), format="csr")).astype(complex)
+        ml = smoothed_aggregation_solver(A, symmetry="hermitian")
+        for lv in ml.levels[:-1]:
+            self._check_level(lv)
+
+    def test_sa_nonsymmetric_explicit_R_embed(self):
+        A = sp.csr_matrix(poisson((24, 24), format="csr"))
+        A = (A + sp.diags(0.05 * np.random.default_rng(5)
+                          .standard_normal(A.shape[0]))).tocsr()
+        ml = smoothed_aggregation_solver(A, symmetry="nonsymmetric",
+                                         smooth="jacobi")
+        for lv in ml.levels[:-1]:
+            self._check_level(lv, tol=1e-11)
+
+    def test_rootnode_embeds(self):
+        from pyamg_tpu.sparse.linop import CptProlongOp
+        A = sp.csr_matrix(poisson((40, 40), format="csr"))
+        ml = rootnode_solver(A)
+        assert isinstance(ml.levels[0].P, CptProlongOp)
+        for lv in ml.levels[:-1]:
+            self._check_level(lv, tol=1e-10)
+        b = np.asarray(A @ rng().random(A.shape[0]))
+        res = []
+        ml.solve(b, tol=1e-8, residuals=res)
+        assert conv_factor(res) < 0.3
+
+    def test_blocked_coarse_levels_embed_when_K_matches(self):
+        # K=2 candidates on a scalar fine level: level 0 (q=1, K=2) cannot
+        # embed; coarse levels (q=K=2) can when banded enough
+        A = poisson((48, 48), format="csr")
+        A = sp.csr_matrix(A)                  # strip grid metadata
+        B = np.ones((A.shape[0], 2)); B[:, 1] = np.arange(A.shape[0]) % 7
+        ml = smoothed_aggregation_solver(A, B=B, improve_candidates=None)
+        assert not hasattr(ml.levels[0], "root_dofs")
+        for lv in ml.levels[:-1]:
+            self._check_level(lv, tol=1e-11)
