@@ -232,8 +232,17 @@ def energy_prolongation_smoother(A, T, Atilde, B, Bf=None, Cpt_params=None,
 
     # pattern-constrained minimization
     if krylov == "cg":
-        Tout = _cg_prolongation(A, T, pattern, project, apply_Dinv, maxiter,
-                                tol)
+        Tout = None
+        if weighting in ("local", "diagonal"):
+            fmask = None
+            if Cpt_params is not None and Cpt_params[0]:
+                fmask = np.asarray(
+                    to_csr(Cpt_params[1]["I_F"]).diagonal()).real != 0
+            Tout = _cg_prolongation_flat(A, T, pattern, B, BtBinv, Dinv,
+                                         fmask, maxiter, tol)
+        if Tout is None:
+            Tout = _cg_prolongation(A, T, pattern, project, apply_Dinv,
+                                    maxiter, tol)
     elif krylov == "cgnr":
         Tout = _cgnr_prolongation(A, T, pattern, project, apply_Dinv,
                                   maxiter, tol)
@@ -277,6 +286,105 @@ def _frob_inner(X, Y):
     """<X, Y> = sum_ij conj(X_ij) Y_ij over matching patterns."""
     return complex((X.conjugate().multiply(Y)).sum()) \
         if np.iscomplexobj(X.data) else float((X.multiply(Y)).sum())
+
+
+def _cg_prolongation_flat(A, T, pattern, B, BtBinv, Dinv, fmask, maxiter,
+                          tol):
+    """Fixed-pattern CG: same minimization as ``_cg_prolongation`` but with
+    every iterate (R, Z, P_temp, AP, P) stored as a flat value array over
+    ``pattern``'s CSR structure.
+
+    After projection every matrix in the iteration lives on exactly this
+    pattern, so the scipy symbolic merges (sparse adds, ``multiply``,
+    ``tocsr`` sorts) the generic path pays per iteration collapse into
+    numpy axpys; the projection's per-entry B gather is hoisted out of the
+    loop.  Returns None (caller falls back to the generic path) when the
+    native masked-SpGEMM kernel is unavailable for this dtype or T's
+    pattern is not contained in ``pattern``."""
+    from ..amg_core import masked_spgemm_native
+
+    if np.iscomplexobj(A.data) or A.dtype != np.float64 \
+            or np.iscomplexobj(B):
+        return None
+    P0 = to_csr(pattern)
+    P0.sort_indices()
+    T = to_csr(T)
+    T.sort_indices()
+    n, ncols = P0.shape
+    indptr, indices = P0.indptr, P0.indices
+    nnz = P0.nnz
+
+    # embed T's values into pattern slots (global sorted row-major keys)
+    key_pat = indices.astype(np.int64) + np.int64(ncols) * np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(indptr))
+    key_T = T.indices.astype(np.int64) + np.int64(ncols) * np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(T.indptr))
+    pos = np.searchsorted(key_pat, key_T)
+    if pos.max(initial=-1) >= nnz or not (key_pat[pos] == key_T).all():
+        return None                     # T's pattern escapes the target
+
+    def view(vals):
+        M = sp.csr_matrix((vals, indices, indptr), shape=(n, ncols))
+        M.has_sorted_indices = True
+        return M
+
+    AT = masked_spgemm_native(A, T, P0)
+    if AT is None:
+        return None
+
+    from ..amg_core import constraint_project_native
+
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    Bd = np.ascontiguousarray(np.asarray(B), dtype=np.float64)
+    Gd = np.ascontiguousarray(np.asarray(BtBinv), dtype=np.float64)
+    fmask_u8 = (np.ascontiguousarray(fmask, dtype=np.uint8)
+                if fmask is not None else None)
+    dinv_e = np.asarray(Dinv)[rows]
+    Bc_e = None
+
+    def project(vals):
+        # fused native kernel (in place); numpy fallback keeps identical math
+        if constraint_project_native(vals, indptr, indices, Bd, Gd,
+                                     fmask_u8):
+            return vals
+        nonlocal Bc_e
+        if Bc_e is None:
+            Bc_e = Bd[indices]                        # (nnz, k)
+        if fmask is not None:
+            vals = vals * fmask[rows]
+        UB = np.asarray(view(vals) @ Bd)              # (n, k)
+        coef = np.einsum("nk,nkl->nl", UB, Gd)
+        return vals - np.einsum("ek,ek->e", coef[rows], Bc_e)
+
+    tvals = np.zeros(nnz, dtype=A.dtype)
+    tvals[pos] = T.data
+    rvals = project(-AT.data)
+    normr0 = max(np.abs(rvals).max(initial=0.0), 1e-300)
+
+    pvals = tvals
+    oldsum = 0.0
+    ptvals = None
+    for _ in range(maxiter):
+        if np.abs(rvals).max(initial=0.0) < tol * normr0:
+            break
+        zvals = rvals * dinv_e
+        newsum = float(rvals @ zvals)
+        if newsum == 0:
+            break
+        if oldsum == 0:
+            ptvals = zvals
+        else:
+            ptvals = zvals + (newsum / oldsum) * ptvals
+        oldsum = newsum
+
+        ap = project(masked_spgemm_native(A, view(ptvals), P0).data)
+        d = float(ptvals @ ap)
+        if d == 0:
+            break
+        alpha = newsum / d
+        pvals = pvals + alpha * ptvals
+        rvals = rvals - alpha * ap
+    return view(pvals.copy())
 
 
 def _cg_prolongation(A, T, pattern, project, apply_Dinv, maxiter, tol):

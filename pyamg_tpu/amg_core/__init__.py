@@ -23,7 +23,8 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "masked_spgemm_native", "bsr_gauss_seidel_native",
            "identity_minus_scaled_native", "evolution_epilogue_native",
            "direct_interpolation_native", "classical_strength_native",
-           "first_fit_coloring_native"]
+           "first_fit_coloring_native", "constraint_project_native",
+           "pattern_gram_native"]
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libamg_core.so")
@@ -138,6 +139,12 @@ def _declare(lib):
     lib.evolution_epilogue_i32.argtypes = [_I, _i32p, _i32p, _f64p, _D, _I,
                                            _i32p, _i32p, _f64p]
     lib.evolution_epilogue_i32.restype = _I
+    lib.constraint_project.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p,
+                                       ctypes.c_void_p, _f64p]
+    lib.constraint_project_i32.argtypes = [_I, _I, _i32p, _i32p, _f64p,
+                                           _f64p, ctypes.c_void_p, _f64p]
+    lib.pattern_gram.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p]
+    lib.pattern_gram_i32.argtypes = [_I, _I, _i32p, _i32p, _f64p, _f64p]
 
 
 def _csr_arrays(A):
@@ -271,6 +278,62 @@ def masked_spgemm_native(A, B, pattern):
     # fresh index arrays: callers mutate the result in place
     return sp.csr_matrix((Cx, P.indices.copy(), P.indptr.copy()),
                          shape=P.shape)
+
+
+def constraint_project_native(vals, indptr, indices, B, BtBinv, fmask=None):
+    """In-place constraint projection of pattern values ``vals`` so that
+    (U @ B)[fmask] == 0 (role of satisfy_constraints_helper,
+    smoothed_aggregation.h:556 fused with root-node I_F masking).
+    Returns True on success, False when the native path doesn't apply."""
+    lib = _load()
+    if not lib:
+        return False
+    B = np.asarray(B)
+    k = B.shape[1]
+    if (k > 16 or vals.dtype != np.float64 or B.dtype != np.float64
+            or np.asarray(BtBinv).dtype != np.float64):
+        return False
+    n = indptr.shape[0] - 1
+    Bc = np.ascontiguousarray(B)
+    Gc = np.ascontiguousarray(BtBinv)
+    fptr = None
+    if fmask is not None:
+        fm = np.ascontiguousarray(fmask, dtype=np.uint8)
+        fptr = fm.ctypes.data
+    if indptr.dtype == np.int32 and indices.dtype == np.int32:
+        lib.constraint_project_i32(n, k, np.ascontiguousarray(indptr),
+                                   np.ascontiguousarray(indices), Bc, Gc,
+                                   fptr, vals)
+    else:
+        lib.constraint_project(n, k,
+                               np.ascontiguousarray(indptr, dtype=np.int64),
+                               np.ascontiguousarray(indices, dtype=np.int64),
+                               Bc, Gc, fptr, vals)
+    return True
+
+
+def pattern_gram_native(indptr, indices, B):
+    """(n, k, k) per-row Gram matrices of B over a CSR pattern (role of
+    calc_BtB, smoothed_aggregation.h:700), or None off the native path."""
+    lib = _load()
+    if not lib:
+        return None
+    B = np.asarray(B)
+    k = B.shape[1]
+    if k > 16 or B.dtype != np.float64:
+        return None
+    n = indptr.shape[0] - 1
+    out = np.empty((n, k, k), dtype=np.float64)
+    Bc = np.ascontiguousarray(B)
+    if indptr.dtype == np.int32 and indices.dtype == np.int32:
+        lib.pattern_gram_i32(n, k, np.ascontiguousarray(indptr),
+                             np.ascontiguousarray(indices), Bc, out)
+    else:
+        lib.pattern_gram(n, k,
+                         np.ascontiguousarray(indptr, dtype=np.int64),
+                         np.ascontiguousarray(indices, dtype=np.int64),
+                         Bc, out)
+    return out
 
 
 def identity_minus_scaled_native(M, c):

@@ -969,3 +969,106 @@ I standard_interpolation(I n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// energy-minimization constraint projection over a fixed CSR pattern
+// (role of satisfy_constraints_helper, smoothed_aggregation.h:556, fused
+// with the I_F row masking of the root-node variant).
+//
+// For each row i (skipping fmask==0 rows, which are zeroed):
+//   ub    = sum_{e in row} vals[e] * B[col[e], :]          (k accums)
+//   coef  = BtBinv[i] @ ub                                 (k x k)
+//   vals[e] -= coef . B[col[e], :]
+// Two cache-resident passes over the row's entries; replaces five numpy
+// passes (gathers + einsums) per projection call.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static void constraint_project_impl(Ix n, I k,
+                                    const Ix* Pp, const Ix* Pj,
+                                    const double* B,        // (ncols, k)
+                                    const double* BtBinv,   // (n, k, k)
+                                    const uint8_t* fmask,   // nullable (n,)
+                                    double* vals) {
+    constexpr I KMAX = 16;
+    #pragma omp parallel for schedule(static)
+    for (Ix i = 0; i < n; ++i) {
+        double ub[KMAX], coef[KMAX];
+        const Ix s = Pp[i], e = Pp[i + 1];
+        if (fmask && !fmask[i]) {       // C-point row: I_F zeroes it, and a
+            for (Ix p = s; p < e; ++p)  // zero row projects to itself
+                vals[p] = 0.0;
+            continue;
+        }
+        for (I t = 0; t < k; ++t) ub[t] = 0.0;
+        for (Ix p = s; p < e; ++p) {
+            const double v = vals[p];
+            const double* brow = B + (size_t)Pj[p] * k;
+            for (I t = 0; t < k; ++t) ub[t] += v * brow[t];
+        }
+        const double* M = BtBinv + (size_t)i * k * k;
+        for (I t = 0; t < k; ++t) {
+            double acc = 0.0;
+            for (I l = 0; l < k; ++l) acc += M[t * k + l] * ub[l];
+            coef[t] = acc;
+        }
+        for (Ix p = s; p < e; ++p) {
+            const double* brow = B + (size_t)Pj[p] * k;
+            double acc = 0.0;
+            for (I t = 0; t < k; ++t) acc += coef[t] * brow[t];
+            vals[p] -= acc;
+        }
+    }
+}
+
+// per-row Gram matrices over a CSR pattern (role of calc_BtB,
+// smoothed_aggregation.h:700): out[i] = sum_{e in row i} B_e B_e^T,
+// without materializing the padded (n, L, k) gather numpy pays.
+template <typename Ix>
+static void pattern_gram_impl(Ix n, I k,
+                              const Ix* Pp, const Ix* Pj,
+                              const double* B,      // (ncols, k)
+                              double* out) {        // (n, k, k)
+    #pragma omp parallel for schedule(static)
+    for (Ix i = 0; i < n; ++i) {
+        double* G = out + (size_t)i * k * k;
+        for (I t = 0; t < k * k; ++t) G[t] = 0.0;
+        for (Ix p = Pp[i]; p < Pp[i + 1]; ++p) {
+            const double* brow = B + (size_t)Pj[p] * k;
+            for (I t = 0; t < k; ++t) {
+                const double bt = brow[t];
+                for (I l = t; l < k; ++l)
+                    G[t * k + l] += bt * brow[l];
+            }
+        }
+        for (I t = 0; t < k; ++t)       // symmetrize the upper triangle
+            for (I l = 0; l < t; ++l)
+                G[t * k + l] = G[l * k + t];
+    }
+}
+
+extern "C" {
+
+void constraint_project(I n, I k, const I* Pp, const I* Pj,
+                        const double* B, const double* BtBinv,
+                        const uint8_t* fmask, double* vals) {
+    constraint_project_impl<I>(n, k, Pp, Pj, B, BtBinv, fmask, vals);
+}
+
+void constraint_project_i32(I n, I k, const int32_t* Pp, const int32_t* Pj,
+                            const double* B, const double* BtBinv,
+                            const uint8_t* fmask, double* vals) {
+    constraint_project_impl<int32_t>((int32_t)n, k, Pp, Pj, B, BtBinv,
+                                     fmask, vals);
+}
+
+void pattern_gram(I n, I k, const I* Pp, const I* Pj,
+                  const double* B, double* out) {
+    pattern_gram_impl<I>(n, k, Pp, Pj, B, out);
+}
+
+void pattern_gram_i32(I n, I k, const int32_t* Pp, const int32_t* Pj,
+                      const double* B, double* out) {
+    pattern_gram_impl<int32_t>((int32_t)n, k, Pp, Pj, B, out);
+}
+
+}  // extern "C"

@@ -97,7 +97,7 @@ def embedded_dia_transfers(P_csr, cpt_dofs, dtype=None, max_offsets=96,
             CptRestrictOp(dia=Rdia, cpts=cpts_dev, shape=(nc, n)))
 
 
-def root_embedded_transfers(lvl, dtype=None, max_offsets=96):
+def root_embedded_transfers(lvl, dtype=None, max_offsets=None):
     """Aggregate-root embedding for an SA/rootnode level, or None.
 
     Uses ``lvl.root_dofs`` (the fine dof position of every coarse dof,
@@ -113,6 +113,17 @@ def root_embedded_transfers(lvl, dtype=None, max_offsets=96):
     P = lvl.P_csr
     if P.shape[1] != np.asarray(root_dofs).size:
         return None
+    from .device_op import DENSE_MAX
+
+    if P.shape[0] <= DENSE_MAX and P.shape[1] <= DENSE_MAX:
+        return None       # tiny level: device_operator's DenseOp (one MXU
+        #                   matmul) beats the DIA scatter/shift form
+    if max_offsets is None:
+        # small levels tolerate wide bands (the DIA arrays stay tiny while
+        # the ELL alternative pays a scalar-unit gather per stored entry);
+        # large levels keep the tight cap so the bands stay HBM-friendly
+        n = P.shape[0]
+        max_offsets = 96 if n > 1 << 18 else (256 if n > 1 << 14 else 1024)
     sym = getattr(lvl, "symmetry", "hermitian")
     if sym == "hermitian":
         mode, R = "conj_transpose", None

@@ -65,6 +65,28 @@ def _plan(offsets, k, dtype):
     return brows, H
 
 
+def _plan1d(offsets, dtype):
+    """Static tile plan for the production halo kernel: (T, H) or None.
+
+    The per-step VMEM block is dominated by the (k, T) diagonal slab;
+    Pallas double-buffers it, so T shrinks with the offset count k to keep
+    2*(k+3)*T*itemsize inside the ~16 MiB scoped-VMEM limit (wide embedded
+    transfer operators reach k ~ 50-100)."""
+    k = len(offsets)
+    itemsize = jnp.dtype(dtype).itemsize
+    maxo = max(abs(int(o)) for o in offsets)
+    H = 4096
+    while H <= maxo:
+        H *= 2
+    budget = (6 * 1024 * 1024) // ((k + 3) * itemsize)
+    T = _TILE
+    while T > budget and T > H:
+        T //= 2
+    if T < H or T > budget:
+        return None
+    return T, H
+
+
 def pallas_dia_supported(offsets, shape, dtype) -> bool:
     """Static gate used by SparseDIA.matvec."""
     if not pallas_available():
@@ -79,8 +101,7 @@ def pallas_dia_supported(offsets, shape, dtype) -> bool:
     if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
                                 jnp.dtype(jnp.bfloat16)):
         return False
-    # production (halo 1-D) kernel: every offset must fit inside one tile
-    return max(abs(int(o)) for o in offsets) < _TILE
+    return _plan1d(offsets, dtype) is not None
 
 
 @partial(jax.jit, static_argnames=("offsets", "interpret"))
@@ -165,13 +186,11 @@ def dia_matvec_pallas(diags, offsets, x, interpret=False):
 
     n = x.shape[0]
     k = len(offsets)
-    T = _TILE
-    maxo = max(abs(int(o)) for o in offsets)
-    H = 4096
-    while H <= maxo:
-        H *= 2
-    if H > T:
-        raise ValueError(f"offsets up to {maxo} exceed halo capacity {T}")
+    plan = _plan1d(offsets, x.dtype)
+    if plan is None:
+        raise ValueError(f"no VMEM-feasible tile plan for {k} offsets up to "
+                         f"{max(abs(int(o)) for o in offsets)}")
+    T, H = plan
     hpb = T // H
 
     n_pad = -(-n // T) * T

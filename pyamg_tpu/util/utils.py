@@ -399,6 +399,8 @@ def compute_BtBinv(B, sparsity):
     formulation the device path uses."""
     from .linalg import pinv_array
 
+    from ..amg_core import pattern_gram_native
+
     S = to_csr(sparsity)
     B = np.asarray(B)
     k = B.shape[1]
@@ -407,6 +409,10 @@ def compute_BtBinv(B, sparsity):
     L = int(nnz_row.max()) if n else 0
     if L == 0:
         return np.zeros((n, k, k), dtype=B.dtype)
+    if B.dtype == np.float64 and not np.iscomplexobj(B):
+        gram = pattern_gram_native(S.indptr, S.indices, B)
+        if gram is not None:
+            return pinv_array(gram)
     rows = np.repeat(np.arange(n), nnz_row)
     offs = np.arange(S.nnz) - np.repeat(S.indptr[:-1], nnz_row)
     cols = np.zeros((n, L), dtype=np.int64)

@@ -697,7 +697,8 @@ class TestRootEmbeddedTransfers:
 
     def test_sa_general_path_embeds(self):
         from pyamg_tpu.sparse.linop import CptProlongOp, CptRestrictOp
-        A = poisson((12, 12, 12), format="csr")      # 3D -> general path
+        # 17^3 = 4913 > DENSE_MAX so level 0 embeds (3D -> general path)
+        A = poisson((17, 17, 17), format="csr")
         ml = smoothed_aggregation_solver(A)
         lvl = ml.levels[0]
         assert isinstance(lvl.P, CptProlongOp)
@@ -726,9 +727,18 @@ class TestRootEmbeddedTransfers:
 
     def test_rootnode_embeds(self):
         from pyamg_tpu.sparse.linop import CptProlongOp
-        A = sp.csr_matrix(poisson((40, 40), format="csr"))
+        # 72^2 = 5184 > DENSE_MAX so level 0 embeds
+        A = sp.csr_matrix(poisson((72, 72), format="csr"))
         ml = rootnode_solver(A)
         assert isinstance(ml.levels[0].P, CptProlongOp)
+
+    def test_tiny_levels_stay_dense(self):
+        # below DENSE_MAX a single MXU matmul beats the DIA scatter form,
+        # so root embedding must decline and leave device_operator's choice
+        from pyamg_tpu.sparse.linop import DenseOp
+        A = poisson((12, 12, 12), format="csr")
+        ml = smoothed_aggregation_solver(A)
+        assert isinstance(ml.levels[0].P, DenseOp)
         for lv in ml.levels[:-1]:
             self._check_level(lv, tol=1e-10)
         b = np.asarray(A @ rng().random(A.shape[0]))
