@@ -2,8 +2,8 @@
 
 from .sharding import (make_mesh, shard_solver, ShardedSolver, pad_to,
                        shard_structured_solver, StructuredShardedSolver)
-from .setup import structured_sa_setup_sharded
+from .setup import structured_sa_setup_sharded, general_sa_setup_sharded
 
 __all__ = ["make_mesh", "shard_solver", "ShardedSolver", "pad_to",
            "shard_structured_solver", "StructuredShardedSolver",
-           "structured_sa_setup_sharded"]
+           "structured_sa_setup_sharded", "general_sa_setup_sharded"]

@@ -16,9 +16,21 @@ distributed, and the coarse levels never exist unsharded anywhere.
 
 from __future__ import annotations
 
-from .sharding import make_mesh
+from functools import partial
 
-__all__ = ["structured_sa_setup_sharded"]
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .sharding import make_mesh, pad_to, _pad_ell, _place_ell, ShardedSolver
+from ..sparse import SparseELL
+from ..sparse.ell import ell_matvec
+from ..sparse.spgemm_device import masked_spgemm_ell, ell_transpose_onto
+from ..multilevel import Level
+from ..relaxation.device import SmootherData
+
+__all__ = ["structured_sa_setup_sharded", "general_sa_setup_sharded"]
 
 
 def structured_sa_setup_sharded(A, grid, mesh=None, n_devices=None,
@@ -39,3 +51,225 @@ def structured_sa_setup_sharded(A, grid, mesh=None, n_devices=None,
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
     return structured_sa_setup(A, grid, mesh=mesh, **kw)
+
+
+# ---------------------------------------------------------------------------
+# general (unstructured) path: distributed numeric setup
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_iter",))
+def _ell_power_rho(data, cols, dinv, v0, n_iter=30):
+    """rho(D^{-1} A) by power iteration on the sharded ELL operator
+    (role of approximate_spectral_radius, util/linalg.py:282, for the
+    jacobi smoothing weight)."""
+    def body(_, carry):
+        v, lam = carry
+        w = dinv * ell_matvec(data, cols, v)
+        lam = jnp.linalg.norm(w)
+        return (w / jnp.maximum(lam, 1e-30), lam)
+
+    _, lam = jax.lax.fori_loop(
+        0, n_iter, body, (v0, jnp.asarray(1.0, dtype=v0.dtype)))
+    return lam
+
+
+@jax.jit
+def _jacobi_smoothing_vals(Ad, Ac, valid, c):
+    """Value slab of S = I - c D^{-1} A on A's own ELL structure."""
+    n = Ad.shape[0]
+    diag = jnp.sum(jnp.where(
+        valid & (Ac == jnp.arange(n, dtype=Ac.dtype)[:, None]), Ad, 0),
+        axis=1)
+    dinv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1), 0.0)
+    S = (-c) * dinv[:, None] * Ad
+    isdiag = valid & (Ac == jnp.arange(n, dtype=Ac.dtype)[:, None])
+    return jnp.where(isdiag, S + 1.0, S), dinv
+
+
+def _pattern_csr(X, shape=None):
+    import scipy.sparse as sp
+
+    Xp = sp.csr_matrix(X).copy()
+    Xp.data = np.ones_like(Xp.data, dtype=np.float64)
+    if shape is not None and shape != Xp.shape:
+        Xp.resize(shape)
+    Xp.sort_indices()
+    return Xp
+
+
+def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
+                             axis_name: str = "rows",
+                             strength=("symmetric", {"theta": 0.0}),
+                             aggregate="standard", omega=4.0 / 3.0,
+                             max_levels=10, max_coarse=100,
+                             smoother=("multicolor_gauss_seidel",
+                                       {"iterations": 1,
+                                        "sweep": "symmetric"}),
+                             dtype=None, rho_iters=30):
+    """Smoothed-aggregation setup with the NUMERIC phase distributed.
+
+    TPU-native split of the reference's serial setup pipeline
+    (aggregation/aggregation.py:293-430): the host keeps only the
+    integer-graph decisions — strength-of-connection thresholding,
+    greedy aggregation, tentative-pattern fitting, graph coloring, and
+    the symbolic product patterns — while every O(nnz) floating-point
+    stage runs SPMD on the mesh as a jitted program over row-sharded
+    padded-ELL slabs:
+
+    * rho(D^{-1}A) power iteration (`_ell_power_rho`),
+    * the Jacobi prolongation smoother values S = I − (ω/ρ)D^{-1}A,
+    * P = S·T, A·P and R·(A·P) as pattern-masked device SpGEMMs
+      (sparse/spgemm_device.py), and R = P^T onto the host-symbolic
+      transpose pattern.
+
+    Per level the host receives back exactly one numeric array: the
+    coarse operator's values (an ~nnz/ccr-sized D2H) which the next
+    level's strength thresholding needs.  Coarse operators therefore
+    come out of the jit already sharded, and the fine-level Galerkin
+    product — the dominant setup flops — never exists on a single
+    device.  Returns a :class:`~pyamg_tpu.parallel.sharding.
+    ShardedSolver` ready to solve on the same mesh.
+    """
+    import scipy.sparse as sp
+    from ..strength import (symmetric_strength_of_connection,
+                            classical_strength_of_connection)
+    from ..aggregation.aggregate import (standard_aggregation,
+                                         naive_aggregation)
+    from ..aggregation.tentative import fit_candidates
+    from ..relaxation.smoothing import _color_masks
+
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    nd = mesh.devices.size
+    dt = np.dtype(dtype or np.float32)
+
+    def unpack(arg):
+        if isinstance(arg, tuple):
+            return arg[0], dict(arg[1])
+        return arg, {}
+
+    s_name, s_kw = unpack(strength)
+    agg_name, _ = unpack(aggregate)
+    sm_name, sm_kw = unpack(smoother)
+    if sm_name not in ("jacobi", "multicolor_gauss_seidel"):
+        raise ValueError(
+            "distributed setup supports smoother in "
+            "('jacobi', 'multicolor_gauss_seidel'); got " + repr(sm_name))
+
+    A_host = sp.csr_matrix(A).astype(dt)
+    A_host.sort_indices()
+    n_orig = A_host.shape[0]
+    Bcur = (np.ones((n_orig, 1), dtype=dt) if B is None
+            else np.asarray(B, dtype=dt).reshape(n_orig, -1))
+
+    sh1 = NamedSharding(mesh, P(axis_name))
+    shm = NamedSharding(mesh, P(None, axis_name))
+
+    def make_smoother(A_pat_csr, dinv_sh, n_pad):
+        if sm_name == "jacobi":
+            return SmootherData(kind="jacobi", dinv=dinv_sh,
+                                omega=float(sm_kw.get("omega", 1.0)),
+                                iterations=int(sm_kw.get("iterations", 1)))
+        masks = np.asarray(_color_masks(A_pat_csr, dtype=dt))
+        m = np.zeros((masks.shape[0], n_pad), dtype=masks.dtype)
+        m[:, :masks.shape[1]] = masks
+        return SmootherData(
+            kind="multicolor_gauss_seidel", dinv=dinv_sh,
+            color_masks=jax.device_put(jnp.asarray(m), shm),
+            iterations=int(sm_kw.get("iterations", 1)),
+            sweep=sm_kw.get("sweep", "symmetric"))
+
+    levels, sizes = [], []
+    while len(levels) < max_levels - 1 and A_host.shape[0] > max_coarse:
+        n = A_host.shape[0]
+        n_pad = pad_to(n, nd)
+
+        # ---- host: integer graph stage ---------------------------------
+        if s_name in ("symmetric", None):
+            C = (symmetric_strength_of_connection(A_host, **s_kw)
+                 if s_name else A_host)
+        elif s_name == "classical":
+            C = classical_strength_of_connection(A_host, **s_kw)
+        else:
+            raise ValueError(f"unsupported strength {s_name!r} "
+                             "for the distributed setup")
+        agg_fn = (standard_aggregation if agg_name == "standard"
+                  else naive_aggregation)
+        AggOp, _roots = agg_fn(C)
+        if AggOp.shape[1] == 0:
+            break
+        T, Bc = fit_candidates(AggOp, Bcur)
+        T = sp.csr_matrix(T).astype(dt)
+        nc = T.shape[1]
+        nc_pad = pad_to(max(nc, 1), nd)
+
+        patA = _pattern_csr(A_host, (n_pad, n_pad))
+        patT = _pattern_csr(T, (n_pad, nc_pad))
+        patP = _pattern_csr(patA @ patT)
+        patR = _pattern_csr(patP.T)
+        patAP = _pattern_csr(patA @ patP)
+        patAc = _pattern_csr(patR @ patAP)
+
+        # ---- device: sharded numeric stage ------------------------------
+        A_ell = _place_ell(_pad_ell(SparseELL.from_scipy(A_host, dtype=dt),
+                                    n_pad, n_pad), mesh, axis_name)
+        T_ell = _place_ell(_pad_ell(SparseELL.from_scipy(T, dtype=dt),
+                                    n_pad, nc_pad), mesh, axis_name)
+        valid = A_ell.valid_mask()
+        ddt = A_ell.dtype             # actual staged dtype (f32 w/o x64)
+        v0 = jax.device_put(
+            jnp.asarray(np.sin(np.arange(1, n_pad + 1)), dtype=ddt), sh1)
+        d = A_ell.diagonal()          # padded rows: 0 -> dinv 0 -> inert
+        dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 0.0)
+        rho = float(_ell_power_rho(A_ell.data, A_ell.cols, dinv, v0,
+                                   n_iter=rho_iters))
+        S_data, dinv = _jacobi_smoothing_vals(
+            A_ell.data, A_ell.cols, valid,
+            jnp.asarray(omega / max(rho, 1e-30), dtype=ddt))
+        S_ell = SparseELL(data=S_data, cols=A_ell.cols,
+                          row_nnz=A_ell.row_nnz, shape=A_ell.shape)
+
+        patP_ell = _place_ell(SparseELL.from_scipy(patP, dtype=dt),
+                              mesh, axis_name)
+        patR_ell = _place_ell(SparseELL.from_scipy(patR, dtype=dt),
+                              mesh, axis_name)
+        patAP_ell = _place_ell(SparseELL.from_scipy(patAP, dtype=dt),
+                               mesh, axis_name)
+        patAc_ell = _place_ell(SparseELL.from_scipy(patAc, dtype=dt),
+                               mesh, axis_name)
+
+        P_ell = masked_spgemm_ell(S_ell, T_ell, patP_ell)
+        R_ell = ell_transpose_onto(P_ell, patR_ell)
+        AP = masked_spgemm_ell(A_ell, P_ell, patAP_ell)
+        Ac_ell = masked_spgemm_ell(R_ell, AP, patAc_ell)
+
+        # ---- the one numeric D2H: coarse values for the next level ------
+        Ac_host = Ac_ell.to_scipy()[:nc, :nc].tocsr()
+        Ac_host.eliminate_zeros()
+        Ac_host.sort_indices()
+
+        lvl = Level()
+        lvl.A_csr = A_host
+        lvl.A = A_ell
+        lvl.P = P_ell
+        lvl.R = R_ell
+        sm = make_smoother(patA[:n, :n].tocsr(), dinv, n_pad)
+        lvl.presmoother = sm
+        lvl.postsmoother = sm
+        levels.append(lvl)
+        sizes.append(n_pad)
+
+        A_host, Bcur = Ac_host, Bc
+
+    # coarsest level (replicated dense solve via ShardedSolver._finalize)
+    last = Level()
+    last.A_csr = A_host
+    n_pad = pad_to(A_host.shape[0], nd)
+    last.A = _place_ell(_pad_ell(SparseELL.from_scipy(A_host, dtype=dt),
+                                 n_pad, n_pad), mesh, axis_name)
+    last.presmoother = last.postsmoother = SmootherData(kind="none")
+    levels.append(last)
+    sizes.append(n_pad)
+
+    return ShardedSolver.from_sharded_levels(levels, sizes, mesh, axis_name,
+                                             n_orig)

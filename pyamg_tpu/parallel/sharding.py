@@ -198,16 +198,29 @@ class ShardedSolver:
                                              axis_name)
             levels.append(new)
 
-        self.inner = MultilevelSolver(levels,
-                                      coarse_solver=ml.coarse_solver_spec)
+        self._finalize(levels, ml.coarse_solver_spec)
+
+    def _finalize(self, levels, coarse_spec):
+        self.inner = MultilevelSolver(levels, coarse_solver=coarse_spec)
         # coarse dense inverse: padded + replicated
-        A_c = ml.levels[-1].A_csr
-        nc, nc_pad = A_c.shape[0], sizes[-1]
+        A_c = levels[-1].A_csr
+        nc, nc_pad = A_c.shape[0], self.sizes[-1]
         Ainv = np.zeros((nc_pad, nc_pad), dtype=A_c.dtype)
         Ainv[:nc, :nc] = np.linalg.pinv(A_c.toarray())
         Ainv_dev = jax.device_put(jnp.asarray(Ainv),
-                                  NamedSharding(mesh, P(None, None)))
+                                  NamedSharding(self.mesh, P(None, None)))
         self.inner._coarse_mat_override = Ainv_dev
+
+    @classmethod
+    def from_sharded_levels(cls, levels, sizes, mesh, axis_name, n_orig,
+                            coarse_spec="pinv"):
+        """Assemble from levels whose operators are ALREADY padded, placed
+        and sharded (the distributed-setup path, parallel/setup.py)."""
+        self = object.__new__(cls)
+        self.mesh, self.axis = mesh, axis_name
+        self.sizes, self.n_orig = list(sizes), n_orig
+        self._finalize(levels, coarse_spec)
+        return self
 
     @property
     def levels(self):
