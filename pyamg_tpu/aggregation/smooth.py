@@ -166,6 +166,20 @@ def energy_prolongation_smoother(A, T, Atilde, B, Bf=None, Cpt_params=None,
     CGNR or GMRES (nonsymmetric).
     """
     bs_A = A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
+
+    # node-blocked fast path: the whole CG stays in BSR block form
+    if (bs_A > 1 and krylov == "cg" and weighting in ("local", "diagonal")
+            and not prefilter and not postfilter
+            and not (Cpt_params is not None and Cpt_params[0])
+            and (degree == 0
+                 or (Atilde is not None and sp.issparse(Atilde)
+                     and Atilde.shape[0] * bs_A == T.shape[0]))):
+        Tout = _cg_prolongation_bsr(A, to_csr(T), Atilde, np.asarray(B),
+                                    maxiter, tol, degree, weighting)
+        if Tout is not None:
+            Tout.eliminate_zeros()
+            return Tout
+
     A = to_csr(A)
     T = to_csr(T)
     B = np.asarray(B)
@@ -286,6 +300,131 @@ def _frob_inner(X, Y):
     """<X, Y> = sum_ij conj(X_ij) Y_ij over matching patterns."""
     return complex((X.conjugate().multiply(Y)).sum()) \
         if np.iscomplexobj(X.data) else float((X.multiply(Y)).sum())
+
+
+def _cg_prolongation_bsr(A, T, AtildeN, B, maxiter, tol, degree, weighting):
+    """Fixed-pattern energy CG entirely in BSR block form (role of the
+    reference's incomplete_mat_mult_bsr-based energy loop,
+    smoothed_aggregation.h:797 + smooth.py:283, for node-blocked A).
+
+    Every iterate lives as dense (R, K) blocks on the BLOCK pattern
+    |AtildeN|^degree @ block-pattern(T) — the scalar grown pattern's
+    block-dense closure (identical in the usual case: UnAmal'ed strength
+    times block-dense tentative blocks IS block dense).  vs the flattened
+    scalar path this removes the unamalgamation, runs the pattern growth
+    on the node graph (R^2x smaller), does R*R-fewer slot lookups per FMA
+    in the masked products, and computes one Gram pinv per block row
+    instead of per scalar row.  Returns None (caller falls back to the
+    scalar flat/generic paths) when the native kernels or the block
+    structure don't apply."""
+    from ..amg_core import (masked_spgemm_bsr_native,
+                            constraint_project_bsr_native,
+                            pattern_gram_bsr_native)
+    from ..util.linalg import pinv_array
+
+    R = A.blocksize[0]
+    if (A.blocksize[1] != R or A.dtype != np.float64
+            or np.iscomplexobj(A.data) or np.iscomplexobj(B)):
+        return None
+    B = np.asarray(B, dtype=np.float64)
+    K = B.shape[1]
+    if T.shape[0] % R or T.shape[1] % K:
+        return None
+    try:
+        Tb = T.tobsr(blocksize=(R, K))
+    except ValueError:
+        return None
+    nbr, nbc = Tb.shape[0] // R, Tb.shape[1] // K
+    if AtildeN is not None and AtildeN.shape[0] != nbr:
+        return None
+    if (np.diff(A.indptr) == 0).any():
+        return None                       # empty block rows: scalar path
+
+    # node-level pattern growth (structure only)
+    pat = sp.csr_matrix(
+        (np.ones(Tb.indices.shape[0]), Tb.indices.copy(), Tb.indptr.copy()),
+        shape=(nbr, nbc))
+    if degree > 0 and AtildeN is not None:
+        G = to_csr(AtildeN).copy()
+        G.data = np.ones_like(G.data, dtype=np.float64)
+        for _ in range(degree):
+            pat = (G @ pat).tocsr()
+    pat.data = np.ones_like(pat.data)
+    pat.sort_indices()
+    Pp, Pj = pat.indptr, pat.indices
+    nnzb = pat.nnz
+
+    gram = pattern_gram_bsr_native(Pp, Pj, K, B)
+    if gram is None:
+        return None
+    Gb = np.ascontiguousarray(pinv_array(gram))
+
+    # weighting operator, per scalar row, from the BSR data directly
+    data = A.data
+    if weighting == "local":
+        Dv = np.add.reduceat(np.abs(data).sum(axis=2),
+                             A.indptr[:-1], axis=0)     # (nbr, R)
+    else:                                               # "diagonal"
+        Dv = A.diagonal().reshape(nbr, R)
+    Dinv = np.where(Dv != 0, 1.0 / np.where(Dv != 0, Dv, 1), 0.0)
+
+    # embed T's blocks into pattern slots (global sorted block-major keys)
+    key_pat = Pj.astype(np.int64) + np.int64(nbc) * np.repeat(
+        np.arange(nbr, dtype=np.int64), np.diff(Pp))
+    key_T = Tb.indices.astype(np.int64) + np.int64(nbc) * np.repeat(
+        np.arange(nbr, dtype=np.int64), np.diff(Tb.indptr))
+    pos = np.searchsorted(key_pat, key_T)
+    if pos.max(initial=-1) >= nnzb or not (key_pat[pos] == key_T).all():
+        return None                     # T's pattern escapes the target
+
+    Ap, Aj = A.indptr, A.indices
+
+    def project(vals):
+        if not constraint_project_bsr_native(vals, Pp, Pj, R, K, B, Gb):
+            raise RuntimeError("native projection vanished mid-solve")
+        return vals
+
+    AT = masked_spgemm_bsr_native(nbc, R, K, Ap, Aj, data,
+                                  Tb.indptr, Tb.indices, Tb.data, Pp, Pj)
+    if AT is None:
+        return None
+
+    brow = np.repeat(np.arange(nbr), np.diff(Pp))
+    dinv_e = Dinv[brow][:, :, None]                     # (nnzb, R, 1)
+
+    tvals = np.zeros((nnzb, R, K), dtype=np.float64)
+    tvals[pos] = Tb.data
+    rvals = project(-AT)
+    normr0 = max(np.abs(rvals).max(initial=0.0), 1e-300)
+
+    pvals = tvals
+    oldsum = 0.0
+    ptvals = None
+    for _ in range(maxiter):
+        if np.abs(rvals).max(initial=0.0) < tol * normr0:
+            break
+        zvals = rvals * dinv_e
+        newsum = float(rvals.ravel() @ zvals.ravel())
+        if newsum == 0:
+            break
+        if oldsum == 0:
+            ptvals = zvals
+        else:
+            ptvals = zvals + (newsum / oldsum) * ptvals
+        oldsum = newsum
+
+        ap = project(masked_spgemm_bsr_native(nbc, R, K, Ap, Aj, data,
+                                              Pp, Pj, ptvals, Pp, Pj))
+        d = float(ptvals.ravel() @ ap.ravel())
+        if d == 0:
+            break
+        alpha = newsum / d
+        pvals = pvals + alpha * ptvals
+        rvals = rvals - alpha * ap
+    out = sp.bsr_matrix((pvals.copy(), Pj.copy(), Pp.copy()),
+                        shape=T.shape).tocsr()
+    out.sort_indices()
+    return out
 
 
 def _cg_prolongation_flat(A, T, pattern, B, BtBinv, Dinv, fmask, maxiter,

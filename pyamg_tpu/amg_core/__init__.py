@@ -24,7 +24,8 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "identity_minus_scaled_native", "evolution_epilogue_native",
            "direct_interpolation_native", "classical_strength_native",
            "first_fit_coloring_native", "constraint_project_native",
-           "pattern_gram_native"]
+           "pattern_gram_native", "masked_spgemm_bsr_native",
+           "constraint_project_bsr_native", "pattern_gram_bsr_native"]
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libamg_core.so")
@@ -145,6 +146,23 @@ def _declare(lib):
                                            _f64p, ctypes.c_void_p, _f64p]
     lib.pattern_gram.argtypes = [_I, _I, _i64p, _i64p, _f64p, _f64p]
     lib.pattern_gram_i32.argtypes = [_I, _I, _i32p, _i32p, _f64p, _f64p]
+    lib.masked_spgemm_bsr.argtypes = [_I, _I, _I, _I, _i64p, _i64p, _f64p,
+                                      _i64p, _i64p, _f64p,
+                                      _i64p, _i64p, _f64p]
+    lib.masked_spgemm_bsr_i32.argtypes = [_I, _I, _I, _I,
+                                          _i32p, _i32p, _f64p,
+                                          _i32p, _i32p, _f64p,
+                                          _i32p, _i32p, _f64p]
+    lib.constraint_project_bsr.argtypes = [_I, _I, _I, _I, _i64p, _i64p,
+                                           _f64p, _f64p, ctypes.c_void_p,
+                                           _f64p]
+    lib.constraint_project_bsr_i32.argtypes = [_I, _I, _I, _I, _i32p,
+                                               _i32p, _f64p, _f64p,
+                                               ctypes.c_void_p, _f64p]
+    lib.pattern_gram_bsr.argtypes = [_I, _I, _I, _i64p, _i64p, _f64p,
+                                     _f64p]
+    lib.pattern_gram_bsr_i32.argtypes = [_I, _I, _I, _i32p, _i32p, _f64p,
+                                         _f64p]
 
 
 def _csr_arrays(A):
@@ -333,6 +351,93 @@ def pattern_gram_native(indptr, indices, B):
                          np.ascontiguousarray(indptr, dtype=np.int64),
                          np.ascontiguousarray(indices, dtype=np.int64),
                          Bc, out)
+    return out
+
+
+def masked_spgemm_bsr_native(nbc, R, Cb, Ap, Aj, Ax, Bp, Bj, Bx, Cp, Cj):
+    """Blocked masked SpGEMM: (A @ B) restricted to the BLOCK pattern
+    (Cp, Cj); A blocks (R, R), B/C blocks (R, Cb).  Returns the (nnzb, R,
+    Cb) value array or None off the native path (role of
+    incomplete_mat_mult_bsr, smoothed_aggregation.h:797)."""
+    lib = _load()
+    if not lib or Ax.dtype != np.float64 or Bx.dtype != np.float64:
+        return None
+    nbr = Ap.shape[0] - 1
+    Cx = np.zeros((Cp[-1], R, Cb), dtype=np.float64)
+    Axc = np.ascontiguousarray(Ax)
+    Bxc = np.ascontiguousarray(Bx)
+    idx = (Ap, Aj, Bp, Bj, Cp, Cj)
+    if all(a.dtype == np.int32 for a in idx):
+        a = [np.ascontiguousarray(x) for x in idx]
+        lib.masked_spgemm_bsr_i32(nbr, int(nbc), int(R), int(Cb),
+                                  a[0], a[1], Axc, a[2], a[3], Bxc,
+                                  a[4], a[5], Cx)
+    else:
+        a = [np.ascontiguousarray(x, dtype=np.int64) for x in idx]
+        lib.masked_spgemm_bsr(nbr, int(nbc), int(R), int(Cb),
+                              a[0], a[1], Axc, a[2], a[3], Bxc,
+                              a[4], a[5], Cx)
+    return Cx
+
+
+def constraint_project_bsr_native(vals, indptr, indices, R, Cb, B, Gblock,
+                                  fmask=None):
+    """In-place blocked constraint projection: vals (nnzb, R, Cb) on the
+    block pattern, B (ncols_scalar, k), Gblock (nbr, k, k) per-BLOCK-row
+    Gram pinv, fmask nullable per-scalar-row keep mask.  Returns True on
+    success (role of satisfy_constraints_helper on BSR iterates)."""
+    lib = _load()
+    if not lib:
+        return False
+    B = np.asarray(B)
+    k = B.shape[1]
+    if (k > 16 or vals.dtype != np.float64 or B.dtype != np.float64
+            or np.asarray(Gblock).dtype != np.float64):
+        return False
+    nbr = indptr.shape[0] - 1
+    Bc = np.ascontiguousarray(B)
+    Gc = np.ascontiguousarray(Gblock)
+    fptr = None
+    if fmask is not None:
+        fm = np.ascontiguousarray(fmask, dtype=np.uint8)
+        fptr = fm.ctypes.data
+    if indptr.dtype == np.int32 and indices.dtype == np.int32:
+        lib.constraint_project_bsr_i32(nbr, int(R), int(Cb), k,
+                                       np.ascontiguousarray(indptr),
+                                       np.ascontiguousarray(indices),
+                                       Bc, Gc, fptr, vals)
+    else:
+        lib.constraint_project_bsr(nbr, int(R), int(Cb), k,
+                                   np.ascontiguousarray(indptr,
+                                                        dtype=np.int64),
+                                   np.ascontiguousarray(indices,
+                                                        dtype=np.int64),
+                                   Bc, Gc, fptr, vals)
+    return True
+
+
+def pattern_gram_bsr_native(indptr, indices, Cb, B):
+    """(nbr, k, k) per-BLOCK-row Grams of B over a block pattern whose
+    blocks span Cb scalar columns each, or None off the native path."""
+    lib = _load()
+    if not lib:
+        return None
+    B = np.asarray(B)
+    k = B.shape[1]
+    if k > 16 or B.dtype != np.float64:
+        return None
+    nbr = indptr.shape[0] - 1
+    out = np.empty((nbr, k, k), dtype=np.float64)
+    Bc = np.ascontiguousarray(B)
+    if indptr.dtype == np.int32 and indices.dtype == np.int32:
+        lib.pattern_gram_bsr_i32(nbr, int(Cb), k,
+                                 np.ascontiguousarray(indptr),
+                                 np.ascontiguousarray(indices), Bc, out)
+    else:
+        lib.pattern_gram_bsr(nbr, int(Cb), k,
+                             np.ascontiguousarray(indptr, dtype=np.int64),
+                             np.ascontiguousarray(indices, dtype=np.int64),
+                             Bc, out)
     return out
 
 

@@ -305,8 +305,12 @@ def block_gauss_seidel(A, x, b, Dinv=None, blocksize=1, iterations=1,
     pure-Python fallback for exotic dtypes."""
     from ..amg_core import bsr_gauss_seidel_native
 
-    A, x_v, b_v = make_system(A, x, b)
     bs = int(blocksize)
+    if bs == 1 and Dinv is None:
+        # 1x1 "blocks" are exactly scalar GS — skip the BSR conversion and
+        # the batched block-diag pinv a degenerate block path would pay
+        return gauss_seidel(A, x, b, iterations=iterations, sweep=sweep)
+    A, x_v, b_v = make_system(A, x, b)
     if Dinv is None:
         Dinv = get_block_diag(A, bs, inv_flag=True)
     Dinv = np.asarray(Dinv)

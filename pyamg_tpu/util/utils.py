@@ -137,10 +137,13 @@ def amalgamate(A, blocksize):
 def unamal(A, rows, cols):
     """Expand each entry of A into a (rows, cols) block of ones times the
     entry's value pattern (structure-only).  Reference util/utils.py:741."""
-    A = to_csr(A).tocoo()
-    data = np.ones(A.nnz)
-    C = sp.coo_matrix((data, (A.row, A.col)), shape=A.shape).tocsr()
-    return sp.kron(C, np.ones((rows, cols)), format="csr")
+    A = to_csr(A)
+    # kron(pattern, ones((rows, cols))) IS a BSR matrix with all-ones
+    # blocks on A's structure — build it directly (no COO round-trip)
+    blocks = np.ones((A.nnz, rows, cols))
+    return sp.bsr_matrix((blocks, A.indices, A.indptr),
+                         shape=(A.shape[0] * rows,
+                                A.shape[1] * cols)).tocsr()
 
 
 def coord2rbm(coords, numPDEs=None):

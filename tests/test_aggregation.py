@@ -519,6 +519,72 @@ class TestMaskedSpGEMM:
         assert conv_factor(res) < 0.7
 
 
+class TestBlockedEnergyCG:
+    """Round-3: the energy CG on node-blocked operators runs entirely in
+    BSR block form (smooth.py _cg_prolongation_bsr; role of the reference's
+    incomplete_mat_mult_bsr energy loop, smoothed_aggregation.h:797) —
+    must agree with the scalar flat path to machine epsilon."""
+
+    def _pieces(self):
+        from pyamg_tpu.aggregation.tentative import fit_candidates
+
+        A, B = linear_elasticity((20, 20))
+        Ab = A.tobsr(blocksize=(2, 2)).astype(np.float64)
+        C = symmetric_strength_of_connection(Ab, theta=0.0)   # node level
+        AggOp, _ = standard_aggregation(C)
+        Agg_dof = sp.kron(AggOp, np.ones((2, 1))).tocsr()
+        T, Bc = fit_candidates(Agg_dof, np.asarray(B))
+        return Ab, sp.csr_matrix(T), C, np.asarray(Bc)
+
+    def test_blocked_matches_scalar_flat(self):
+        from pyamg_tpu.aggregation import smooth as SM
+        from pyamg_tpu.util.utils import unamal, compute_BtBinv
+
+        Ab, T, C, Bc = self._pieces()
+        P_bsr = SM._cg_prolongation_bsr(Ab, T, C, Bc, 3, 1e-8, 1, "local")
+        assert P_bsr is not None
+
+        pattern = SM._grow_pattern(unamal(C, 2, 2), T, 1)
+        BtBinv = compute_BtBinv(Bc, pattern)
+        Acsr = Ab.tocsr()
+        Dv = np.asarray(abs(Acsr).sum(axis=1)).ravel()
+        Dinv = np.where(Dv != 0, 1.0 / np.where(Dv != 0, Dv, 1), 0.0)
+        P_flat = SM._cg_prolongation_flat(Acsr, T, pattern, Bc, BtBinv,
+                                          Dinv, None, 3, 1e-8)
+        assert P_flat is not None
+        assert P_bsr.nnz == P_flat.nnz     # block-dense closure == scalar
+        assert abs(P_bsr - P_flat).max() < 1e-12 * abs(P_flat).max()
+
+    def test_diagonal_weighting_matches(self):
+        from pyamg_tpu.aggregation import smooth as SM
+        from pyamg_tpu.util.utils import unamal, compute_BtBinv
+        from pyamg_tpu.util.utils import get_diagonal
+
+        Ab, T, C, Bc = self._pieces()
+        P_bsr = SM._cg_prolongation_bsr(Ab, T, C, Bc, 2, 1e-8, 1,
+                                        "diagonal")
+        pattern = SM._grow_pattern(unamal(C, 2, 2), T, 1)
+        BtBinv = compute_BtBinv(Bc, pattern)
+        Acsr = Ab.tocsr()
+        Dinv = get_diagonal(Acsr, inv=True)
+        P_flat = SM._cg_prolongation_flat(Acsr, T, pattern, Bc, BtBinv,
+                                          Dinv, None, 2, 1e-8)
+        assert abs(P_bsr - P_flat).max() < 1e-12 * abs(P_flat).max()
+
+    def test_hierarchy_quality_pinned(self):
+        # BASELINE config-4 shape: opc and iterations must not drift
+        A, B = linear_elasticity((50, 50))
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A.tobsr(blocksize=(2, 2)), B=B, max_coarse=100,
+            smooth=("energy", {"maxiter": 3}))
+        opc = sum(lvl.A_csr.nnz for lvl in ml.levels) / ml.levels[0].A_csr.nnz
+        assert opc < 1.4
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-10, accel="cg", maxiter=40, residuals=res)
+        assert len(res) - 1 <= 14
+
+
 class TestNativeBlockGS:
     def test_native_matches_python_block_gs(self):
         import scipy.sparse as sp
