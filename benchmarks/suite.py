@@ -46,7 +46,12 @@ _REF_PATH = os.path.join(os.path.dirname(__file__), "reference_cpu.json")
 _REF = json.load(open(_REF_PATH)) if os.path.exists(_REF_PATH) else {}
 
 
+_ONLY = None
+
+
 def run_config(name, build, solve):
+    if _ONLY and _ONLY not in name:
+        return None
     t0 = time.time()
     ctx = build()
     t_setup = time.time() - t0
@@ -78,8 +83,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="shrink problem sizes for CI")
+    ap.add_argument("--only", default=None,
+                    help="run only configs whose name contains this")
     args = ap.parse_args()
     s = args.small
+    global _ONLY
+    _ONLY = args.only
 
     import pyamg_tpu
     from pyamg_tpu.gallery import (poisson, stencil_grid,
@@ -232,7 +241,8 @@ def main():
                     out[f"ref_cpu_{meth}_iters"] = r.get(f"{meth}_iters")
             print(json.dumps(out))
 
-    krylov_gallery()
+    if not _ONLY or "krylov" in _ONLY:
+        krylov_gallery()
 
 
 if __name__ == "__main__":

@@ -25,7 +25,8 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "direct_interpolation_native", "classical_strength_native",
            "first_fit_coloring_native", "constraint_project_native",
            "pattern_gram_native", "masked_spgemm_bsr_native",
-           "constraint_project_bsr_native", "pattern_gram_bsr_native"]
+           "constraint_project_bsr_native", "pattern_gram_bsr_native",
+           "thomas_lines_native"]
 
 _HERE = os.path.dirname(__file__)
 _SO = os.path.join(_HERE, "libamg_core.so")
@@ -163,6 +164,7 @@ def _declare(lib):
                                      _f64p]
     lib.pattern_gram_bsr_i32.argtypes = [_I, _I, _I, _i32p, _i32p, _f64p,
                                          _f64p]
+    lib.thomas_lines.argtypes = [_I, _I, _f64p, _f64p, _f64p, _f64p, _f64p]
 
 
 def _csr_arrays(A):
@@ -439,6 +441,23 @@ def pattern_gram_bsr_native(indptr, indices, Cb, B):
                              np.ascontiguousarray(indices, dtype=np.int64),
                              Bc, out)
     return out
+
+
+def thomas_lines_native(dl, dm, du, R):
+    """In-place batched Thomas solve of independent tridiagonal lines:
+    all arrays (nlines, L) row-major f64, R overwritten with the solution.
+    Returns True on success (role of the host zebra inner solve,
+    relaxation.py:196)."""
+    lib = _load()
+    if (not lib or R.dtype != np.float64 or dm.dtype != np.float64
+            or not R.flags["C_CONTIGUOUS"]):
+        return False
+    nlines, L = R.shape
+    cp = np.empty_like(R)
+    lib.thomas_lines(nlines, L, np.ascontiguousarray(dl),
+                     np.ascontiguousarray(dm), np.ascontiguousarray(du),
+                     R, cp)
+    return True
 
 
 def identity_minus_scaled_native(M, c):

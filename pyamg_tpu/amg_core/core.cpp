@@ -1226,6 +1226,35 @@ static void constraint_project_bsr_impl(I nbr, I R, I Cb, I k,
     }
 }
 
+// batched Thomas solve over independent tridiagonal lines (role of the
+// host zebra/line-relaxation inner solve, relaxation.py:196 — a 2L-step
+// numpy loop becomes one call).  All arrays (nlines, L) row-major; R is
+// overwritten with the solution.  Zero pivots are guarded like the numpy
+// form (den==0 -> 1).
+static void thomas_lines_impl(I nlines, I L,
+                              const double* dl, const double* dm,
+                              const double* du, double* R, double* cp) {
+    #pragma omp parallel for schedule(static)
+    for (I l = 0; l < nlines; l++) {
+        const double* a = dl + (size_t)l * L;
+        const double* b = dm + (size_t)l * L;
+        const double* c = du + (size_t)l * L;
+        double* x = R + (size_t)l * L;
+        double* w = cp + (size_t)l * L;
+        double den = b[0] == 0.0 ? 1.0 : b[0];
+        w[0] = c[0] / den;
+        x[0] = x[0] / den;
+        for (I i = 1; i < L; i++) {
+            den = b[i] - a[i] * w[i - 1];
+            if (den == 0.0) den = 1.0;
+            w[i] = c[i] / den;
+            x[i] = (x[i] - a[i] * x[i - 1]) / den;
+        }
+        for (I i = L - 2; i >= 0; i--)
+            x[i] -= w[i] * x[i + 1];
+    }
+}
+
 // per-BLOCK-row Gram over a block pattern: out[i] = sum over scalar columns
 // {Pj[p]*Cb + q} of B_col B_col^T (one Gram per block row instead of R).
 template <typename Ix>
@@ -1289,6 +1318,11 @@ void constraint_project_bsr_i32(I nbr, I R, I Cb, I k,
                                 const uint8_t* fmask, double* vals) {
     constraint_project_bsr_impl<int32_t>(nbr, R, Cb, k, Pp, Pj, B, G,
                                          fmask, vals);
+}
+
+void thomas_lines(I nlines, I L, const double* dl, const double* dm,
+                  const double* du, double* R, double* cp) {
+    thomas_lines_impl(nlines, L, dl, dm, du, R, cp);
 }
 
 void pattern_gram_bsr(I nbr, I Cb, I k, const I* Pp, const I* Pj,

@@ -14,7 +14,9 @@ from ._common import (prepare, norm, finalize, make_rmatvec,
                       operator_jittable, run_core_jit)
 
 __all__ = ["cr", "cgne", "cgnr", "steepest_descent", "minimal_residual",
-           "bicgstab", "bicgstab_init", "bicgstab_chunk"]
+           "bicgstab", "bicgstab_init", "bicgstab_chunk",
+           "cr_core", "steepest_descent_core", "minimal_residual_core",
+           "bicgstab_core"]
 
 
 def _run(cond, body, carry0, it_index):
@@ -22,17 +24,14 @@ def _run(cond, body, carry0, it_index):
     return carry
 
 
-def cr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
-       callback=None, residuals=None):
-    """Conjugate residual method (Hermitian, possibly indefinite A)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
-    normb = norm(b)
-    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
-
+def cr_core(mv, pre, x, b, tol_t, maxiter):
+    """Traceable conjugate-residual core: (x, n_iters, res_buf) — same
+    contract as cg_core, so it rides _raw_accel's fused hierarchy
+    programs (multilevel.py:449) and run_core_jit."""
     r = pre(b - mv(x))
     p = r
     Ar = mv(r)
-    Ap = mv(p)
+    Ap = Ar
     rAr = jnp.vdot(r, Ar)
     res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
     res_buf = res_buf.at[0].set(norm(b - mv(x)))
@@ -58,8 +57,20 @@ def cr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
         return (res_buf[it] > tol_t) & (it < maxiter)
 
     carry = _run(cond, body, (x, r, p, Ar, Ap, rAr, 0, res_buf), -2)
-    x, it, res_buf = carry[0], carry[-2], carry[-1]
-    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+    return carry[0], carry[-2], carry[-1]
+
+
+def cr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+       callback=None, residuals=None):
+    """Conjugate residual method (Hermitian, possibly indefinite A)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * jnp.where(normb == 0, 1.0, normb)
+    if operator_jittable(A, M):
+        x, it, res_buf = run_core_jit(cr_core, A, M, x, b, maxiter, tol_t)
+    else:
+        x, it, res_buf = cr_core(mv, pre, x, b, tol_t, maxiter)
+    return finalize(x, res_buf, it + 1, float(tol_t), callback, residuals)
 
 
 def cgnr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
@@ -139,13 +150,9 @@ def cgne(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
     return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
 
 
-def steepest_descent(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
-                     M=None, callback=None, residuals=None):
-    """Preconditioned steepest descent (reference _steepest_descent.py:11)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
-    normb = norm(b)
-    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
-
+def steepest_descent_core(mv, pre, x, b, tol_t, maxiter):
+    """Traceable preconditioned steepest-descent core: (x, n_iters,
+    res_buf), cg_core contract."""
     r = b - mv(x)
     res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
     res_buf = res_buf.at[0].set(norm(r))
@@ -167,17 +174,27 @@ def steepest_descent(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
         return (res_buf[it] > tol_t) & (it < maxiter)
 
     carry = _run(cond, body, (x, r, 0, res_buf), -2)
-    x, it, res_buf = carry[0], carry[-2], carry[-1]
-    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+    return carry[0], carry[-2], carry[-1]
 
 
-def minimal_residual(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
+def steepest_descent(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
                      M=None, callback=None, residuals=None):
-    """Minimal residual iteration (reference _minimal_residual.py:11)."""
+    """Preconditioned steepest descent (reference _steepest_descent.py:11)."""
     mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
-    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+    tol_t = tol * jnp.where(normb == 0, 1.0, normb)
+    if operator_jittable(A, M):
+        x, it, res_buf = run_core_jit(steepest_descent_core, A, M, x, b,
+                                      maxiter, tol_t)
+    else:
+        x, it, res_buf = steepest_descent_core(mv, pre, x, b, tol_t,
+                                               maxiter)
+    return finalize(x, res_buf, it + 1, float(tol_t), callback, residuals)
 
+
+def minimal_residual_core(mv, pre, x, b, tol_t, maxiter):
+    """Traceable minimal-residual core: (x, n_iters, res_buf), cg_core
+    contract."""
     r = pre(b - mv(x))
     res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
     res_buf = res_buf.at[0].set(norm(b - mv(x)))
@@ -198,8 +215,22 @@ def minimal_residual(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
         return (res_buf[it] > tol_t) & (it < maxiter)
 
     carry = _run(cond, body, (x, r, 0, res_buf), -2)
-    x, it, res_buf = carry[0], carry[-2], carry[-1]
-    return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+    return carry[0], carry[-2], carry[-1]
+
+
+def minimal_residual(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
+                     M=None, callback=None, residuals=None):
+    """Minimal residual iteration (reference _minimal_residual.py:11)."""
+    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * jnp.where(normb == 0, 1.0, normb)
+    if operator_jittable(A, M):
+        x, it, res_buf = run_core_jit(minimal_residual_core, A, M, x, b,
+                                      maxiter, tol_t)
+    else:
+        x, it, res_buf = minimal_residual_core(mv, pre, x, b, tol_t,
+                                               maxiter)
+    return finalize(x, res_buf, it + 1, float(tol_t), callback, residuals)
 
 
 def bicgstab_core(mv, pre, x, b, tol_t, maxiter):

@@ -454,12 +454,17 @@ class MultilevelSolver:
             import functools
 
             from .krylov._cg import cg_core
-            from .krylov._cgs_family import bicgstab_core
+            from .krylov._cgs_family import (bicgstab_core, cr_core,
+                                             steepest_descent_core,
+                                             minimal_residual_core)
             from .krylov._gmres import gmres_core
 
             cores = {
                 "cg": cg_core,
                 "bicgstab": bicgstab_core,
+                "cr": cr_core,
+                "steepest_descent": steepest_descent_core,
+                "minimal_residual": minimal_residual_core,
                 "gmres": functools.partial(gmres_core,
                                            restrt=min(30, maxiter)),
                 "fgmres": functools.partial(gmres_core,
@@ -1006,7 +1011,9 @@ class MultilevelSolver:
             # (accel, cycle, maxiter), reused across solves (tolerance is a
             # traced argument — no recompile when it changes)
             if isinstance(accel, str) \
-                    and accel in ("cg", "bicgstab", "gmres", "fgmres") \
+                    and accel in ("cg", "bicgstab", "gmres", "fgmres",
+                                  "cr", "steepest_descent",
+                                  "minimal_residual") \
                     and callback is None:
                 run = self._get_cached_accel(accel, cycle, int(maxiter))
                 normb = jnp.linalg.norm(b_d)

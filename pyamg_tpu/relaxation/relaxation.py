@@ -148,7 +148,19 @@ def zebra(A, x, b, iterations=1, sweep="symmetric", grid=None, axis=None,
     if grid is None or int(np.prod(grid)) != n:
         return gauss_seidel(A, x, b, iterations=iterations,
                             sweep="symmetric")
-    lines, unlines, solve_lines, parity = _line_setup(A, grid, axis)
+    # the setup (several O(n) diagonal extractions) is cached ON the
+    # matrix: aSA candidate relaxation calls zebra hundreds of times on
+    # the same operator (adaptive.py), and re-deriving it dominated
+    key = (tuple(int(g) for g in grid), axis)
+    cache = getattr(A, "_zebra_setup", None)
+    if cache is not None and cache[0] == key:
+        lines, unlines, solve_lines, parity = cache[1]
+    else:
+        lines, unlines, solve_lines, parity = _line_setup(A, grid, axis)
+        try:
+            A._zebra_setup = (key, (lines, unlines, solve_lines, parity))
+        except AttributeError:      # exotic matrix types: skip the cache
+            pass
     phases = (0, 1) if sweep in ("forward", "symmetric") else (1, 0)
     for _ in range(iterations):
         for ph in phases:
@@ -192,8 +204,23 @@ def _line_setup(A, grid, axis):
     dl, dm, du = lines(dl_flat), lines(d_flat), lines(du_flat)
     parity = np.arange(dm.shape[0]) % 2
 
+    dlc = np.ascontiguousarray(dl, dtype=np.float64) \
+        if not np.iscomplexobj(dm) else None
+    dmc = np.ascontiguousarray(dm, dtype=np.float64) if dlc is not None \
+        else None
+    duc = np.ascontiguousarray(du, dtype=np.float64) if dlc is not None \
+        else None
+
     def solve_lines(R):
         """Vectorized Thomas over all lines: (nlines, L) rhs -> solution."""
+        if dlc is not None and not np.iscomplexobj(R):
+            from ..amg_core import thomas_lines_native
+
+            xp = np.ascontiguousarray(R, dtype=np.float64).copy() \
+                if not (R.dtype == np.float64
+                        and R.flags["C_CONTIGUOUS"]) else R.copy()
+            if thomas_lines_native(dlc, dmc, duc, xp):
+                return xp
         cp = np.zeros_like(dm)
         xp = np.zeros_like(R)
         cp[:, 0] = du[:, 0] / dm[:, 0]

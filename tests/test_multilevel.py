@@ -145,6 +145,22 @@ class TestPreconditioning:
         assert np.linalg.norm(b - A @ np.asarray(x)) < \
             1e-6 * np.linalg.norm(b)
 
+    @pytest.mark.parametrize("accel", ["cr", "steepest_descent",
+                                       "minimal_residual"])
+    def test_accel_first_class_krylov(self, accel):
+        # round-3: cr/steepest_descent/minimal_residual ride the same
+        # fused hierarchy-as-argument programs as cg (multilevel.py:449)
+        A = poisson((30, 30), format="csr")
+        ml = smoothed_aggregation_solver(A, max_coarse=10)
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        x, info = ml.solve(b, tol=1e-8, maxiter=100, accel=accel,
+                           residuals=res, return_info=True)
+        assert info == 0
+        assert len(res) - 1 < 40
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-6 * np.linalg.norm(b)
+
 
 class TestCoarseSolvers:
     @pytest.mark.parametrize("cs", ["pinv", "splu", "lu", "cholesky",

@@ -294,6 +294,34 @@ class TestDeviceSmoothers:
         assert cf("zebra") < 0.1
         assert cf("line_jacobi") < 0.5
 
+    def test_native_thomas_matches_numpy_zebra(self):
+        # round-3: the host zebra's batched Thomas runs native
+        # (amg_core thomas_lines) with a per-matrix cached line setup —
+        # must be bit-identical to the numpy fallback
+        import pyamg_tpu.amg_core as core
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        from pyamg_tpu.relaxation import relaxation as rel
+
+        sten = diffusion_stencil_2d(epsilon=1e-3, theta=0.0, type="FD")
+        b = rng().standard_normal(40 * 40)
+
+        def run():
+            A = stencil_grid(sten, (40, 40), format="csr").astype(
+                np.float64)
+            A.grid = (40, 40)
+            x = np.zeros(A.shape[0])
+            rel.zebra(A, x, b, iterations=2, sweep="symmetric")
+            return x
+
+        x_native = run()
+        orig = core.thomas_lines_native
+        core.thomas_lines_native = lambda *a, **k: False
+        try:
+            x_numpy = run()
+        finally:
+            core.thomas_lines_native = orig
+        assert np.array_equal(x_native, x_numpy)
+
     def test_chebyshev_coefficients(self):
         from pyamg_tpu.relaxation import chebyshev_polynomial_coefficients
 
