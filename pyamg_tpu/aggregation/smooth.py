@@ -63,12 +63,58 @@ def _dinv_s(S, omega, weighting, sym_hint=None):
     return D_inv_S
 
 
+def _jacobi_operator(S, omega, weighting, sym_hint):
+    """E = I - (omega/rho) D^{-1} S built in ONE value pass on S's own
+    pattern (requires every row to store its diagonal; returns None
+    otherwise).  Replaces scale_rows copy + scalar-mul copy + the sparse
+    subtract ``P - D_inv_S @ P`` with a single product ``E @ P`` — the
+    symbolic merge of the subtract was half the jacobi smoothing cost on
+    the adaptive-SA rebuild path."""
+    if weighting not in ("diagonal", "local"):
+        return None
+    S_csr = to_csr(S)
+    n = S_csr.shape[0]
+    if S_csr.shape[1] != n:
+        return None
+    if weighting == "diagonal":
+        D_inv = get_diagonal(S_csr, inv=True)
+        if sym_hint:
+            from ..relaxation.smoothing import rho_D_inv_A
+
+            rho = rho_D_inv_A(S, symmetric=True)
+        else:
+            rho = approximate_spectral_radius(
+                scale_rows(S_csr, D_inv, copy=True))
+        c = omega / rho
+    else:                       # "local": no rho, omega applied directly
+        D = np.asarray(abs(S_csr).sum(axis=1)).ravel()
+        D_inv = np.where(D != 0, 1.0 / np.where(D != 0, D, 1), 0.0)
+        c = omega
+    rows = np.repeat(np.arange(n), np.diff(S_csr.indptr))
+    diag_mask = S_csr.indices == rows
+    if int(diag_mask.sum()) != n:
+        return None             # rows without a stored diagonal: fallback
+    data = (-c) * (S_csr.data * D_inv[rows])
+    data[diag_mask] += 1.0
+    E = sp.csr_matrix((data, S_csr.indices, S_csr.indptr),
+                      shape=S_csr.shape)
+    E.has_sorted_indices = S_csr.has_sorted_indices
+    return E
+
+
 def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
                                  filter=False, weighting="diagonal",
                                  sym_hint=None):
     """P = (I - omega/rho(D^{-1}S) D^{-1}S)^degree T
     (reference smooth.py:67), with optional strength filtering that
     preserves T B_c via constraint satisfaction."""
+    if not filter:
+        E = _jacobi_operator(S, omega, weighting, sym_hint)
+        if E is not None:
+            P = to_csr(T)
+            for _ in range(degree):
+                P = (E @ P).tocsr()
+            return P
     if filter:
         numPDEs = S.blocksize[0] if (sp.issparse(S) and S.format == "bsr") \
             else 1
