@@ -387,19 +387,22 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
         coup = np.array([np.abs(A.diagonal(s)).sum() + 1e-300
                          for s in strides])
         line_smoothing = getattr(lvl, "_line_smoother", False)
-        # Width of the weak-axis aggregates: an aggregate of w grid nodes
-        # (w*q fine dofs) yields K coarse dofs, so w = 3K/q keeps the DOF
-        # coarsening ratio at 3 — with w = 3 a K>=2 hierarchy would shrink
-        # by only 3/K per semicoarsened level and setup/cycle costs explode.
-        # Level 0 of a K-candidate hierarchy has q=1 (w=3K); its coarse
-        # levels carry q=K dofs/node (w=3).
+        # Width of the weak-axis aggregates: ALWAYS 3 grid nodes.  Two-grid
+        # convergence under semicoarsening is bounded by the GRID coarsening
+        # rate along the weak axis, not the DOF count: w = 3K (which keeps
+        # the DOF ratio at 3 for K candidates) coarsens the weak axis 3K-x
+        # per level and measurably loses mesh independence — K=2 aniso-512
+        # needs 18 iterations even with ideal analytic candidates, vs 8
+        # with w = 3 (and 13 for K=1).  The price is a one-time DOF ratio
+        # of 3/K at level 0 only (coarse levels carry q=K dofs/node, so
+        # w = 3 there already gives ratio 3).
         K_cand = B.shape[1]
         q_node = max(getattr(lvl, "blocksize", 1), 1)
         if (line_smoothing and K_cand % max(q_node, 1) == 0
                 and q_node in (1, K_cand) and len(grid) >= 2
                 and coup.max() > 25.0 * coup.min()):
             geo = float(np.sqrt(coup.max() * coup.min()))
-            w = 3 * K_cand // q_node
+            w = 3
             block = tuple(1 if c > geo else w for c in coup)
             # Smoothing P with the full S = I - c D^{-1} A would widen the
             # stencil along the UNCOARSENED strong axis without bound (that

@@ -722,6 +722,24 @@ class TestAutoSemicoarsening:
 class TestAdaptiveRegressions:
     """Regressions from the round-2 code review."""
 
+    def test_k2_aniso_quality(self):
+        """K=2 candidates must not DEGRADE the semicoarsened hierarchy:
+        weak-axis aggregates stay 3 grid nodes wide for every K (width 3K
+        coarsened the weak axis 3K-x per level and lost mesh independence —
+        24+ iterations at 512^2; measured 6 here, 13 at 512^2 with w=3)."""
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+
+        sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+        A = stencil_grid(sten, (128, 128), format="csr")
+        ml, _w = pyamg_tpu.adaptive_sa_solver(
+            A, num_candidates=2, candidate_iters=5,
+            prepostsmoother="zebra", max_coarse=100)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        res = []
+        x = ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
+        assert len(res) - 1 <= 10
+        assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
+
     def test_improvement_iters_multicandidate_returns_device_solver(self):
         A = poisson((20, 20), format="csr")
         ml, _w = pyamg_tpu.adaptive_sa_solver(
