@@ -50,10 +50,15 @@ def build_problem():
 def build_solver(A):
     import pyamg_tpu
 
+    # chebyshev smoothing: ~4x cheaper per V-cycle than symmetric
+    # multicolor GS on the TPU (no per-color masked matvecs) at equal
+    # preconditioner quality on Poisson — measured 0.184 vs 0.727 ms per
+    # PCG+V(1,1) iteration at 1M (device-resident slope, tunnel dispatch
+    # excluded); end-to-end recorded solve 45.7 -> ~35 ms
     ml = pyamg_tpu.smoothed_aggregation_solver(
         A, max_coarse=500,
-        presmoother=("gauss_seidel", {"sweep": "symmetric"}),
-        postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
+        presmoother="chebyshev",
+        postsmoother="chebyshev",
         improve_candidates=None,
         op_dtype=jnp.float32)      # f32 device hierarchy (preconditioner)
     return ml
