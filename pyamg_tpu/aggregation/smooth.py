@@ -26,6 +26,28 @@ __all__ = ["jacobi_prolongation_smoother", "richardson_prolongation_smoother",
            "energy_prolongation_smoother", "satisfy_constraints"]
 
 
+def _jacobi_weight(S, omega, weighting, sym_hint):
+    """Shared (D_inv, c) for diagonal/local jacobi weighting: c scales
+    D^{-1} S so that S_jac = I - c D^{-1} S.  Single source of truth for
+    both the fused one-product path (_jacobi_operator) and the materialized
+    path (_dinv_s) — the rho estimator choice must never diverge between
+    them."""
+    if weighting == "diagonal":
+        D_inv = get_diagonal(S, inv=True)
+        if sym_hint:
+            from ..relaxation.smoothing import rho_D_inv_A
+
+            rho = rho_D_inv_A(S, symmetric=True)
+        else:
+            rho = approximate_spectral_radius(
+                scale_rows(to_csr(S), D_inv, copy=True))
+        return D_inv, omega / rho
+    # "local": no rho — omega applied directly to the abs-row-sum scaling
+    D = np.asarray(abs(to_csr(S)).sum(axis=1)).ravel()
+    D_inv = np.where(D != 0, 1.0 / np.where(D != 0, D, 1), 0.0)
+    return D_inv, omega
+
+
 def _dinv_s(S, omega, weighting, sym_hint=None):
     """omega-scaled D^{-1} S for the requested weighting.
 
@@ -38,15 +60,8 @@ def _dinv_s(S, omega, weighting, sym_hint=None):
         weighting = "diagonal"
 
     if weighting == "diagonal":
-        D_inv = get_diagonal(S, inv=True)
-        D_inv_S = scale_rows(to_csr(S), D_inv, copy=True)
-        if sym_hint:
-            from ..relaxation.smoothing import rho_D_inv_A
-
-            rho = rho_D_inv_A(S, symmetric=True)
-        else:
-            rho = approximate_spectral_radius(D_inv_S)
-        D_inv_S = (omega / rho) * D_inv_S
+        D_inv, c = _jacobi_weight(S, omega, "diagonal", sym_hint)
+        D_inv_S = c * scale_rows(to_csr(S), D_inv, copy=True)
     elif weighting == "block":
         D_inv = get_block_diag(S, blocksize=S.blocksize[0], inv_flag=True)
         D_inv_mat = sp.bsr_matrix(
@@ -55,9 +70,8 @@ def _dinv_s(S, omega, weighting, sym_hint=None):
         D_inv_S = (D_inv_mat @ S).tocsr()
         D_inv_S = (omega / approximate_spectral_radius(D_inv_S)) * D_inv_S
     elif weighting == "local":
-        D = np.asarray(abs(to_csr(S)).sum(axis=1)).ravel()
-        D_inv = np.where(D != 0, 1.0 / np.where(D != 0, D, 1), 0.0)
-        D_inv_S = omega * scale_rows(to_csr(S), D_inv, copy=True)
+        D_inv, c = _jacobi_weight(S, omega, "local", sym_hint)
+        D_inv_S = c * scale_rows(to_csr(S), D_inv, copy=True)
     else:
         raise ValueError("incorrect weighting option")
     return D_inv_S
@@ -76,20 +90,7 @@ def _jacobi_operator(S, omega, weighting, sym_hint):
     n = S_csr.shape[0]
     if S_csr.shape[1] != n:
         return None
-    if weighting == "diagonal":
-        D_inv = get_diagonal(S_csr, inv=True)
-        if sym_hint:
-            from ..relaxation.smoothing import rho_D_inv_A
-
-            rho = rho_D_inv_A(S, symmetric=True)
-        else:
-            rho = approximate_spectral_radius(
-                scale_rows(S_csr, D_inv, copy=True))
-        c = omega / rho
-    else:                       # "local": no rho, omega applied directly
-        D = np.asarray(abs(S_csr).sum(axis=1)).ravel()
-        D_inv = np.where(D != 0, 1.0 / np.where(D != 0, D, 1), 0.0)
-        c = omega
+    D_inv, c = _jacobi_weight(S, omega, weighting, sym_hint)
     rows = np.repeat(np.arange(n), np.diff(S_csr.indptr))
     diag_mask = S_csr.indices == rows
     if int(diag_mask.sum()) != n:

@@ -450,6 +450,7 @@ def thomas_lines_native(dl, dm, du, R):
     relaxation.py:196)."""
     lib = _load()
     if (not lib or R.dtype != np.float64 or dm.dtype != np.float64
+            or dl.dtype != np.float64 or du.dtype != np.float64
             or not R.flags["C_CONTIGUOUS"]):
         return False
     nlines, L = R.shape

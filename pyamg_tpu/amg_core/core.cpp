@@ -1085,44 +1085,18 @@ void pattern_gram_i32(I n, I k, const int32_t* Pp, const int32_t* Pj,
 
 // C = (A @ B) restricted to C's BLOCK pattern.  A: (nbr x nbr) blocks RxR
 // row-major; B, C: (nbr x nbc) blocks RxCb.  Cx must be caller-zeroed.
-template <int R, int Cb, typename Ix>
-static void masked_spgemm_bsr_fixed(I nbr, I nbc,
-                                    const Ix* Ap, const Ix* Aj,
-                                    const double* Ax,
-                                    const Ix* Bp, const Ix* Bj,
-                                    const double* Bx,
-                                    const Ix* Cp, const Ix* Cj, double* Cx) {
-    std::vector<int64_t> slot(nbc, -1);
-    for (I i = 0; i < nbr; i++) {
-        for (Ix cc = Cp[i]; cc < Cp[i + 1]; cc++) slot[Cj[cc]] = cc;
-        for (Ix ka = Ap[i]; ka < Ap[i + 1]; ka++) {
-            const double* a = Ax + (size_t)ka * R * R;
-            const Ix k = Aj[ka];
-            for (Ix kb = Bp[k]; kb < Bp[k + 1]; kb++) {
-                const int64_t s = slot[Bj[kb]];
-                if (s < 0) continue;
-                const double* b = Bx + (size_t)kb * R * Cb;
-                double* c = Cx + (size_t)s * R * Cb;
-                for (int r = 0; r < R; r++)
-                    for (int t = 0; t < R; t++) {
-                        const double av = a[r * R + t];
-                        for (int q = 0; q < Cb; q++)
-                            c[r * Cb + q] += av * b[t * Cb + q];
-                    }
-            }
-        }
-        for (Ix cc = Cp[i]; cc < Cp[i + 1]; cc++) slot[Cj[cc]] = -1;
-    }
-}
-
-template <typename Ix>
-static void masked_spgemm_bsr_generic(I nbr, I nbc, I R, I Cb,
-                                      const Ix* Ap, const Ix* Aj,
-                                      const double* Ax,
-                                      const Ix* Bp, const Ix* Bj,
-                                      const double* Bx,
-                                      const Ix* Cp, const Ix* Cj,
-                                      double* Cx) {
+// ONE body: RT/CT > 0 bake the block shape in at compile time (the
+// dispatcher instantiates the hot elasticity shapes); RT/CT == -1 reads
+// the runtime arguments.
+template <int RT, int CT, typename Ix>
+static void masked_spgemm_bsr_body(I nbr, I nbc, I R_, I Cb_,
+                                   const Ix* Ap, const Ix* Aj,
+                                   const double* Ax,
+                                   const Ix* Bp, const Ix* Bj,
+                                   const double* Bx,
+                                   const Ix* Cp, const Ix* Cj, double* Cx) {
+    const I R = RT > 0 ? (I)RT : R_;
+    const I Cb = CT > 0 ? (I)CT : Cb_;
     std::vector<int64_t> slot(nbc, -1);
     for (I i = 0; i < nbr; i++) {
         for (Ix cc = Cp[i]; cc < Cp[i + 1]; cc++) slot[Cj[cc]] = cc;
@@ -1156,20 +1130,20 @@ static void masked_spgemm_bsr_impl(I nbr, I nbc, I R, I Cb,
     // compile-time block shapes for the hot cases (2D/3D elasticity:
     // R = spatial dofs, Cb = rigid-body-mode count)
     if (R == 2 && Cb == 3)
-        masked_spgemm_bsr_fixed<2, 3, Ix>(nbr, nbc, Ap, Aj, Ax,
-                                          Bp, Bj, Bx, Cp, Cj, Cx);
+        masked_spgemm_bsr_body<2, 3, Ix>(nbr, nbc, R, Cb, Ap, Aj, Ax,
+                                         Bp, Bj, Bx, Cp, Cj, Cx);
     else if (R == 2 && Cb == 2)
-        masked_spgemm_bsr_fixed<2, 2, Ix>(nbr, nbc, Ap, Aj, Ax,
-                                          Bp, Bj, Bx, Cp, Cj, Cx);
+        masked_spgemm_bsr_body<2, 2, Ix>(nbr, nbc, R, Cb, Ap, Aj, Ax,
+                                         Bp, Bj, Bx, Cp, Cj, Cx);
     else if (R == 3 && Cb == 6)
-        masked_spgemm_bsr_fixed<3, 6, Ix>(nbr, nbc, Ap, Aj, Ax,
-                                          Bp, Bj, Bx, Cp, Cj, Cx);
+        masked_spgemm_bsr_body<3, 6, Ix>(nbr, nbc, R, Cb, Ap, Aj, Ax,
+                                         Bp, Bj, Bx, Cp, Cj, Cx);
     else if (R == 3 && Cb == 3)
-        masked_spgemm_bsr_fixed<3, 3, Ix>(nbr, nbc, Ap, Aj, Ax,
-                                          Bp, Bj, Bx, Cp, Cj, Cx);
+        masked_spgemm_bsr_body<3, 3, Ix>(nbr, nbc, R, Cb, Ap, Aj, Ax,
+                                         Bp, Bj, Bx, Cp, Cj, Cx);
     else
-        masked_spgemm_bsr_generic<Ix>(nbr, nbc, R, Cb, Ap, Aj, Ax,
-                                      Bp, Bj, Bx, Cp, Cj, Cx);
+        masked_spgemm_bsr_body<-1, -1, Ix>(nbr, nbc, R, Cb, Ap, Aj, Ax,
+                                           Bp, Bj, Bx, Cp, Cj, Cx);
 }
 
 // in-place constraint projection of BLOCKED pattern values so that

@@ -149,14 +149,38 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
         return arg, {}
 
     s_name, s_kw = unpack(strength)
-    agg_name, _ = unpack(aggregate)
+    agg_name, agg_kw = unpack(aggregate)
     sm_name, sm_kw = unpack(smoother)
     if sm_name not in ("jacobi", "multicolor_gauss_seidel"):
         raise ValueError(
             "distributed setup supports smoother in "
             "('jacobi', 'multicolor_gauss_seidel'); got " + repr(sm_name))
+    if agg_name not in ("standard", "naive"):
+        raise ValueError("distributed setup supports aggregate in "
+                         "('standard', 'naive'); got " + repr(agg_name))
 
     A_host = sp.csr_matrix(A).astype(dt)
+    # every row must STORE its diagonal: the device smoothing-value kernel
+    # places the identity of S = I - c D^{-1} A at stored-diagonal slots
+    # only (a missing slot would zero that prolongator row, silently
+    # diverging from the serial build which preserves P = T there).
+    # Adding an explicit zero diagonal makes dinv = 0 -> S row = e_i,
+    # matching the serial fallback semantics exactly.
+    def _ensure_stored_diagonal(M):
+        rows_m = np.repeat(np.arange(M.shape[0]), np.diff(M.indptr))
+        has = np.zeros(M.shape[0], dtype=bool)
+        has[rows_m[M.indices == rows_m]] = True
+        if has.all():
+            return M
+        miss = np.flatnonzero(~has)
+        coo = M.tocoo()
+        return sp.coo_matrix(
+            (np.concatenate([coo.data, np.zeros(miss.size, dtype=dt)]),
+             (np.concatenate([coo.row, miss]),
+              np.concatenate([coo.col, miss]))),
+            shape=M.shape).tocsr()        # coo->csr keeps explicit zeros
+
+    A_host = _ensure_stored_diagonal(A_host)
     A_host.sort_indices()
     n_orig = A_host.shape[0]
     Bcur = (np.ones((n_orig, 1), dtype=dt) if B is None
@@ -195,7 +219,7 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
                              "for the distributed setup")
         agg_fn = (standard_aggregation if agg_name == "standard"
                   else naive_aggregation)
-        AggOp, _roots = agg_fn(C)
+        AggOp, _roots = agg_fn(C, **agg_kw)
         if AggOp.shape[1] == 0:
             break
         T, Bc = fit_candidates(AggOp, Bcur)
@@ -259,6 +283,10 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
         levels.append(lvl)
         sizes.append(n_pad)
 
+        # eliminate_zeros above can drop an exactly-zero coarse diagonal;
+        # the next level's smoothing kernel needs the slot stored
+        Ac_host = _ensure_stored_diagonal(Ac_host)
+        Ac_host.sort_indices()
         A_host, Bcur = Ac_host, Bc
 
     # coarsest level (replicated dense solve via ShardedSolver._finalize)

@@ -150,15 +150,21 @@ def zebra(A, x, b, iterations=1, sweep="symmetric", grid=None, axis=None,
                             sweep="symmetric")
     # the setup (several O(n) diagonal extractions) is cached ON the
     # matrix: aSA candidate relaxation calls zebra hundreds of times on
-    # the same operator (adaptive.py), and re-deriving it dominated
+    # the same operator (adaptive.py), and re-deriving it dominated.
+    # A small value probe (<=64 samples of A.data) guards against callers
+    # that mutate the operator's values in place between sweeps.
     key = (tuple(int(g) for g in grid), axis)
+    stride = max(1, A.data.shape[0] // 64)
+    probe = A.data[::stride]
     cache = getattr(A, "_zebra_setup", None)
-    if cache is not None and cache[0] == key:
-        lines, unlines, solve_lines, parity = cache[1]
+    if (cache is not None and cache[0] == key
+            and np.array_equal(cache[1], probe)):
+        lines, unlines, solve_lines, parity = cache[2]
     else:
         lines, unlines, solve_lines, parity = _line_setup(A, grid, axis)
         try:
-            A._zebra_setup = (key, (lines, unlines, solve_lines, parity))
+            A._zebra_setup = (key, probe.copy(),
+                              (lines, unlines, solve_lines, parity))
         except AttributeError:      # exotic matrix types: skip the cache
             pass
     phases = (0, 1) if sweep in ("forward", "symmetric") else (1, 0)
@@ -216,9 +222,8 @@ def _line_setup(A, grid, axis):
         if dlc is not None and not np.iscomplexobj(R):
             from ..amg_core import thomas_lines_native
 
-            xp = np.ascontiguousarray(R, dtype=np.float64).copy() \
-                if not (R.dtype == np.float64
-                        and R.flags["C_CONTIGUOUS"]) else R.copy()
+            # one allocation: converts dtype/layout AND detaches from R
+            xp = np.array(R, dtype=np.float64, order="C", copy=True)
             if thomas_lines_native(dlc, dmc, duc, xp):
                 return xp
         cp = np.zeros_like(dm)

@@ -285,6 +285,29 @@ class TestDistributedGeneralSetup:
         assert relres < 1e-7
         assert cf < 0.3        # SA on Poisson: well under the 0.9 bound
 
+    def test_row_without_stored_diagonal(self):
+        # a row with NO stored diagonal entry must not be silently zeroed
+        # in P (the device smoothing kernel places the identity at stored
+        # diagonal slots only; setup inserts explicit zero diagonals so
+        # dinv=0 rows become identity rows of S, like the serial fallback)
+        import scipy.sparse as sp
+        from pyamg_tpu.parallel import general_sa_setup_sharded, make_mesh
+
+        A = sp.lil_matrix(poisson((32, 32), format="csr"))
+        A[0, 0] = 0.0
+        A = A.tocsr()
+        A.eliminate_zeros()
+        rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+        assert (A.indices == rows).sum() == A.shape[0] - 1  # row 0 diagless
+        sol = general_sa_setup_sharded(A, mesh=make_mesh(8),
+                                       dtype=np.float64)
+        P = sol.levels[0].P.to_scipy()[:A.shape[0]]
+        assert abs(P[0]).sum() > 0          # not silently zeroed
+        nc = sol.levels[1].A_csr.shape[0]
+        ref = (P[:, :nc].T @ A @ P[:, :nc]).tocsr()
+        d = abs(sol.levels[1].A_csr - ref)
+        assert (d.max() if d.nnz else 0.0) < 1e-12
+
     def test_multiple_candidates_jacobi_smoother(self):
         # K=2 candidates exercise blocked tentative fitting; jacobi
         # smoother exercises the dinv-only SmootherData path
