@@ -50,25 +50,50 @@ def stencil_grid(S, grid, dtype=None, format=None):
 
     coords = np.unravel_index(np.arange(N, dtype=np.int64), grid)
 
-    rows_all, cols_all, vals_all = [], [], []
+    # Direct CSR assembly, no COO sort: with stencil offsets ordered by
+    # their flat column delta, every row's entries come out column-sorted
+    # (col = row + delta).  Per-row slot = indptr[row] + rank of the offset
+    # among that row's valid offsets.  The old COO path paid an O(nnz log)
+    # lexsort in sum_duplicates — 2.2 s of the 6 s assembly at 1024^2 9-pt.
+    offs = []
     for off_idx in np.argwhere(S != 0):
         off = off_idx - np.array(centers)
-        val = S[tuple(off_idx)]
+        offs.append((int(off @ strides), off, S[tuple(off_idx)]))
+    offs.sort(key=lambda t: t[0])
+
+    K = len(offs)
+    V = np.empty((K, N), dtype=bool)
+    for kk, (_delta, off, _val) in enumerate(offs):
         valid = np.ones(N, dtype=bool)
         for d, o in enumerate(off):
             if o:
                 valid &= (coords[d] + o >= 0) & (coords[d] + o < grid[d])
-        rows = np.flatnonzero(valid)
-        rows_all.append(rows)
-        cols_all.append(rows + int(off @ strides))
-        vals_all.append(np.full(rows.size, val, dtype=S.dtype))
+        V[kk] = valid
+    rank = V.cumsum(axis=0, dtype=np.int16)         # ranks <= K
+    counts = rank[-1].astype(np.int64) if K else np.zeros(N, np.int64)
+    indptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[N])
+    idx_dt = np.int32 if N < np.iinfo(np.int32).max else np.int64
+    indices = np.empty(nnz, dtype=idx_dt)
+    data = np.empty(nnz, dtype=S.dtype)
+    base = indptr[:-1]
+    for kk, (delta, _off, val) in enumerate(offs):
+        rowsk = np.flatnonzero(V[kk])
+        p = base[rowsk] + (rank[kk, rowsk].astype(np.int64) - 1)
+        indices[p] = (rowsk + delta).astype(idx_dt)
+        data[p] = val
 
-    A = sp.coo_matrix(
-        (np.concatenate(vals_all),
-         (np.concatenate(rows_all), np.concatenate(cols_all))),
-        shape=(N, N),
-    )
-    A.sum_duplicates()
+    A = sp.csr_matrix((data, indices, indptr.astype(idx_dt)), shape=(N, N))
+    A.has_sorted_indices = True
+    # distinct offsets can alias the same flat column delta only on grids
+    # smaller than the stencil extents (where their validity regions are
+    # disjoint anyway) — canonicalize just in case on such tiny grids
+    if len({d for d, _o, _v in offs}) != K \
+            or any(int(abs(o)) >= g for (_d, off, _v) in offs
+                   for o, g in zip(off, grid)):
+        A.sum_duplicates()
+        A.sort_indices()
     fmt = format or "csr"
     A = A.asformat(fmt)
     try:

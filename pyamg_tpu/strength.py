@@ -253,11 +253,40 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     dimen = A.shape[1]
     NullDim = Bmat.shape[1]
 
-    # the Jacobi damping only needs rho to ~1%: estimate it on an f32 twin
-    # (2x cheaper host matvecs); the evolution products stay in A's dtype
-    rho_op = Dinv_A.astype(np.float32) if Dinv_A.dtype == np.float64 \
-        else Dinv_A
-    rho_DinvA = approximate_spectral_radius(rho_op)
+    # the Jacobi damping only needs rho to ~1%.  For (probe-verified)
+    # symmetric A with positive diagonal, rho(D^{-1}A) equals
+    # rho(D^{-1/2} A D^{-1/2}) — a SYMMETRIC operator, so the Lanczos
+    # 3-term recurrence replaces restarted Arnoldi (~5x cheaper: no
+    # Gram-Schmidt, 15 matvecs total).  The probe costs two matvecs
+    # (A.T of a CSR is a free CSC view in scipy).
+    rho_DinvA = None
+    if (not np.iscomplexobj(A.data) and numPDEs == 1
+            and A.shape[0] == A.shape[1] and (D > 0).all()):
+        xp = np.random.default_rng(1).standard_normal(A.shape[0])
+        y1 = A @ xp
+        y2 = A.T @ xp
+        scale = float(np.abs(y1).max()) or 1.0
+        if float(np.abs(y1 - y2).max()) <= 1e-8 * scale:
+            from scipy.sparse.linalg import LinearOperator
+
+            from .util.linalg import _rho_lanczos
+
+            # matrix-free scaled operator: one f32 data view of A (index
+            # arrays shared) + two O(n) scalings per Lanczos step — no
+            # O(nnz) scaled-matrix materialization
+            s = (1.0 / np.sqrt(D)).astype(np.float32)
+            A32 = sparse.csr_matrix(
+                (A.data.astype(np.float32), A.indices, A.indptr),
+                shape=A.shape)
+            op = LinearOperator(A.shape, dtype=np.float32,
+                                matvec=lambda z: s * (A32 @ (s * z)))
+            rho_DinvA = _rho_lanczos(op)
+    if rho_DinvA is None:
+        # estimate on an f32 twin (2x cheaper host matvecs); the evolution
+        # products stay in A's dtype
+        rho_op = Dinv_A.astype(np.float32) if Dinv_A.dtype == np.float64 \
+            else Dinv_A
+        rho_DinvA = approximate_spectral_radius(rho_op)
 
     if proj_type == "D_A":
         D_A_diag = np.asarray(D)
