@@ -61,6 +61,13 @@ def _relax_zero(A, x, method, iterations):
     if fn in _SWEEP_SMOOTHERS:
         kwargs.setdefault("sweep", "symmetric")
     getattr(rel, fn)(A, x, b, iterations=iterations, **kwargs)
+    # re-normalize: the candidate pipeline is scale-invariant (per-aggregate
+    # QR fits, final inf-norm scaling), but repeated strong relaxation on
+    # A x = 0 shrinks ||x|| geometrically — 15 zebra sweeps per level over
+    # a deep hierarchy underflowed x to exactly 0 before this
+    nrm = norm(x, "inf")
+    if nrm > 0 and np.isfinite(nrm):
+        x /= nrm
     return x
 
 
@@ -109,7 +116,8 @@ def eliminate_local_candidates(x, AggOp, A, T, Ca=1.0):
 
 def initial_setup_stage(A, symmetry, pdef, candidate_iters, epsilon,
                         max_levels, max_coarse, aggregate, prepostsmoother,
-                        smooth, strength, initial_candidate=None, seed=0):
+                        smooth, strength, initial_candidate=None, seed=0,
+                        structured_ok=False):
     """Algorithm 3 of Brezina et al.: build a trial hierarchy while carrying
     a relaxed candidate down every level, then bring the coarsest
     representative back up with per-level relaxation
@@ -141,10 +149,56 @@ def initial_setup_stage(A, symmetry, pdef, candidate_iters, epsilon,
     x = _relax_zero(A, x, prepostsmoother, candidate_iters)
     work += 2 * A.nnz * candidate_iters
 
-    # descend: build levels, restricting + relaxing the candidate
+    # descend: build levels, restricting + relaxing the candidate.
+    # On structured grids the trial hierarchy rides the SAME structured
+    # machinery the final build uses (_extend_sa_hierarchy's grid fast
+    # path): grid metadata propagates to every coarse operator, so the
+    # candidate is relaxed with the actual cycle smoother (zebra needs
+    # A.grid; the generic descent's coarse operators had none and silently
+    # fell back to GS), and the banded stencil RAP replaces the scipy
+    # SpGEMM chain (~3 s of the 1024^2 aSA setup).  Opt-in
+    # (``structured_ok``): the structured descent does not produce frozen
+    # 'predefined' aggregate/strength lists, so only callers that discard
+    # them on grid problems (adaptive_sa_solver) enable it.
+    grid0 = getattr(A, "grid", None)
+    structured = (structured_ok and grid0 is not None
+                  and int(np.prod(grid0)) == A.shape[0]
+                  and symmetry in ("hermitian", "symmetric"))
     A_l = A
     As, Ps, aggs, strgs, xs = [A], [], [], [], [x]
-    while A_l.shape[0] > max_coarse and len(As) < max_levels:
+    if structured:
+        from ..multilevel import Level
+        from .aggregation import _extend_sa_hierarchy
+
+        lvl0 = Level()
+        lvl0.A_csr = A
+        lvl0.A_bsr = None
+        lvl0.B = x[:, None]
+        lvl0.blocksize = 1
+        lvl0.symmetry = symmetry
+        lvl0.grid = tuple(int(g) for g in grid0)
+        fn0 = unpack_arg(prepostsmoother)[0]
+        lvl0._line_smoother = fn0 in ("zebra", "line_jacobi",
+                                      "line_gauss_seidel")
+        slevels = [lvl0]
+        none_improve = [None] * max_levels
+        while A_l.shape[0] > max_coarse and len(As) < max_levels:
+            slevels[-1].B = x[:, None]     # relaxed candidate drives T
+            n_prev = slevels[-1].A_csr.shape[0]
+            _extend_sa_hierarchy(slevels, strength, aggregate, smooth,
+                                 none_improve, False, False, symmetry)
+            if slevels[-1].A_csr.shape[0] == n_prev:
+                break
+            A_l = slevels[-1].A_csr
+            Ps.append(to_csr(slevels[-2].P_csr))
+            As.append(A_l)
+            x = np.ravel(np.asarray(slevels[-1].B))
+            if A_l.shape[0] > max_coarse and len(As) < max_levels:
+                x = _relax_zero(A_l, x, prepostsmoother, candidate_iters)
+                work += 2 * A_l.nnz * candidate_iters
+            xs.append(x)
+    while not structured and A_l.shape[0] > max_coarse \
+            and len(As) < max_levels:
         i = len(As) - 1
         C = _strength(A_l, x[:, None], strength[i])
         AggOp, _ = _aggregate(C, A_l, x[:, None], aggregate[i])
@@ -395,7 +449,7 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
         x, aggregate_f, strength_f, w = initial_setup_stage(
             A, symmetry, pdef, candidate_iters, epsilon, max_levels,
             max_coarse, aggregate, prepostsmoother, smooth, strength,
-            seed=seed)
+            seed=seed, structured_ok=True)
         work += w
         if getattr(A, "grid", None) is None:
             aggregate, strength = aggregate_f, strength_f
@@ -479,7 +533,7 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
                 len(aggregate) + 1 if isinstance(aggregate, list)
                 else max_levels,
                 max_coarse, aggregate, prepostsmoother, smooth, strength,
-                initial_candidate=B[:, 0], seed=seed)
+                initial_candidate=B[:, 0], seed=seed, structured_ok=True)
             work += w
             if getattr(A, "grid", None) is None:
                 aggregate, strength = aggregate_f2, strength_f2
