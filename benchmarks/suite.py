@@ -164,10 +164,10 @@ def main():
         A, B = linear_elasticity(g)          # BSR (2,2) with .grid attached
         # energy-min P: same operator complexity as the reference's default
         # jacobi P (opc 1.285) at 11 iterations vs the reference's 12;
-        # 3 constrained-CG iterations already reach the 11-iteration
-        # hierarchy (4 is the reference default and changes nothing here)
+        # 2 constrained-CG iterations already reach the 11-iteration
+        # hierarchy (4 is the reference default; 3 changes nothing here)
         ml = pyamg_tpu.smoothed_aggregation_solver(
-            A, B=B, max_coarse=100, smooth=("energy", {"maxiter": 3}),
+            A, B=B, max_coarse=100, smooth=("energy", {"maxiter": 2}),
             op_dtype=jnp.float32)
         return A.tocsr(), ml, rng().standard_normal(A.shape[0])
 

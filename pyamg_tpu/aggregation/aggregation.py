@@ -623,7 +623,27 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
                 lvl.root_dofs = (roots[:, None] * q
                                  + np.arange(K)[None, :]).ravel()
 
-    A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
+    # Galerkin product: blocked levels run it in BSR (dense (q, K) block
+    # products — ~2x over scalar CSR merges for elasticity-class operators)
+    K_c = B_coarse.shape[1]
+    A_coarse_bsr = None
+    if (bs > 1 and lvl.A_bsr is not None and K_c > 1
+            and lvl.P_csr.shape[0] % bs == 0
+            and lvl.P_csr.shape[1] % K_c == 0):
+        try:
+            Pb = lvl.P_csr.tobsr(blocksize=(bs, K_c))
+            if symmetry == "hermitian":
+                Rb = Pb.conjugate().transpose()
+            elif symmetry == "symmetric":
+                Rb = Pb.transpose()
+            else:
+                Rb = lvl.R_csr.tobsr(blocksize=(K_c, bs))
+            A_coarse_bsr = Rb @ lvl.A_bsr @ Pb
+            A_coarse = A_coarse_bsr.tocsr()
+        except ValueError:
+            A_coarse_bsr = None
+    if A_coarse_bsr is None:
+        A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
     A_coarse.eliminate_zeros()
     if coarse_filter:
         # drop weak Galerkin fill-in with diagonal lumping (row sums kept;

@@ -79,8 +79,11 @@ def device_operator(A_csr, dia_max_offsets: int = DIA_MAX_OFFSETS,
     if n <= dense_max and m <= dense_max:
         from ..util.staging import stage_array
 
+        # cast the nnz-sized sparse data BEFORE densifying: toarray() then
+        # writes the (n, m) array directly in the target dtype (astype on
+        # the dense array costs a full extra n*m read+write pass)
+        if dtype is not None and A_csr.dtype != np.dtype(dtype):
+            A_csr = A_csr.astype(dtype)
         mat = A_csr.toarray()
-        if dtype is not None:
-            mat = mat.astype(dtype)
         return DenseOp(mat=stage_array(mat), shape=(n, m))
     return SparseELL.from_scipy(A_csr, dtype=dtype)
