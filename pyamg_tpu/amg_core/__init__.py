@@ -18,6 +18,7 @@ import numpy as np
 
 __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "naive_aggregation_native", "gauss_seidel_indexed_native",
+           "gauss_seidel_sweeps_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
            "bfs_levels_native", "drake_matching_native",
            "masked_spgemm_native", "bsr_gauss_seidel_native",
@@ -81,6 +82,8 @@ def _declare(lib):
                                       ctypes.POINTER(_I)]
     lib.gauss_seidel_indexed.argtypes = [_I, _i64p, _i64p, _i64p, _f64p,
                                          _f64p, _f64p]
+    lib.gauss_seidel_sweeps.argtypes = [_I, _i64p, _i64p, _f64p,
+                                        _f64p, _f64p, _I, _I]
     lib.gauss_seidel_kaczmarz.argtypes = [_I, _i64p, _i64p, _f64p, _f64p,
                                           _f64p, _D]
     lib.bellman_ford.argtypes = [_I, _i64p, _i64p, _f64p, _I, _i64p, _f64p,
@@ -220,6 +223,23 @@ def gauss_seidel_indexed_native(A, x, b, order):
     order = np.ascontiguousarray(order, dtype=np.int64)
     lib.gauss_seidel_indexed(order.size, order, Ap, Aj, Ax, x,
                              np.ascontiguousarray(b, dtype=np.float64))
+    return True
+
+
+def gauss_seidel_sweeps_native(A, x, b, iterations, sweep):
+    """All-iterations natural-order GS in one library call (mode:
+    forward/backward/symmetric)."""
+    lib = _load()
+    if not lib or A.dtype != np.float64 or np.iscomplexobj(x):
+        return False
+    mode = {"forward": 0, "backward": 1, "symmetric": 2}.get(sweep)
+    if mode is None:
+        return False
+    Ap, Aj = _csr_arrays(A)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    lib.gauss_seidel_sweeps(A.shape[0], Ap, Aj, Ax, x,
+                            np.ascontiguousarray(b, dtype=np.float64),
+                            int(iterations), mode)
     return True
 
 

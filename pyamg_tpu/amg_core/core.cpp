@@ -220,6 +220,40 @@ void gauss_seidel_indexed(I n_idx, const I* order,
     }
 }
 
+// Natural-order GS sweeps with the iteration loop inside the call: one
+// library crossing per relaxation call instead of one per sweep (the
+// ctypes marshalling around gauss_seidel_indexed costs as much as a 20k-row
+// sweep itself).  mode: 0=forward, 1=backward, 2=symmetric.
+void gauss_seidel_sweeps(I n, const I* Ap, const I* Aj, const double* Ax,
+                         double* x, const double* b, I iterations, I mode) {
+    auto fwd = [&]() {
+        for (I i = 0; i < n; i++) {
+            double diag = 0.0, rsum = 0.0;
+            for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+                I j = Aj[jj];
+                if (j == i) diag = Ax[jj];
+                else rsum += Ax[jj] * x[j];
+            }
+            if (diag != 0.0) x[i] = (b[i] - rsum) / diag;
+        }
+    };
+    auto bwd = [&]() {
+        for (I i = n - 1; i >= 0; i--) {
+            double diag = 0.0, rsum = 0.0;
+            for (I jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+                I j = Aj[jj];
+                if (j == i) diag = Ax[jj];
+                else rsum += Ax[jj] * x[j];
+            }
+            if (diag != 0.0) x[i] = (b[i] - rsum) / diag;
+        }
+    };
+    for (I it = 0; it < iterations; it++) {
+        if (mode == 0 || mode == 2) fwd();
+        if (mode == 1 || mode == 2) bwd();
+    }
+}
+
 // NE Gauss-Seidel (Kaczmarz) row projections, forward order
 void gauss_seidel_kaczmarz(I n, const I* Ap, const I* Aj, const double* Ax,
                            double* x, const double* b, double omega) {

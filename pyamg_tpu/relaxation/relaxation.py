@@ -87,23 +87,13 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
     A, x_v, b_v = make_system(A, x, b)
     A = A.tocsr()
 
+    if sweep not in ("forward", "backward", "symmetric"):
+        raise ValueError(f"valid sweep directions: forward/"
+                         f"backward/symmetric, got {sweep!r}")
     if A.dtype == np.float64 and x_v.dtype == np.float64:
-        from ..amg_core import gauss_seidel_indexed_native
+        from ..amg_core import gauss_seidel_sweeps_native
 
-        order = np.arange(A.shape[0], dtype=np.int64)
-        done = True
-        for _ in range(iterations):
-            if sweep in ("forward", "symmetric"):
-                done &= gauss_seidel_indexed_native(A, x_v, b_v, order)
-            if sweep in ("backward", "symmetric"):
-                done &= gauss_seidel_indexed_native(A, x_v, b_v,
-                                                    order[::-1])
-            if sweep not in ("forward", "backward", "symmetric"):
-                raise ValueError(f"valid sweep directions: forward/"
-                                 f"backward/symmetric, got {sweep!r}")
-            if not done:
-                break
-        if done:
+        if gauss_seidel_sweeps_native(A, x_v, b_v, iterations, sweep):
             np.asarray(x).reshape(-1)[:] = x_v
             return x
 
