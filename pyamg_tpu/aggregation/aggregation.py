@@ -244,14 +244,15 @@ def _finalize_device_operators_impl(levels, op_dtype=None):
 
     npdt = None if op_dtype is None else np_.dtype(str(jnp.dtype(op_dtype)))
 
-    def _banded_device_op(A_csr, q):
+    def _banded_device_op(A_csr, q, A_bsr=None):
         """Structured level with q dofs/node: block-banded → SparseBDIA
         (shifted batched block products, no gathers); None when the block
         pattern is not banded enough or the dense bands would blow the
         memory budget (same fill-ratio rule as the scalar DIA chooser)."""
         from ..sparse.device_op import DIA_MEM_BUDGET, DIA_MEM_FLOOR
 
-        A_bsr = A_csr.tobsr(blocksize=(q, q))
+        if A_bsr is None or A_bsr.blocksize != (q, q):
+            A_bsr = A_csr.tobsr(blocksize=(q, q))
         nb = A_bsr.shape[0] // q
         brows = np_.repeat(np_.arange(nb), np_.diff(A_bsr.indptr))
         n_off = np_.unique(A_bsr.indices - brows).size
@@ -270,7 +271,8 @@ def _finalize_device_operators_impl(levels, op_dtype=None):
         q_lvl = max(getattr(lvl, "blocksize", 1), 1)
         lvl.A = None
         if q_lvl > 1 and getattr(lvl, "grid", None) is not None:
-            lvl.A = _banded_device_op(lvl.A_csr, q_lvl)
+            lvl.A = _banded_device_op(lvl.A_csr, q_lvl,
+                                      A_bsr=getattr(lvl, "A_bsr", None))
         if lvl.A is None:
             lvl.A = device_operator(lvl.A_csr, dtype=npdt)
         if not hasattr(lvl, "P_csr"):
@@ -661,9 +663,17 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
     new.symmetry = symmetry
     if symmetry == "nonsymmetric":
         new.BH = BH_coarse
-    # coarse-grid BSR twin when blocked
+    # coarse-grid BSR twin when blocked; the BSR Galerkin product is reused
+    # directly when its blocksize already matches (no CSR→BSR reconversion)
     if new.blocksize > 1 and A_coarse.shape[0] % new.blocksize == 0:
-        new.A_bsr = A_coarse.tobsr(blocksize=(new.blocksize, new.blocksize))
+        if (A_coarse_bsr is not None and not coarse_filter
+                and A_coarse_bsr.blocksize == (new.blocksize,
+                                               new.blocksize)):
+            A_coarse_bsr.eliminate_zeros()
+            new.A_bsr = A_coarse_bsr
+        else:
+            new.A_bsr = A_coarse.tobsr(blocksize=(new.blocksize,
+                                                  new.blocksize))
     else:
         new.A_bsr = None
     levels.append(new)

@@ -102,14 +102,19 @@ def get_diagonal(A, norm_eq=False, inv=False):
 
 def get_block_diag(A, blocksize, inv_flag=True):
     """(n/bs, bs, bs) array of diagonal blocks of A, optionally inverted
-    (batched pinv).  Reference util/utils.py:591 → amg_core pinv_array."""
-    A = to_csr(A)
+    (batched pinv).  Reference util/utils.py:591 → amg_core pinv_array.
+
+    A BSR input with the requested blocksize is used directly (callers
+    holding a cached block form skip the CSR→BSR reconversion)."""
     n = A.shape[0]
     bs = int(blocksize)
     if n % bs:
         raise ValueError("matrix dimension must be divisible by blocksize")
     nb = n // bs
-    B = sp.bsr_matrix(A, blocksize=(bs, bs))
+    if sp.issparse(A) and A.format == "bsr" and A.blocksize == (bs, bs):
+        B = A
+    else:
+        B = sp.bsr_matrix(to_csr(A), blocksize=(bs, bs))
     blocks = np.zeros((nb, bs, bs), dtype=A.dtype)
     indptr, indices, data = B.indptr, B.indices, B.data
     brows = np.repeat(np.arange(nb), np.diff(indptr))
