@@ -228,9 +228,11 @@ def gauss_seidel_indexed_native(A, x, b, order):
 
 def gauss_seidel_sweeps_native(A, x, b, iterations, sweep):
     """All-iterations natural-order GS in one library call (mode:
-    forward/backward/symmetric)."""
+    forward/backward/symmetric).  Returns False (caller falls back to
+    the numpy path) for any unsupported input."""
     lib = _load()
-    if not lib or A.dtype != np.float64 or np.iscomplexobj(x):
+    if (not lib or A.dtype != np.float64 or x.dtype != np.float64
+            or not x.flags.c_contiguous or not x.flags.writeable):
         return False
     mode = {"forward": 0, "backward": 1, "symmetric": 2}.get(sweep)
     if mode is None:

@@ -110,9 +110,10 @@ def linear_elasticity(grid, spacing=None, E=1e5, nu=0.3, format=None):
     indices = cols.ravel()[mask]
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(valid.sum(axis=1), out=indptr[1:])
-    data = np.broadcast_to(S[None], (n, 9, d, d)).reshape(n * 9, d, d)[mask]
-    A = sp.bsr_matrix((np.ascontiguousarray(data), indices, indptr),
-                      shape=(d * n, d * n))
+    # gather only the kept blocks by stencil-slot id (a reshape of the
+    # broadcast view would materialize all 9n blocks first)
+    slot = np.tile(np.arange(9), n)[mask]
+    A = sp.bsr_matrix((S[slot], indices, indptr), shape=(d * n, d * n))
 
     # rigid body modes at the interior node coordinates (lattice centered
     # at the origin: interior node (i, j) sits at ((i+1) - (nx+1)/2) * h)

@@ -74,7 +74,10 @@ def stencil_grid(S, grid, dtype=None, format=None):
     indptr = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(counts, out=indptr[1:])
     nnz = int(indptr[N])
-    idx_dt = np.int32 if N < np.iinfo(np.int32).max else np.int64
+    # indptr holds values up to nnz, so the index dtype must be keyed on
+    # nnz, not N (a 27-point 450^3 stencil has nnz > 2^31 with N < 2^31)
+    idx_dt = (np.int32 if max(N, nnz) < np.iinfo(np.int32).max
+              else np.int64)
     indices = np.empty(nnz, dtype=idx_dt)
     data = np.empty(nnz, dtype=S.dtype)
     base = indptr[:-1]

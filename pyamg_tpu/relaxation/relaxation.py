@@ -104,9 +104,6 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
         if sweep in ("backward", "symmetric"):
             r = b_v - A @ x_v
             x_v += _triu_solve(A, r)
-        if sweep not in ("forward", "backward", "symmetric"):
-            raise ValueError(f"valid sweep directions: forward/backward/"
-                             f"symmetric, got {sweep!r}")
     np.asarray(x).reshape(-1)[:] = x_v
     return x
 

@@ -119,7 +119,9 @@ def get_block_diag(A, blocksize, inv_flag=True):
     indptr, indices, data = B.indptr, B.indices, B.data
     brows = np.repeat(np.arange(nb), np.diff(indptr))
     isdiag = indices == brows
-    blocks[brows[isdiag]] = data[isdiag]
+    # add.at: a non-canonical BSR may store the same block twice (scipy
+    # sums duplicates on conversion; plain assignment would be last-wins)
+    np.add.at(blocks, brows[isdiag], data[isdiag])
     if inv_flag:
         from .linalg import pinv_array
 
