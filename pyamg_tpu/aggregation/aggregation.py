@@ -521,6 +521,47 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     levels.append(new)
 
 
+def galerkin_product(lvl, A, bs, K_c, symmetry):
+    """Coarse operator R A P for the level's just-built transfers.
+
+    Blocked levels run it in BSR (dense (bs, K_c) block products — ~2x
+    over scalar CSR merges for elasticity-class operators); returns
+    ``(A_coarse_csr, A_coarse_bsr_or_None)``.  Shared by the SA and
+    rootnode builders (reference aggregation.py:428 / rootnode.py:456)."""
+    A_coarse_bsr = None
+    if (bs > 1 and getattr(lvl, "A_bsr", None) is not None and K_c > 1
+            and lvl.P_csr.shape[0] % bs == 0
+            and lvl.P_csr.shape[1] % K_c == 0):
+        try:
+            Pb = lvl.P_csr.tobsr(blocksize=(bs, K_c))
+            if symmetry == "hermitian":
+                Rb = Pb.conjugate().transpose()
+            elif symmetry == "symmetric":
+                Rb = Pb.transpose()
+            else:
+                Rb = lvl.R_csr.tobsr(blocksize=(K_c, bs))
+            A_coarse_bsr = Rb @ lvl.A_bsr @ Pb
+            A_coarse = A_coarse_bsr.tocsr()
+        except ValueError:
+            A_coarse_bsr = None
+    if A_coarse_bsr is None:
+        A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
+    A_coarse.eliminate_zeros()
+    return A_coarse, A_coarse_bsr
+
+
+def coarse_bsr_twin(A_coarse, A_coarse_bsr, blocksize, filtered=False):
+    """The coarse level's cached BSR twin: reuse the BSR Galerkin output
+    when its blocksize matches and the CSR wasn't post-filtered."""
+    if blocksize <= 1 or A_coarse.shape[0] % blocksize:
+        return None
+    if (A_coarse_bsr is not None and not filtered
+            and A_coarse_bsr.blocksize == (blocksize, blocksize)):
+        A_coarse_bsr.eliminate_zeros()
+        return A_coarse_bsr
+    return A_coarse.tobsr(blocksize=(blocksize, blocksize))
+
+
 def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
                          improve_candidates, diagonal_dominance, keep,
                          symmetry, coarse_filter=None):
@@ -625,28 +666,8 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
                 lvl.root_dofs = (roots[:, None] * q
                                  + np.arange(K)[None, :]).ravel()
 
-    # Galerkin product: blocked levels run it in BSR (dense (q, K) block
-    # products — ~2x over scalar CSR merges for elasticity-class operators)
-    K_c = B_coarse.shape[1]
-    A_coarse_bsr = None
-    if (bs > 1 and lvl.A_bsr is not None and K_c > 1
-            and lvl.P_csr.shape[0] % bs == 0
-            and lvl.P_csr.shape[1] % K_c == 0):
-        try:
-            Pb = lvl.P_csr.tobsr(blocksize=(bs, K_c))
-            if symmetry == "hermitian":
-                Rb = Pb.conjugate().transpose()
-            elif symmetry == "symmetric":
-                Rb = Pb.transpose()
-            else:
-                Rb = lvl.R_csr.tobsr(blocksize=(K_c, bs))
-            A_coarse_bsr = Rb @ lvl.A_bsr @ Pb
-            A_coarse = A_coarse_bsr.tocsr()
-        except ValueError:
-            A_coarse_bsr = None
-    if A_coarse_bsr is None:
-        A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
-    A_coarse.eliminate_zeros()
+    A_coarse, A_coarse_bsr = galerkin_product(lvl, A, bs,
+                                              B_coarse.shape[1], symmetry)
     if coarse_filter:
         # drop weak Galerkin fill-in with diagonal lumping (row sums kept;
         # ≙ filter_matrix_rows util/utils.py:2009) — bounds coarse-operator
@@ -663,17 +684,6 @@ def _extend_sa_hierarchy(levels, strength, aggregate, smooth,
     new.symmetry = symmetry
     if symmetry == "nonsymmetric":
         new.BH = BH_coarse
-    # coarse-grid BSR twin when blocked; the BSR Galerkin product is reused
-    # directly when its blocksize already matches (no CSR→BSR reconversion)
-    if new.blocksize > 1 and A_coarse.shape[0] % new.blocksize == 0:
-        if (A_coarse_bsr is not None and not coarse_filter
-                and A_coarse_bsr.blocksize == (new.blocksize,
-                                               new.blocksize)):
-            A_coarse_bsr.eliminate_zeros()
-            new.A_bsr = A_coarse_bsr
-        else:
-            new.A_bsr = A_coarse.tobsr(blocksize=(new.blocksize,
-                                                  new.blocksize))
-    else:
-        new.A_bsr = None
+    new.A_bsr = coarse_bsr_twin(A_coarse, A_coarse_bsr, new.blocksize,
+                                filtered=bool(coarse_filter))
     levels.append(new)

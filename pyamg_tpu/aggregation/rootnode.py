@@ -198,8 +198,10 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
     if (root_dofs >= 0).all():
         lvl.root_dofs = root_dofs
 
-    A_coarse = (lvl.R_csr @ A @ lvl.P_csr).tocsr()
-    A_coarse.eliminate_zeros()
+    from .aggregation import galerkin_product, coarse_bsr_twin
+
+    A_coarse, A_coarse_bsr = galerkin_product(lvl, A, bs,
+                                              B_coarse.shape[1], symmetry)
 
     new = Level()
     new.A_csr = A_coarse
@@ -208,8 +210,5 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
     new.symmetry = symmetry
     if symmetry == "nonsymmetric":
         new.BH = np.asarray(Cpt_params["P_I"].T @ lvl.BH)
-    if new.blocksize > 1 and A_coarse.shape[0] % new.blocksize == 0:
-        new.A_bsr = A_coarse.tobsr(blocksize=(new.blocksize, new.blocksize))
-    else:
-        new.A_bsr = None
+    new.A_bsr = coarse_bsr_twin(A_coarse, A_coarse_bsr, new.blocksize)
     levels.append(new)
