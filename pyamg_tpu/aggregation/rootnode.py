@@ -147,7 +147,8 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
     # rootnode.py:400); the full candidate set is injected into coarse B.
     T, dummy_Bc = fit_candidates(AggOp, B[:, :max(bs, 1)])
     Cpt_params = get_Cpt_params(A, Cnodes, AggOp, T)
-    T = scale_T(T, Cpt_params["P_I"], Cpt_params["I_F"])
+    T = scale_T(T, Cpt_params["P_I"], Cpt_params["I_F"],
+                blocksize=max(bs, 1))
     # coarse candidates by injection at the root nodes
     B_coarse = np.asarray(Cpt_params["P_I"].T @ B)
 
@@ -169,7 +170,8 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
         AH = A.conjugate().T.tocsr()
         CH = _strength(AH, lvl.BH, strength[i])
         TH, _ = fit_candidates(AggOp, lvl.BH)
-        TH = scale_T(TH, Cpt_params["P_I"], Cpt_params["I_F"])
+        TH = scale_T(TH, Cpt_params["P_I"], Cpt_params["I_F"],
+                     blocksize=max(bs, 1))
         BH_coarse = np.asarray(Cpt_params["P_I"].T @ lvl.BH)
         if fn == "energy":
             RH = energy_prolongation_smoother(AH, TH, CH, BH_coarse, lvl.BH,
@@ -206,7 +208,13 @@ def _extend_rootnode(levels, strength, aggregate, smooth, improve_candidates,
     new = Level()
     new.A_csr = A_coarse
     new.B = B_coarse
-    new.blocksize = B.shape[1] if B.shape[1] > 1 else 1
+    # rootnode keeps the node blocksize CONSTANT across levels: T fits only
+    # the first `bs` candidates (square root-node blocks) and the coarse
+    # dofs are injected fine root dofs, so each coarse node carries bs dofs
+    # regardless of how many candidates B columns hold (the reference's
+    # all-BSR pipeline inherits T.blocksize=(bs,bs) everywhere; SA differs —
+    # its T fits all K candidates, giving K dofs per coarse node)
+    new.blocksize = max(bs, 1)
     new.symmetry = symmetry
     if symmetry == "nonsymmetric":
         new.BH = np.asarray(Cpt_params["P_I"].T @ lvl.BH)

@@ -434,20 +434,26 @@ def compute_BtBinv(B, sparsity):
     return pinv_array(gram)
 
 
-def scale_T(T, P_I, I_F):
+def scale_T(T, P_I, I_F, blocksize=1):
     """Scale the tentative prolongator so root-node rows are exactly identity
-    (reference util/utils.py:1366): with S = inv(P_I^T T) the coarse-column
-    rescaling, T <- I_F T S + P_I."""
+    (reference util/utils.py:1366): with S = pinv(P_I^T T) the per-aggregate
+    coarse-column rescaling, T <- I_F T S + P_I.
+
+    ``blocksize``: coarse dofs per aggregate — P_I^T T is block diagonal
+    with (blocksize, blocksize) blocks, pseudo-inverted batch-wise (the
+    reference pinv_array(D.data) call; a plain inverse fails on aggregates
+    whose root-node candidate block is rank-deficient, e.g. coarse levels
+    of 2D elasticity where 3 injected RBMs live on a 3-dof root node)."""
     T = to_csr(T)
     P_I = to_csr(P_I)
     I_F = to_csr(I_F)
-    root_block = (P_I.T @ T).tocsc()           # (nc, nc), block diagonal
-    import scipy.sparse.linalg as spla
-
-    # invert the (sparse, block-diagonal, well-conditioned) root block;
-    # sparse-rhs solve keeps the block-diagonal structure
-    S = spla.spsolve(root_block, sp.eye(root_block.shape[0], format="csc"))
-    S = sp.csr_matrix(S)
+    root_block = (P_I.T @ T).tocsr()           # (nc, nc), block diagonal
+    nc = root_block.shape[0]
+    bs = int(blocksize) if nc % max(int(blocksize), 1) == 0 else 1
+    blocks = get_block_diag(root_block, bs, inv_flag=True)   # batched pinv
+    data = np.ascontiguousarray(blocks)
+    S = sp.bsr_matrix((data, np.arange(nc // bs), np.arange(nc // bs + 1)),
+                      shape=(nc, nc)).tocsr()
     return (I_F @ T @ S + P_I).tocsr()
 
 
@@ -468,17 +474,28 @@ def get_Cpt_params(A, Cnodes, AggOp, T):
     Fpts = np.flatnonzero(~mask)
 
     n_fine, n_coarse = T.shape
-    # P_I: (n_fine, n_coarse) injection; row Cpts[i] has 1 in the coarse
-    # column that T associates with that root node (first stored column of
-    # that row) — vectorized over all root dofs.
-    Tcsr = T.tocsr()
-    has_entry = np.diff(Tcsr.indptr) > 0
-    first_col = np.zeros(n_fine, dtype=np.int64)
-    first_col[has_entry] = Tcsr.indices[Tcsr.indptr[:-1][has_entry]]
-    sel = Cpts[has_entry[Cpts]]
-    P_I = sp.coo_matrix(
-        (np.ones(sel.size), (sel, first_col[sel])),
-        shape=(n_fine, n_coarse)).tocsr()
+    if Cpts.size == n_coarse:
+        # root-node ordering: coarse dof j IS fine root dof Cpts[j]
+        # (Cpts = blocksize*Cnodes + local dof pairs aggregate a's dofs
+        # with coarse columns a*blocksize..a*blocksize+bs-1 in order) —
+        # required for blocked problems, where every root dof row of T
+        # stores all `blocksize` aggregate columns and "first stored
+        # column" would alias the whole root node onto one coarse dof,
+        # making P_I^T T singular.
+        P_I = sp.coo_matrix(
+            (np.ones(n_coarse), (Cpts, np.arange(n_coarse))),
+            shape=(n_fine, n_coarse)).tocsr()
+    else:
+        # degenerate fallback (empty aggregates dropped): map each root
+        # dof to the first coarse column its T row stores
+        Tcsr = T.tocsr()
+        has_entry = np.diff(Tcsr.indptr) > 0
+        first_col = np.zeros(n_fine, dtype=np.int64)
+        first_col[has_entry] = Tcsr.indices[Tcsr.indptr[:-1][has_entry]]
+        sel = Cpts[has_entry[Cpts]]
+        P_I = sp.coo_matrix(
+            (np.ones(sel.size), (sel, first_col[sel])),
+            shape=(n_fine, n_coarse)).tocsr()
 
     def diag_mask(idx):
         d = np.zeros(n_fine)

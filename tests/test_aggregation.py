@@ -270,6 +270,24 @@ class TestRootnode:
         ml.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res)
         assert res[-1] / res[0] < 1e-5
 
+    def test_elasticity_blocked_multilevel(self):
+        # regression: blocked (BSR) rootnode used to die in scale_T — the
+        # P_I injection aliased every root-node dof onto one coarse column
+        # (singular root block), and the coarse blocksize was set to
+        # B.shape[1]=3 instead of the constant node blocksize 2, so the
+        # 3rd level's root blocks were rank-deficient even with correct
+        # injection (reference keeps T.blocksize=(bs,bs) on every level
+        # and pinv's the root blocks, rootnode.py:400-414)
+        A, B = linear_elasticity((40, 40))
+        ml = rootnode_solver(A, B=B, max_coarse=100)
+        assert len(ml.levels) >= 3
+        assert all(lvl.blocksize == 2 for lvl in ml.levels[:-1])
+        b = rng().standard_normal(A.shape[0])
+        res = []
+        ml.solve(b, tol=1e-8, maxiter=80, accel="cg", residuals=res)
+        assert conv_factor(res) < 0.45       # reference oracle: <0.3 @50^2
+        assert res[-1] / res[0] < 1e-7
+
 
 class TestAdaptive:
     def test_adaptive_sa(self):
