@@ -20,15 +20,35 @@ import jax.numpy as jnp
 
 
 def make_matvec(A):
-    """Matvec closure from a SparseELL / LinearOperator-like / callable."""
+    """Matvec closure from a SparseELL / LinearOperator-like / callable /
+    scipy-sparse / dense array (reference krylov accepts any array-like
+    operator).  A scipy matrix is converted to a device operator — the
+    cores are XLA while_loops, so the matvec must be traceable."""
     if callable(A) and not hasattr(A, "matvec"):
         return A
-    return A.matvec
+    mv = getattr(A, "matvec", None)
+    if mv is not None:
+        return mv
+    import scipy.sparse as sp
+    if sp.issparse(A):
+        from ..sparse import device_operator
+
+        return device_operator(A.tocsr()).matvec
+    Ad = jnp.asarray(np.asarray(A))
+    return lambda v: Ad @ v
 
 
 def make_rmatvec(A):
     if hasattr(A, "rmatvec"):
         return A.rmatvec
+    import scipy.sparse as sp
+    if sp.issparse(A):
+        from ..sparse import device_operator
+
+        return device_operator(A.conjugate().T.tocsr()).matvec
+    if isinstance(A, np.ndarray):
+        AH = jnp.asarray(A.conj().T)
+        return lambda v: AH @ v
     raise ValueError("operator does not support rmatvec (A^H v)")
 
 
@@ -37,7 +57,9 @@ def identity_M(M):
         return lambda r: r
     if callable(M) and not hasattr(M, "matvec"):
         return M
-    mv = M.matvec
+    mv = getattr(M, "matvec", None)
+    if mv is None:                      # scipy sparse / dense array
+        mv = make_matvec(M)
 
     def wrapped(r):
         out = mv(r)

@@ -1033,6 +1033,31 @@ class MultilevelSolver:
                 kfn = accel
             else:
                 kfn = getattr(krylov, accel)
+            if isinstance(accel, str) and accel in ("cgnr", "cgne") \
+                    and not hasattr(A, "rmatvec"):
+                # normal-equation methods need A^H v: hermitian/symmetric-
+                # real hierarchies reuse the device matvec; nonsymmetric
+                # ones fall back to a host conj-transpose product (this
+                # path is host-paced per iteration anyway)
+                sym = getattr(self.levels[0], "symmetry", "hermitian")
+                if sym == "hermitian" or (sym == "symmetric"
+                                          and not np.iscomplexobj(
+                                              np.zeros(0, dtype=dtype))):
+                    rmv = A.matvec
+                else:
+                    AH = self.levels[0].A_csr.conjugate().T.tocsr()
+                    rmv = (lambda v, AH=AH:
+                           jnp.asarray(AH @ np.asarray(v), dtype=dtype))
+
+                class _WithRmatvec:
+                    def __init__(self, op, rmatvec):
+                        self._op = op
+                        self.matvec = op.matvec
+                        self.rmatvec = rmatvec
+                        self.shape = op.shape
+                        self.dtype = op.dtype
+
+                A = _WithRmatvec(A, rmv)
             cyc = self.cycle_fn(cycle)
 
             def M(r):

@@ -123,3 +123,44 @@ class TestComplex:
         x, info = krylov.cg(E, b, tol=1e-10, maxiter=1000)
         assert np.linalg.norm(b - A @ np.asarray(x)) < \
             1e-7 * np.linalg.norm(b)
+
+
+class TestMatrixInputs:
+    """Reference parity: pyamg.krylov methods accept scipy-sparse and dense
+    operators directly (not only device ops / LinearOperators)."""
+
+    def test_all_methods_scipy_csr(self):
+        from pyamg_tpu.gallery import poisson
+
+        A = poisson((16, 16), format="csr")
+        b = rng().standard_normal(A.shape[0])
+        for name in ("cg", "bicgstab", "gmres", "fgmres", "cgnr", "cgne",
+                     "cr", "steepest_descent", "minimal_residual"):
+            x, info = getattr(krylov, name)(A, b, tol=1e-8, maxiter=3000)
+            rr = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+            assert np.isfinite(rr) and rr < 1e-4, (name, rr)
+
+    def test_dense_input(self):
+        from pyamg_tpu.gallery import poisson
+
+        A = poisson((10, 10), format="csr").toarray()
+        b = rng().standard_normal(A.shape[0])
+        x, info = krylov.cg(A, b, tol=1e-8, maxiter=500)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-5 * np.linalg.norm(b)
+
+    def test_cgnr_cgne_accel(self):
+        # ml.solve(accel="cgnr"/"cgne") needs rmatvec on the device
+        # operator: hermitian hierarchies reuse the device matvec
+        import pyamg_tpu
+        from pyamg_tpu.gallery import poisson
+
+        A = poisson((16, 16), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(A)
+        b = rng().standard_normal(A.shape[0])
+        for acc in ("cgnr", "cgne"):
+            res = []
+            x = ml.solve(b, tol=1e-6, accel=acc, maxiter=400,
+                         residuals=res)
+            rr = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+            assert np.isfinite(rr) and rr < 1e-4, (acc, rr)
