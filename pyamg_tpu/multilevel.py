@@ -961,20 +961,33 @@ class MultilevelSolver:
 
     # -- public solve API -------------------------------------------------
     def aspreconditioner(self, cycle="V"):
-        """Return a scipy LinearOperator applying one cycle from x=0
-        (reference multilevel.py:274-314)."""
+        """Return a LinearOperator applying one cycle from x=0
+        (reference multilevel.py:274-314).
+
+        The operator is dual-natured: scipy solvers get the usual
+        numpy-in/numpy-out matvec, while a traced jax array (e.g. inside
+        one of this package's compiled Krylov cores, where scipy's
+        ``LinearOperator.matvec`` would call ``np.asanyarray`` on the
+        tracer and fail) flows through the cycle function symbolically."""
         from scipy.sparse.linalg import LinearOperator
 
         fn = self.cycle_fn(cycle)
         shape = self.levels[0].A.shape
-        dtype = np.dtype(str(self.levels[0].A.dtype))
+        op_dtype = self.levels[0].A.dtype
+        dtype = np.dtype(str(op_dtype))
 
-        def matvec(b):
-            b_d = jnp.asarray(np.ravel(b), dtype=self.levels[0].A.dtype)
-            x = fn(jnp.zeros_like(b_d), b_d)
-            return np.asarray(x)
+        class _CyclePreconditioner(LinearOperator):
+            def _matvec(self, b):
+                b_d = jnp.asarray(np.ravel(np.asarray(b)), dtype=op_dtype)
+                return np.asarray(fn(jnp.zeros_like(b_d), b_d))
 
-        return LinearOperator(shape, matvec, dtype=dtype)
+            def matvec(self, b):
+                if isinstance(b, jax.Array):      # tracers included
+                    b_d = b.reshape(-1).astype(op_dtype)
+                    return fn(jnp.zeros_like(b_d), b_d)
+                return super().matvec(b)
+
+        return _CyclePreconditioner(dtype=dtype, shape=shape)
 
     def psolve(self, b):
         return np.asarray(self.aspreconditioner().matvec(b))

@@ -362,3 +362,25 @@ class TestCompatibleRelaxation:
         res = []
         ml.solve(b, tol=1e-8, maxiter=100, accel="cg", residuals=res)
         assert res[-1] / res[0] < 1e-8
+
+
+class TestAsPreconditionerInterop:
+    def test_scipy_and_native_krylov(self):
+        # the returned operator must serve BOTH scipy's numpy-matvec
+        # contract and this package's traced Krylov cores (scipy's
+        # LinearOperator.matvec numpy-converts tracers and would fail)
+        import scipy.sparse.linalg as spla
+        import pyamg_tpu
+        from pyamg_tpu import krylov
+        from pyamg_tpu.gallery import poisson
+        from pyamg_tpu.sparse import device_operator
+
+        A = poisson((16, 16), format="csr")
+        b = np.random.default_rng(3).standard_normal(A.shape[0])
+        ml = pyamg_tpu.smoothed_aggregation_solver(A)
+        M = ml.aspreconditioner(cycle="V")
+        x, _ = krylov.cg(device_operator(A), b, M=M, tol=1e-8, maxiter=100)
+        assert np.linalg.norm(b - A @ np.asarray(x)) < \
+            1e-5 * np.linalg.norm(b)
+        x2, _ = spla.cg(A, b, M=M, rtol=1e-8, maxiter=100)
+        assert np.linalg.norm(b - A @ x2) < 1e-5 * np.linalg.norm(b)
