@@ -140,6 +140,9 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
 
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
+    elif axis_name not in mesh.axis_names and len(mesh.axis_names) == 1:
+        # adopt the caller's single mesh axis whatever they named it
+        axis_name = mesh.axis_names[0]
     nd = mesh.devices.size
     dt = np.dtype(dtype or np.float32)
 

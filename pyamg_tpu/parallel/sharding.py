@@ -163,6 +163,9 @@ class ShardedSolver:
 
     def __init__(self, ml: MultilevelSolver, mesh, axis_name: str = "rows"):
         self.mesh = mesh
+        if axis_name not in mesh.axis_names and len(mesh.axis_names) == 1:
+            # adopt the caller's single mesh axis whatever they named it
+            axis_name = mesh.axis_names[0]
         self.axis = axis_name
         nd = mesh.devices.size
         self.n_orig = ml.levels[0].A_csr.shape[0]
