@@ -341,6 +341,38 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
     Bs = [getattr(l, "B", None) for l in levels]
     Cs = [getattr(l, "C", None) for l in levels[:-1]]
     Aggs = [getattr(l, "AggOp", None) for l in levels[:-1]]
+    metas = [getattr(l, "struct_meta", None) for l in levels[:-1]]
+
+    def _resmooth_T(T_new, i, Bc_coarse):
+        """Smooth a refit tentative prolongator the way the FINAL build
+        will.  Structured levels reuse the structured smoother recipe
+        (``jacobi_weak`` keeps strong-axis width 1, so the enlarged-space
+        RAP chain stays banded-narrow — with the full generic Jacobi S the
+        scipy SpGEMMs here dominate the whole αSA setup) and polish the
+        candidate against the same coarse operators it will live in.
+        Generic levels keep the reference's ``_smooth_P`` path."""
+        from .aggregation import structured_smoother_S
+
+        meta = metas[i]
+        if meta is not None:
+            A_i = As[i]
+            if A_i is levels[i].A_csr:
+                S, degree = meta["S_csr"], meta["degree"]
+            else:
+                # the descent replaced this level's operator with its
+                # enlarged-candidate-space version: rebuild S on it (the
+                # dofs-per-node count q comes off the operator itself)
+                q_i = A_i.shape[0] // int(np.prod(meta["grid"]))
+                S, degree = structured_smoother_S(
+                    A_i, meta["grid"], meta["block"], q_i,
+                    meta["sfn"], meta["skw"], symmetry)
+            P = to_csr(T_new)
+            for _ in range(degree):
+                P = (S @ P).tocsr()
+            return P
+        return to_csr(_smooth_P(to_csr(T_new), As[i], Cs[i], Bc_coarse,
+                                smooth[i],
+                                sym_hint=symmetry != "nonsymmetric"))
 
     xs = [x]
     for i in range(nl - 2):
@@ -349,9 +381,7 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
         # refit level i's tentative prolongator with the candidate appended
         B_aug = np.column_stack([Bs[i], xs[-1]])
         T_new, Bc = fit_candidates(Aggs[i], B_aug)
-        P_new = _smooth_P(to_csr(T_new), As[i], Cs[i], Bc, smooth[i],
-                          sym_hint=symmetry != "nonsymmetric")
-        P_new = to_csr(P_new)
+        P_new = _resmooth_T(T_new, i, Bc)
         As[i + 1] = (P_new.conjugate().T @ As[i] @ P_new).tocsr()
         Ps[i] = P_new
         x_c = np.ravel(np.asarray(Bc)[:, -1]).copy()
@@ -362,9 +392,7 @@ def _general_setup_stage(ml, A, symmetry, candidate_iters, prepostsmoother,
         if i + 1 < nl - 1 and Ts[i + 1] is not None:
             k_old = Bs[i + 1].shape[1]
             T_b = _bridge_rows(Ts[i + 1], k_old)
-            P_b = to_csr(_smooth_P(T_b, As[i + 1], Cs[i + 1],
-                                   Bs[i + 2], smooth[i + 1],
-                                   sym_hint=symmetry != "nonsymmetric"))
+            P_b = _resmooth_T(T_b, i + 1, Bs[i + 2])
             Ps[i + 1] = P_b
             Ts[i + 1] = T_b
             As[i + 2] = (P_b.conjugate().T @ As[i + 1] @ P_b).tocsr()

@@ -362,6 +362,72 @@ def _add_identity_inplace(S_data, A, n):
     return (sp.eye(n, format="csr") + S).tocsr()
 
 
+def structured_smoother_S(A, grid, block, q_lvl, sfn, skw, symmetry):
+    """Prolongation-smoother matrix for the structured path: ``P = S^degree
+    @ T``.  Returns ``(S_csr_or_None, degree)``.
+
+    Shared by :func:`_extend_structured` and the adaptive general setup
+    stage (which must rebuild enlarged-candidate-space levels with the SAME
+    smoother the final structured build will use — re-smoothing with the
+    full generic Jacobi S there both fattens the coarse stencils, making
+    the scipy RAP chain the dominant αSA setup cost, and polishes the
+    candidate against a hierarchy that differs from the one it ends up in).
+    """
+    from ..util.utils import get_diagonal
+    from ..util.linalg import approximate_spectral_radius
+    from ..relaxation.smoothing import rho_D_inv_A
+
+    n = A.shape[0]
+    degree = int(skw.get("degree", 1)) if sfn else 0
+    sym_hint = (symmetry in ("hermitian", "symmetric")
+                and not np.iscomplexobj(A.data))
+    S_csr = None
+    if sfn == "jacobi":
+        omega = float(skw.get("omega", 4.0 / 3.0))
+        c = omega / rho_D_inv_A(A, symmetric=sym_hint)
+        Dinv = get_diagonal(A, inv=True)
+        # S = I - c D^{-1} A built in place on A's sparsity (A from a PDE
+        # stencil holds its full diagonal), avoiding the eye-minus SpADD
+        S_data = (-c) * np.repeat(Dinv, np.diff(A.indptr)) * A.data
+        S_csr = _add_identity_inplace(S_data, A, n)
+    elif sfn == "richardson":
+        omega = float(skw.get("omega", 4.0 / 3.0))
+        c = omega / approximate_spectral_radius(
+            A, symmetric=sym_hint or None)
+        S_data = (-c) * A.data.copy()
+        S_csr = _add_identity_inplace(S_data, A, n)
+    elif sfn == "jacobi_weak":
+        # Jacobi prolongation smoothing restricted to the COARSENED axes:
+        # stencil couplings with a nonzero delta along an uncoarsened
+        # (strong) axis are dropped before building S = I - c D^{-1} A_w,
+        # so S's support lies along the weak axes (plus intra-node dofs)
+        # and S P keeps strong-axis width 1.
+        omega = float(skw.get("omega", 4.0 / 3.0))
+        strides_w = [int(np.prod(grid[kk + 1:])) * q_lvl
+                     for kk in range(len(grid))]
+        offs = (A.indices.astype(np.int64)
+                - np.repeat(np.arange(n, dtype=np.int64),
+                            np.diff(A.indptr)))
+        rem = offs
+        keep_w = np.ones(A.nnz, dtype=bool)
+        for k in np.argsort(strides_w)[::-1]:
+            s = strides_w[k]
+            dk = np.rint(rem / s).astype(np.int64)
+            rem = rem - dk * s
+            if block[k] == 1:
+                keep_w &= dk == 0
+        # fresh index arrays: eliminate_zeros compacts them IN PLACE before
+        # pruning, which would corrupt A's shared arrays
+        Aw = sp.csr_matrix((np.where(keep_w, A.data, 0), A.indices.copy(),
+                            A.indptr.copy()), shape=A.shape)
+        Aw.eliminate_zeros()
+        c = omega / rho_D_inv_A(Aw, symmetric=sym_hint)
+        Dinv = get_diagonal(A, inv=True)
+        S_data = (-c) * np.repeat(Dinv, np.diff(Aw.indptr)) * Aw.data
+        S_csr = _add_identity_inplace(S_data, Aw, n)
+    return S_csr, degree
+
+
 def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
                        symmetry):
     """One structured coarsening step: grid-block aggregation + (optional)
@@ -371,9 +437,6 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
     Supports K near-nullspace candidates: coarse levels then carry K dofs
     per grid node (node-major), the tentative transfers become K-channel
     grid ops, and the coarse operators are block-banded (SparseBDIA)."""
-    from ..util.utils import get_diagonal
-    from ..util.linalg import approximate_spectral_radius
-    from ..relaxation.smoothing import rho_D_inv_A
     from .tentative import fit_candidates
 
     block = akw.get("block")
@@ -439,53 +502,8 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
         rows_w = np.repeat(np.arange(n), np.diff(T.indptr))
         wmap[rows_w, T.indices % K] = T.data
 
-    degree = int(skw.get("degree", 1)) if sfn else 0
-    sym_hint = (symmetry in ("hermitian", "symmetric")
-                and not np.iscomplexobj(A.data))
-    S_csr = None
-    if sfn == "jacobi":
-        omega = float(skw.get("omega", 4.0 / 3.0))
-        c = omega / rho_D_inv_A(A, symmetric=sym_hint)
-        Dinv = get_diagonal(A, inv=True)
-        # S = I - c D^{-1} A built in place on A's sparsity (A from a PDE
-        # stencil holds its full diagonal), avoiding the eye-minus SpADD
-        S_data = (-c) * np.repeat(Dinv, np.diff(A.indptr)) * A.data
-        S_csr = _add_identity_inplace(S_data, A, n)
-    elif sfn == "richardson":
-        omega = float(skw.get("omega", 4.0 / 3.0))
-        c = omega / approximate_spectral_radius(
-            A, symmetric=sym_hint or None)
-        S_data = (-c) * A.data.copy()
-        S_csr = _add_identity_inplace(S_data, A, n)
-    elif sfn == "jacobi_weak":
-        # Jacobi prolongation smoothing restricted to the COARSENED axes:
-        # stencil couplings with a nonzero delta along an uncoarsened
-        # (strong) axis are dropped before building S = I - c D^{-1} A_w,
-        # so S's support lies along the weak axes (plus intra-node dofs)
-        # and S P keeps strong-axis width 1.
-        omega = float(skw.get("omega", 4.0 / 3.0))
-        strides_w = [int(np.prod(grid[kk + 1:])) * q_lvl
-                     for kk in range(len(grid))]
-        offs = (A.indices.astype(np.int64)
-                - np.repeat(np.arange(n, dtype=np.int64),
-                            np.diff(A.indptr)))
-        rem = offs
-        keep_w = np.ones(A.nnz, dtype=bool)
-        for k in np.argsort(strides_w)[::-1]:
-            s = strides_w[k]
-            dk = np.rint(rem / s).astype(np.int64)
-            rem = rem - dk * s
-            if block[k] == 1:
-                keep_w &= dk == 0
-        # fresh index arrays: eliminate_zeros compacts them IN PLACE before
-        # pruning, which would corrupt A's shared arrays
-        Aw = sp.csr_matrix((np.where(keep_w, A.data, 0), A.indices.copy(),
-                            A.indptr.copy()), shape=A.shape)
-        Aw.eliminate_zeros()
-        c = omega / rho_D_inv_A(Aw, symmetric=sym_hint)
-        Dinv = get_diagonal(A, inv=True)
-        S_data = (-c) * np.repeat(Dinv, np.diff(Aw.indptr)) * Aw.data
-        S_csr = _add_identity_inplace(S_data, Aw, n)
+    S_csr, degree = structured_smoother_S(A, grid, block, q_lvl, sfn, skw,
+                                          symmetry)
 
     P = T
     for _ in range(degree):
@@ -495,6 +513,7 @@ def _extend_structured(levels, lvl, A, B, grid, sfn, skw, akw, keep,
 
     lvl.struct_meta = {"grid": tuple(grid), "block": block,
                        "wmap": wmap, "S_csr": S_csr, "degree": degree,
+                       "sfn": sfn, "skw": dict(skw) if skw else {},
                        "K": K, "q": max(getattr(lvl, "blocksize", 1), 1)}
     lvl.P_csr = P
     lvl.R_csr = R
