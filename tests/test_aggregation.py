@@ -744,7 +744,11 @@ class TestAdaptiveRegressions:
         """K=2 candidates must not DEGRADE the semicoarsened hierarchy:
         weak-axis aggregates stay 3 grid nodes wide for every K (width 3K
         coarsened the weak axis 3K-x per level and lost mesh independence —
-        24+ iterations at 512^2; measured 6 here, 13 at 512^2 with w=3)."""
+        24+ iterations at 512^2), and the general setup stage rebuilds
+        enlarged levels with the structured (weak-axis) smoother so the
+        candidate is polished in the hierarchy it ends up in (measured 4
+        here, 8 at 512^2, 11 at 1024^2; was 6/13/19 with the generic
+        full-Jacobi re-smooth)."""
         from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
 
         sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
@@ -755,7 +759,7 @@ class TestAdaptiveRegressions:
         b = np.random.default_rng(0).standard_normal(A.shape[0])
         res = []
         x = ml.solve(b, tol=1e-8, maxiter=60, accel="cg", residuals=res)
-        assert len(res) - 1 <= 10
+        assert len(res) - 1 <= 7
         assert np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b)
 
     def test_improvement_iters_multicandidate_returns_device_solver(self):
