@@ -519,7 +519,11 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
         if nrm == 0 or not np.isfinite(nrm):
             break
         B = np.column_stack([B, x / nrm])
-        ml = build(B, aggregate, strength, keep_flag=True)
+        if B.shape[1] < num_candidates:
+            # only the NEXT general stage consumes this intermediate
+            # hierarchy; when the candidate set is complete, skip straight
+            # to the final (device-finalized) build below
+            ml = build(B, aggregate, strength, keep_flag=True)
 
     # ---- improvement iterations (reference adaptive.py:301-340) ----------
     if B.shape[1] > 1 and improvement_iters > 0:

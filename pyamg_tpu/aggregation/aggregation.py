@@ -381,6 +381,21 @@ def structured_smoother_S(A, grid, block, q_lvl, sfn, skw, symmetry):
     degree = int(skw.get("degree", 1)) if sfn else 0
     sym_hint = (symmetry in ("hermitian", "symmetric")
                 and not np.iscomplexobj(A.data))
+    if degree == 0 or sfn is None:
+        return None, degree
+    # S depends only on (A, block, q, smoother) — not on the candidates —
+    # and adaptive SA recomputes it for the SAME fine operator across the
+    # initial-stage descent, every full rebuild, and the general stage
+    # (its rho estimate is a Lanczos run over all of A).  Cache it on the
+    # matrix with a value probe, like the zebra line-setup cache.
+    key = (tuple(int(b) for b in block), int(q_lvl), sfn,
+           tuple(sorted(skw.items())), bool(sym_hint))
+    stride = max(1, A.data.shape[0] // 64)
+    probe = A.data[::stride]
+    cache = getattr(A, "_struct_S", None)
+    if (cache is not None and cache[0] == key
+            and np.array_equal(cache[1], probe)):
+        return cache[2], degree
     S_csr = None
     if sfn == "jacobi":
         omega = float(skw.get("omega", 4.0 / 3.0))
@@ -425,6 +440,10 @@ def structured_smoother_S(A, grid, block, q_lvl, sfn, skw, symmetry):
         Dinv = get_diagonal(A, inv=True)
         S_data = (-c) * np.repeat(Dinv, np.diff(Aw.indptr)) * Aw.data
         S_csr = _add_identity_inplace(S_data, Aw, n)
+    try:
+        A._struct_S = (key, probe.copy(), S_csr)
+    except AttributeError:           # exotic matrix types: skip the cache
+        pass
     return S_csr, degree
 
 
