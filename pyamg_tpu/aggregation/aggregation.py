@@ -418,12 +418,14 @@ def structured_smoother_S(A, grid, block, q_lvl, sfn, skw, symmetry):
         # so S's support lies along the weak axes (plus intra-node dofs)
         # and S P keeps strong-axis width 1.
         omega = float(skw.get("omega", 4.0 / 3.0))
-        strides_w = [int(np.prod(grid[kk + 1:])) * q_lvl
-                     for kk in range(len(grid))]
-        offs = (A.indices.astype(np.int64)
-                - np.repeat(np.arange(n, dtype=np.int64),
-                            np.diff(A.indptr)))
-        rem = offs
+        # intra-node dof offsets overlap the smallest grid stride when
+        # q_lvl > 1 (|intra| reaches q-1, >= stride/2 for q >= 2), so strip
+        # them exactly first and decompose the NODE offset over node
+        # strides — the dof-stride rint decomposition misclassified e.g.
+        # the dof0<->dof2 coupling at q=3 as a +-1 step on the last axis
+        strides_w = [int(np.prod(grid[kk + 1:])) for kk in range(len(grid))]
+        rows_w = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+        rem = A.indices.astype(np.int64) // q_lvl - rows_w // q_lvl
         keep_w = np.ones(A.nnz, dtype=bool)
         for k in np.argsort(strides_w)[::-1]:
             s = strides_w[k]

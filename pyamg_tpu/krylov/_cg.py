@@ -98,7 +98,7 @@ def cg_chunk(mv, pre, carry, tol_t, it_cap):
 def cg(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
        callback=None, residuals=None):
     """Solve SPD/HPD A x = b with preconditioned CG; returns (x, info)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     normb = jnp.where(normb == 0, 1.0, normb)
     tol_t = tol * normb

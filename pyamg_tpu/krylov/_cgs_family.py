@@ -11,7 +11,8 @@ import jax
 import jax.numpy as jnp
 
 from ._common import (prepare, norm, finalize, make_rmatvec,
-                      operator_jittable, run_core_jit)
+                      operator_jittable, run_core_jit, run_core_rmv_jit,
+                      canonicalize_operator)
 
 __all__ = ["cr", "cgne", "cgnr", "steepest_descent", "minimal_residual",
            "bicgstab", "bicgstab_init", "bicgstab_chunk",
@@ -63,7 +64,7 @@ def cr_core(mv, pre, x, b, tol_t, maxiter):
 def cr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
        callback=None, residuals=None):
     """Conjugate residual method (Hermitian, possibly indefinite A)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     tol_t = tol * jnp.where(normb == 0, 1.0, normb)
     if operator_jittable(A, M):
@@ -73,80 +74,112 @@ def cr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
     return finalize(x, res_buf, it + 1, float(tol_t), callback, residuals)
 
 
-def cgnr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
-         callback=None, residuals=None):
-    """CG on the normal residual equations A^H A x = A^H b (CGLS;
-    reference _cgnr.py:14)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
-    rmv = make_rmatvec(A)
-    normb = norm(b)
-    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
-
+def cgnr_core(mv, rmv, pre, x, b, tol_t, maxiter):
+    """Traceable CGNR core (left-preconditioned normal residual equations
+    M A^H A x = M A^H b — reference _cgnr.py:157-186: z = M rhat,
+    alpha = <z, rhat>/<Ap, Ap>, p = z + beta p)."""
     r = b - mv(x)
-    z = rmv(r)            # A^H r
+    rhat = rmv(r)         # A^H r
+    z = pre(rhat)
     p = z
-    zz = jnp.vdot(z, z)
+    zr = jnp.vdot(z, rhat)
     res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
     res_buf = res_buf.at[0].set(norm(r))
 
     def body(carry):
-        x, r, z, p, zz, it, res_buf = carry
+        x, r, p, zr, it, res_buf = carry
         Ap = mv(p)
         d = jnp.vdot(Ap, Ap)
-        alpha = zz / jnp.where(d == 0, 1, d)
+        alpha = zr / jnp.where(d == 0, 1, d)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = rmv(r)
-        zz_new = jnp.vdot(z, z)
-        beta = zz_new / jnp.where(zz == 0, 1, zz)
+        rhat = rmv(r)
+        z = pre(rhat)
+        zr_new = jnp.vdot(z, rhat)
+        beta = zr_new / jnp.where(zr == 0, 1, zr)
         p = z + beta * p
         it = it + 1
         res_buf = res_buf.at[it].set(norm(r))
-        return (x, r, z, p, zz_new, it, res_buf)
+        return (x, r, p, zr_new, it, res_buf)
 
     def cond(carry):
         it, res_buf = carry[-2], carry[-1]
         return (res_buf[it] > tol_t) & (it < maxiter)
 
-    carry = _run(cond, body, (x, r, z, p, zz, 0, res_buf), -2)
-    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    carry = _run(cond, body, (x, r, p, zr, 0, res_buf), -2)
+    return carry[0], carry[-2], carry[-1]
+
+
+def _normal_dispatch(core, A, M, mv, pre, x, b, maxiter, tol_t, AH0):
+    """Run a normal-equation core jitted when (A, A^H, M) all ride as
+    pytree arguments; otherwise eagerly with make_rmatvec's closure."""
+    AH = canonicalize_operator(AH0) if AH0 is not None else None
+    if operator_jittable(A, M) and (
+            (AH is not None and operator_jittable(AH))
+            or (AH is None and hasattr(A, "rmatvec"))):
+        return run_core_rmv_jit(core, A, AH, M, x, b, maxiter, tol_t)
+    return core(mv, make_rmatvec(A), pre, x, b, tol_t, maxiter)
+
+
+def cgnr(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
+         callback=None, residuals=None):
+    """CG on the normal residual equations A^H A x = A^H b (CGLS;
+    reference _cgnr.py:14).  ``M`` preconditions the NORMAL system
+    (z = M A^H r), matching the reference."""
+    import scipy.sparse as sp
+    AH0 = A.conjugate().T.tocsr() if sp.issparse(A) else None
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    normb = norm(b)
+    tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
+    x, it, res_buf = _normal_dispatch(cgnr_core, A, M, mv, pre, x, b,
+                                      maxiter, tol_t, AH0)
     return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
+
+
+def cgne_core(mv, rmv, pre, x, b, tol_t, maxiter):
+    """Traceable CGNE core (Craig's method on M A A^H y = M b — reference
+    _cgne.py:155-183: z = M r, p = A^H z + beta p, alpha = <z, r>/<p, p>)."""
+    r = b - mv(x)
+    z = pre(r)
+    p = rmv(z)
+    zr = jnp.vdot(z, r)
+    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
+    res_buf = res_buf.at[0].set(norm(r))
+
+    def body(carry):
+        x, r, p, zr, it, res_buf = carry
+        pp = jnp.vdot(p, p)
+        alpha = zr / jnp.where(pp == 0, 1, pp)
+        x = x + alpha * p
+        r = r - alpha * mv(p)
+        z = pre(r)
+        zr_new = jnp.vdot(z, r)
+        beta = zr_new / jnp.where(zr == 0, 1, zr)
+        p = rmv(z) + beta * p
+        it = it + 1
+        res_buf = res_buf.at[it].set(norm(r))
+        return (x, r, p, zr_new, it, res_buf)
+
+    def cond(carry):
+        it, res_buf = carry[-2], carry[-1]
+        return (res_buf[it] > tol_t) & (it < maxiter)
+
+    carry = _run(cond, body, (x, r, p, zr, 0, res_buf), -2)
+    return carry[0], carry[-2], carry[-1]
 
 
 def cgne(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
          callback=None, residuals=None):
     """CG on the normal error equations A A^H y = b (Craig's method;
-    reference _cgne.py:14)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
-    rmv = make_rmatvec(A)
+    reference _cgne.py:14).  ``M`` preconditions the NORMAL system
+    (z = M r), matching the reference."""
+    import scipy.sparse as sp
+    AH0 = A.conjugate().T.tocsr() if sp.issparse(A) else None
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
-
-    r = b - mv(x)
-    p = rmv(r)
-    rr = jnp.vdot(r, r)
-    res_buf = jnp.zeros(maxiter + 1, dtype=jnp.real(b).dtype)
-    res_buf = res_buf.at[0].set(norm(r))
-
-    def body(carry):
-        x, r, p, rr, it, res_buf = carry
-        pp = jnp.vdot(p, p)
-        alpha = rr / jnp.where(pp == 0, 1, pp)
-        x = x + alpha * p
-        r = r - alpha * mv(p)
-        rr_new = jnp.vdot(r, r)
-        beta = rr_new / jnp.where(rr == 0, 1, rr)
-        p = rmv(r) + beta * p
-        it = it + 1
-        res_buf = res_buf.at[it].set(norm(r))
-        return (x, r, p, rr_new, it, res_buf)
-
-    def cond(carry):
-        it, res_buf = carry[-2], carry[-1]
-        return (res_buf[it] > tol_t) & (it < maxiter)
-
-    carry = _run(cond, body, (x, r, p, rr, 0, res_buf), -2)
-    x, it, res_buf = carry[0], carry[-2], carry[-1]
+    x, it, res_buf = _normal_dispatch(cgne_core, A, M, mv, pre, x, b,
+                                      maxiter, tol_t, AH0)
     return finalize(x, res_buf, it + 1, tol_t, callback, residuals)
 
 
@@ -180,7 +213,7 @@ def steepest_descent_core(mv, pre, x, b, tol_t, maxiter):
 def steepest_descent(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
                      M=None, callback=None, residuals=None):
     """Preconditioned steepest descent (reference _steepest_descent.py:11)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     tol_t = tol * jnp.where(normb == 0, 1.0, normb)
     if operator_jittable(A, M):
@@ -221,7 +254,7 @@ def minimal_residual_core(mv, pre, x, b, tol_t, maxiter):
 def minimal_residual(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None,
                      M=None, callback=None, residuals=None):
     """Minimal residual iteration (reference _minimal_residual.py:11)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     tol_t = tol * jnp.where(normb == 0, 1.0, normb)
     if operator_jittable(A, M):
@@ -320,7 +353,7 @@ def bicgstab_chunk(mv, pre, carry, tol_t, it_cap):
 def bicgstab(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
              callback=None, residuals=None):
     """BiCGStab for nonsymmetric systems (reference _bicgstab.py:10)."""
-    mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
+    A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     tol_t = tol * float(jnp.where(normb == 0, 1.0, normb))
     if operator_jittable(A, M):

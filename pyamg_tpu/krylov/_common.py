@@ -19,6 +19,20 @@ import jax
 import jax.numpy as jnp
 
 
+def canonicalize_operator(A):
+    """Convert a scipy-sparse operator to a device operator UP FRONT so it
+    rides :func:`run_core_jit` as a pytree ARGUMENT.  Left as-is, the eager
+    ``while_loop`` core would close over the freshly-uploaded arrays and
+    embed them as HLO constants (the remote axon compile rejects >~30MB
+    programs) and re-hash the whole jaxpr on every call."""
+    import scipy.sparse as sp
+    if sp.issparse(A):
+        from ..sparse import device_operator
+
+        return device_operator(A.tocsr())
+    return A
+
+
 def make_matvec(A):
     """Matvec closure from a SparseELL / LinearOperator-like / callable /
     scipy-sparse / dense array (reference krylov accepts any array-like
@@ -46,8 +60,10 @@ def make_rmatvec(A):
         from ..sparse import device_operator
 
         return device_operator(A.conjugate().T.tocsr()).matvec
-    if isinstance(A, np.ndarray):
-        AH = jnp.asarray(A.conj().T)
+    if not callable(A) and not hasattr(A, "matvec"):
+        # dense array-like (ndarray, nested list, jnp array) — mirror
+        # make_matvec's acceptance
+        AH = jnp.asarray(np.asarray(A)).conj().T
         return lambda v: AH @ v
     raise ValueError("operator does not support rmatvec (A^H v)")
 
@@ -70,13 +86,18 @@ def identity_M(M):
 
 
 def prepare(A, b, x0, maxiter, M):
+    """Returns ``(A, M, mv, pre, b, x, maxiter)`` with scipy-sparse A/M
+    canonicalized to device operators (see canonicalize_operator)."""
+    A = canonicalize_operator(A)
+    if M is not None:
+        M = canonicalize_operator(M)
     b = jnp.asarray(b).ravel()
     n = b.shape[0]
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0).ravel().astype(b.dtype)
     if maxiter is None:
         maxiter = n
     maxiter = int(maxiter)
-    return make_matvec(A), identity_M(M), b, x, maxiter
+    return A, M, make_matvec(A), identity_M(M), b, x, maxiter
 
 
 def norm(v):
@@ -110,6 +131,15 @@ def run_core_jit(core, A, M, x, b, maxiter, tol_t, extra=()):
     arguments hits the C++ fast path (measured 73 ms for the same program)
     and shares one executable across operators of equal shapes."""
     return core(make_matvec(A), identity_M(M), x, b, tol_t, maxiter, *extra)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def run_core_rmv_jit(core, A, AH, M, x, b, maxiter, tol_t):
+    """run_core_jit variant for normal-equation cores that also need
+    ``v -> A^H v``: AH rides as a pytree argument (None uses A's own
+    ``rmatvec``)."""
+    rmv = A.rmatvec if AH is None else make_matvec(AH)
+    return core(make_matvec(A), rmv, identity_M(M), x, b, tol_t, maxiter)
 
 
 def finalize(x, res_buf, n_res, tol_target, callback, residuals):

@@ -321,7 +321,7 @@ def gmres_chunk(mv, pre, b, carry, tol_t, it_cap, maxiter, restrt=30,
 
 def _gmres_like(A, b, x0, tol, restrt, maxiter, M, callback, residuals,
                 flexible):
-    mv, pre, b, x, _ = prepare(A, b, x0, maxiter or b.shape[0], M)
+    A, M, mv, pre, b, x, _ = prepare(A, b, x0, maxiter or b.shape[0], M)
     n = b.shape[0]
     if maxiter is None:
         maxiter = min(n, 300)

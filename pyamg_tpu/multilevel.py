@@ -1050,17 +1050,18 @@ class MultilevelSolver:
                     and not hasattr(A, "rmatvec"):
                 # normal-equation methods need A^H v: hermitian/symmetric-
                 # real hierarchies reuse the device matvec; nonsymmetric
-                # ones fall back to a host conj-transpose product (this
-                # path is host-paced per iteration anyway)
+                # ones get a device conj-transpose operator (the cores are
+                # fused while_loops — a host product would numpy-convert a
+                # tracer and crash)
                 sym = getattr(self.levels[0], "symmetry", "hermitian")
                 if sym == "hermitian" or (sym == "symmetric"
                                           and not np.iscomplexobj(
                                               np.zeros(0, dtype=dtype))):
                     rmv = A.matvec
                 else:
+                    from .sparse import device_operator
                     AH = self.levels[0].A_csr.conjugate().T.tocsr()
-                    rmv = (lambda v, AH=AH:
-                           jnp.asarray(AH @ np.asarray(v), dtype=dtype))
+                    rmv = device_operator(AH, dtype=dtype).matvec
 
                 class _WithRmatvec:
                     def __init__(self, op, rmatvec):

@@ -275,6 +275,9 @@ class StructuredShardedSolver:
         if mesh is None:
             mesh = make_mesh(n_devices, axis_name)
         self.mesh = mesh
+        if axis_name not in mesh.axis_names and len(mesh.axis_names) == 1:
+            # adopt the caller's single mesh axis whatever they named it
+            axis_name = mesh.axis_names[0]
         self.axis = axis_name
         self.ml = ml
         nd = mesh.devices.size

@@ -64,6 +64,28 @@ class TestSharded:
         with pytest.raises(ValueError):
             make_mesh(10**6)
 
+    def test_custom_mesh_axis_adopted(self):
+        # every sharded entry point must adopt the caller's single mesh
+        # axis whatever its name (round-3: StructuredShardedSolver missed
+        # the adoption branch ShardedSolver/general_sa_setup_sharded got)
+        from jax.sharding import Mesh
+        from pyamg_tpu.parallel import ShardedSolver, StructuredShardedSolver
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+        A = poisson((48, 48), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, max_coarse=50, improve_candidates=None)
+        b = np.random.default_rng(0).standard_normal(A.shape[0])
+        x1 = ml.solve(b, tol=1e-10, maxiter=50, accel="cg")
+        sml = StructuredShardedSolver(ml, mesh=mesh, min_shard_rows=256)
+        assert sml.axis == "x"
+        x2 = sml.solve(b, tol=1e-10, maxiter=50)
+        assert np.allclose(x1, x2, atol=1e-8)
+        psml = ShardedSolver(ml, mesh)
+        assert psml.axis == "x"
+        x3 = psml.solve(b, tol=1e-10, maxiter=50, accel="cg")
+        assert np.allclose(x1, x3, atol=1e-6)
+
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestShardedSmootherFidelity:
