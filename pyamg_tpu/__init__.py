@@ -17,6 +17,7 @@ from .classical import ruge_stuben_solver
 from .aggregation import (smoothed_aggregation_solver, rootnode_solver,
                           adaptive_sa_solver)
 from .blackbox import solve, solver, solver_configuration
+from .complexity import cycle_complexity, setup_complexity
 from .strength import (classical_strength_of_connection,
                        symmetric_strength_of_connection,
                        evolution_strength_of_connection)
@@ -32,6 +33,7 @@ __all__ = [
     "MultilevelSolverSet", "multilevel_solver_set", "ruge_stuben_solver",
     "smoothed_aggregation_solver", "rootnode_solver", "adaptive_sa_solver",
     "solve", "solver", "solver_configuration",
+    "cycle_complexity", "setup_complexity",
     "classical_strength_of_connection", "symmetric_strength_of_connection",
     "evolution_strength_of_connection", "SparseELL", "BlockELL",
     "__version__",

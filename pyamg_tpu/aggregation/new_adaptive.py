@@ -28,7 +28,20 @@ from ..util.linalg import approximate_spectral_radius
 from .aggregation import _strength, _aggregate, _smooth_P
 
 __all__ = ["asa_solver", "tl_sa_solver", "global_ritz_process",
-           "local_ritz_process"]
+           "local_ritz_process", "A_norm", "my_rand"]
+
+
+def A_norm(x, A):
+    """Energy norm ``sqrt(x^H A x)`` (reference new_adaptive.py:46)."""
+    x = np.ravel(np.asarray(x))
+    return np.sqrt(np.real(np.vdot(x, A @ x)))
+
+
+def my_rand(d1, d2, zero_crossings=True):
+    """Uniform random ``(d1, d2)`` array in [-1, 1] (or [0, 1] when
+    ``zero_crossings`` is False) — reference new_adaptive.py:53."""
+    x = np.random.default_rng().random((d1, d2))
+    return (x - 0.5) * 2.0 if zero_crossings else x
 
 
 def global_ritz_process(A, B1, B2=None, weak_tol=15.0, verbose=False):

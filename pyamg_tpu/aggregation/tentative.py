@@ -13,7 +13,14 @@ from __future__ import annotations
 import numpy as np
 import scipy.sparse as sp
 
-__all__ = ["fit_candidates"]
+__all__ = ["fit_candidates", "ben_ideal_interpolation"]
+
+
+def ben_ideal_interpolation(*args, **kwargs):
+    """Re-export: the implementation lives with the new-ideal solver
+    (reference exports it from tentative.py; ours from rootnode_nii)."""
+    from .rootnode_nii import ben_ideal_interpolation as impl
+    return impl(*args, **kwargs)
 
 
 def fit_candidates(AggOp, B, tol=1e-10):

@@ -52,3 +52,10 @@ def bsr_row_write_vector(A, i, values):
     values = np.asarray(values).reshape(e - s, bsc)
     A.data[s:e, local, :] = values
     return A
+
+
+# reference-name aliases (pyamg/util/BSR_utils.py)
+BSR_Get_Row = bsr_get_row
+BSR_Row_WriteScalar = bsr_row_write_scalar
+BSR_Row_WriteVect = bsr_row_write_vector
+__all__ += ["BSR_Get_Row", "BSR_Row_WriteScalar", "BSR_Row_WriteVect"]

@@ -19,6 +19,9 @@ __all__ = [
     "eliminate_diag_dom_nodes", "profile_solver", "to_csr",
     "relaxation_as_linear_operator", "filter_operator", "compute_BtBinv",
     "scale_T", "get_Cpt_params",
+    # reference-surface compatibility (pyamg/util/utils.py)
+    "blocksize", "to_type", "type_prep", "symmetric_rescaling_sa",
+    "print_table", "Coord2RBM", "UnAmal", "hierarchy_spectrum",
 ]
 
 
@@ -506,3 +509,106 @@ def get_Cpt_params(A, Cnodes, AggOp, T):
         "Cpts": Cpts, "Fpts": Fpts, "P_I": P_I,
         "I_F": diag_mask(Fpts), "I_C": diag_mask(Cpts),
     }
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface compatibility utilities (pyamg/util/utils.py): small
+# helpers a reference user expects to find under the same names.
+
+def blocksize(A):
+    """Block size of a BSR matrix (1 for anything else)
+    (reference util/utils.py:35)."""
+    return A.blocksize[0] if sp.issparse(A) and A.format == "bsr" else 1
+
+
+def to_type(upcast_type, varlist):
+    """Convert every element of ``varlist`` (arrays, sparse matrices or
+    scalars) to ``upcast_type`` in place and return it
+    (reference util/utils.py ``to_type``)."""
+    for i, v in enumerate(varlist):
+        if np.isscalar(v):
+            varlist[i] = np.array([v], dtype=upcast_type)[0]
+        elif hasattr(v, "astype"):
+            varlist[i] = v.astype(upcast_type)
+    return varlist
+
+
+def type_prep(upcast_type, varlist):
+    """Like :func:`to_type`, but scalars become length-1 arrays — C/device
+    kernels take arrays, not python complex scalars
+    (reference util/utils.py ``type_prep``)."""
+    for i, v in enumerate(varlist):
+        if np.isscalar(v):
+            varlist[i] = np.array([v], dtype=upcast_type)
+        elif hasattr(v, "astype"):
+            varlist[i] = v.astype(upcast_type)
+    return varlist
+
+
+def symmetric_rescaling_sa(A, B, BH=None):
+    """Symmetrically rescale ``A`` by its diagonal and scale the candidate
+    blocks ``B`` (and ``BH``) consistently: returns ``[D^-1/2 A D^-1/2,
+    D^1/2 B, D^1/2 BH]`` (reference util/utils.py:356)."""
+    D_sqrt, _D_sqrt_inv, A = symmetric_rescaling(A, copy=True)
+    B = np.asarray(B) * np.asarray(D_sqrt).reshape(-1, 1)
+    if BH is not None:
+        BH = np.asarray(BH) * np.asarray(D_sqrt).reshape(-1, 1)
+    return [A, B, BH]
+
+
+def print_table(table, title='', delim='|', centering='center',
+                col_padding=2, header=True, headerchar='-'):
+    """Format a list of row-lists as an ASCII table string
+    (reference util/utils.py:792)."""
+    rows = [["" if c is None else str(c) for c in row] for row in table]
+    ncols = max(len(r) for r in rows) if rows else 0
+    rows = [r + [""] * (ncols - len(r)) for r in rows]
+    widths = [max(len(r[j]) for r in rows) + col_padding
+              for j in range(ncols)]
+    just = {"center": str.center, "left": str.ljust,
+            "right": str.rjust}.get(centering, str.center)
+    lines = []
+    total = sum(widths) + len(delim) * (ncols - 1)
+    if title:
+        lines.append("")
+        lines.append(title.center(total))
+    for i, r in enumerate(rows):
+        lines.append(delim.join(just(c, w) for c, w in zip(r, widths)))
+        if i == 0 and header:
+            lines.append(headerchar * max(total, 1))
+    return "\n".join(lines) + "\n"
+
+
+def Coord2RBM(numNodes, numPDEs, x, y, z):
+    """Reference-signature rigid-body-mode builder
+    (reference util/utils.py:1009): ``numPDEs`` in {1, 3, 6}; returns a
+    ``(numNodes*numPDEs, 1 | 6)`` array of near-nullspace modes — per node
+    ``[I Q; 0 I]`` with ``Q`` the infinitesimal-rotation block from the
+    3D coordinates.  (The natural-coordinates variant is
+    :func:`coord2rbm`.)"""
+    if numPDEs == 1:
+        return np.ones((int(numNodes), 1))
+    if numPDEs not in (3, 6):
+        raise ValueError("Coord2RBM supports numPDEs in (1, 3, 6), got "
+                         f"{numPDEs}")
+    x, y, z = (np.asarray(v, dtype=float).ravel() for v in (x, y, z))
+    if not (x.size == y.size == z.size == numNodes):
+        raise ValueError("coordinate vectors must have length numNodes")
+    rbm = np.zeros((numNodes, numPDEs, 6))
+    rbm[:, :3, :3] = np.eye(3)
+    rbm[:, 0, 4] = z
+    rbm[:, 0, 5] = -y
+    rbm[:, 1, 3] = -z
+    rbm[:, 1, 5] = x
+    rbm[:, 2, 3] = y
+    rbm[:, 2, 4] = -x
+    if numPDEs == 6:
+        rbm[:, 3:, 3:] = np.eye(3)
+    return rbm.reshape(numNodes * numPDEs, 6)
+
+
+# reference-name aliases
+UnAmal = unamal
+
+from .profiling import hierarchy_spectrum  # noqa: E402  (reference exports
+#     it from util.utils; the implementation lives with the profiling tools)
