@@ -98,8 +98,11 @@ def pallas_dia_supported(offsets, shape, dtype) -> bool:
         return False
     if n < 65536:
         return False            # small levels: block padding outweighs gains
-    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
-                                jnp.dtype(jnp.bfloat16)):
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        # bf16 is NOT supported: the halo kernel's lane-misaligned 1-D
+        # slices fail Mosaic compilation for 16-bit types ("Invalid input
+        # layout", measured on v5e) — a bf16 hierarchy falls back to the
+        # XLA formulation instead of crashing at dispatch time
         return False
     return _plan1d(offsets, dtype) is not None
 
