@@ -97,6 +97,27 @@ def _pattern_csr(X, shape=None):
     return Xp
 
 
+def _ell_smoother(sm_name, sm_kw, A_pat_csr, dinv_sh, n_pad, mesh,
+                  axis_name, dt):
+    """SmootherData for a mesh-built padded-ELL level (jacobi or
+    multicolor GS; the color masks are a host integer stage)."""
+    from ..relaxation.smoothing import _color_masks
+
+    if sm_name == "jacobi":
+        return SmootherData(kind="jacobi", dinv=dinv_sh,
+                            omega=float(sm_kw.get("omega", 1.0)),
+                            iterations=int(sm_kw.get("iterations", 1)))
+    shm = NamedSharding(mesh, P(None, axis_name))
+    masks = np.asarray(_color_masks(A_pat_csr, dtype=dt))
+    m = np.zeros((masks.shape[0], n_pad), dtype=masks.dtype)
+    m[:, :masks.shape[1]] = masks
+    return SmootherData(
+        kind="multicolor_gauss_seidel", dinv=dinv_sh,
+        color_masks=jax.device_put(jnp.asarray(m), shm),
+        iterations=int(sm_kw.get("iterations", 1)),
+        sweep=sm_kw.get("sweep", "symmetric"))
+
+
 def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
                              axis_name: str = "rows",
                              strength=("symmetric", {"theta": 0.0}),
@@ -136,7 +157,6 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
     from ..aggregation.aggregate import (standard_aggregation,
                                          naive_aggregation)
     from ..aggregation.tentative import fit_candidates
-    from ..relaxation.smoothing import _color_masks
 
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name=axis_name)
@@ -190,21 +210,10 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
             else np.asarray(B, dtype=dt).reshape(n_orig, -1))
 
     sh1 = NamedSharding(mesh, P(axis_name))
-    shm = NamedSharding(mesh, P(None, axis_name))
 
     def make_smoother(A_pat_csr, dinv_sh, n_pad):
-        if sm_name == "jacobi":
-            return SmootherData(kind="jacobi", dinv=dinv_sh,
-                                omega=float(sm_kw.get("omega", 1.0)),
-                                iterations=int(sm_kw.get("iterations", 1)))
-        masks = np.asarray(_color_masks(A_pat_csr, dtype=dt))
-        m = np.zeros((masks.shape[0], n_pad), dtype=masks.dtype)
-        m[:, :masks.shape[1]] = masks
-        return SmootherData(
-            kind="multicolor_gauss_seidel", dinv=dinv_sh,
-            color_masks=jax.device_put(jnp.asarray(m), shm),
-            iterations=int(sm_kw.get("iterations", 1)),
-            sweep=sm_kw.get("sweep", "symmetric"))
+        return _ell_smoother(sm_name, sm_kw, A_pat_csr, dinv_sh, n_pad,
+                             mesh, axis_name, dt)
 
     levels, sizes = [], []
     while len(levels) < max_levels - 1 and A_host.shape[0] > max_coarse:

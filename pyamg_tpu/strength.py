@@ -211,7 +211,8 @@ def _masked_power(Atilde_T, nsquare, mask):
 
 def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
                                      proj_type="l2", block_flag=False,
-                                     symmetrize_measure=True):
+                                     symmetrize_measure=True,
+                                     _masked_power_impl=None):
     """Evolution (ODE) strength measure (reference strength.py:471).
 
     Evolves delta functions by k weighted-Jacobi steps and measures how well
@@ -343,7 +344,11 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         Atilde.eliminate_zeros()
         Atilde.sort_indices()
     else:
-        Atilde = _masked_power(Atilde, nsquare, mask)
+        # _masked_power_impl: injection point for the distributed setup —
+        # the masked-SpGEMM chain (the dominant evolution-SOC flops) runs
+        # as pattern-masked device products over a mesh
+        # (parallel/classical_setup.py) instead of the host kernel
+        Atilde = (_masked_power_impl or _masked_power)(Atilde, nsquare, mask)
 
     if NullDim == 1:
         # One candidate vector: the constrained fit is closed-form.  With a

@@ -330,6 +330,26 @@ class TestDistributedGeneralSetup:
         d = abs(sol.levels[1].A_csr - ref)
         assert (d.max() if d.nnz else 0.0) < 1e-12
 
+    def test_elasticity_rbm_candidates(self):
+        # blocked (elasticity-class) hierarchy built on the mesh: RBM
+        # near-nullspace candidates through the distributed numeric setup
+        from pyamg_tpu.gallery import linear_elasticity
+        from pyamg_tpu.parallel import general_sa_setup_sharded, make_mesh
+
+        A, B = linear_elasticity((16, 16))
+        Ac = A.tocsr()
+        sol = general_sa_setup_sharded(Ac, B=B, mesh=make_mesh(8),
+                                       dtype=np.float64, max_coarse=40)
+        n, nc = Ac.shape[0], sol.levels[1].A_csr.shape[0]
+        P = sol.levels[0].P.to_scipy()[:n, :nc]
+        ref = (P.T @ Ac @ P).tocsr()
+        d = abs(sol.levels[1].A_csr - ref)
+        assert (d.max() if d.nnz else 0.0) / abs(ref).max() < 1e-12
+        b = np.random.default_rng(0).standard_normal(n)
+        res = []
+        x = sol.solve(b, tol=1e-8, accel="cg", maxiter=200, residuals=res)
+        assert np.linalg.norm(b - Ac @ x) / np.linalg.norm(b) < 1e-7
+
     def test_multiple_candidates_jacobi_smoother(self):
         # K=2 candidates exercise blocked tentative fitting; jacobi
         # smoother exercises the dinv-only SmootherData path
@@ -345,3 +365,90 @@ class TestDistributedGeneralSetup:
         res = []
         x = sol.solve(b, tol=1e-8, accel="cg", maxiter=150, residuals=res)
         assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+
+
+class TestDistributedClassicalSetup:
+    """Round-4: the CLASSICAL (Ruge-Stuben) setup's numeric phase runs
+    distributed — host keeps strength thresholding / C-F splitting /
+    interpolation patterns, the mesh runs the evolution-SOC masked
+    SpGEMMs, the interpolation values, P^T and the Galerkin RAP
+    (parallel/classical_setup.py; role of the reference's serial
+    classical/classical.py:120-187)."""
+
+    def test_direct_matches_host_build(self):
+        from pyamg_tpu.parallel import classical_setup_sharded, make_mesh
+
+        A = poisson((48, 48), format="csr")
+        ml_ref = pyamg_tpu.ruge_stuben_solver(A, max_coarse=50)
+        sol = classical_setup_sharded(A, mesh=make_mesh(8),
+                                      dtype=np.float64, max_coarse=50)
+        assert len(ml_ref.levels) == len(sol.levels)
+        for i, (lr, ls) in enumerate(zip(ml_ref.levels, sol.levels)):
+            d = abs(lr.A_csr - ls.A_csr)
+            m = (d.max() if d.nnz else 0.0) / abs(lr.A_csr).max()
+            assert m < 1e-12, f"level {i} rel err {m}"
+        b = np.asarray(A @ np.random.default_rng(0).random(A.shape[0]))
+        res = []
+        x = sol.solve(b, tol=1e-8, accel="cg", maxiter=60, residuals=res)
+        assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+        assert len(res) - 1 <= 12           # classical AMG on Poisson
+
+    def test_standard_interpolation_matches_host_build(self):
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        from pyamg_tpu.parallel import classical_setup_sharded, make_mesh
+
+        sten = diffusion_stencil_2d(epsilon=0.01, theta=np.pi / 4,
+                                    type="FD")
+        A = stencil_grid(sten, (48, 48), format="csr")
+        ml_ref = pyamg_tpu.ruge_stuben_solver(A, interpolation="standard",
+                                              max_coarse=50)
+        sol = classical_setup_sharded(A, mesh=make_mesh(8),
+                                      dtype=np.float64,
+                                      interpolation="standard",
+                                      max_coarse=50)
+        assert len(ml_ref.levels) == len(sol.levels)
+        for i, (lr, ls) in enumerate(zip(ml_ref.levels, sol.levels)):
+            d = abs(lr.A_csr - ls.A_csr)
+            m = (d.max() if d.nnz else 0.0) / abs(lr.A_csr).max()
+            assert m < 1e-12, f"level {i} rel err {m}"
+
+    def test_evolution_strength_matches_host_build(self):
+        # config-2 shape: evolution SOC (mesh masked-SpGEMM chain) +
+        # standard interpolation; hierarchy must match the host build and
+        # the 1-device mesh build machine-exactly
+        from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+        from pyamg_tpu.parallel import classical_setup_sharded, make_mesh
+
+        sten = diffusion_stencil_2d(epsilon=0.01, theta=np.pi / 4,
+                                    type="FD")
+        A = stencil_grid(sten, (48, 48), format="csr")
+        kw = dict(strength=("evolution", {"k": 2, "epsilon": 4.0}),
+                  interpolation="standard", dtype=np.float64,
+                  max_coarse=50)
+        sol8 = classical_setup_sharded(A, mesh=make_mesh(8), **kw)
+        sol1 = classical_setup_sharded(A, mesh=make_mesh(1), **kw)
+        ml_ref = pyamg_tpu.ruge_stuben_solver(
+            A, strength=("evolution", {"k": 2, "epsilon": 4.0}),
+            interpolation="standard", max_coarse=50)
+        assert len(sol8.levels) == len(sol1.levels) == len(ml_ref.levels)
+        for i, (l1, l8, lr) in enumerate(zip(sol1.levels, sol8.levels,
+                                             ml_ref.levels)):
+            d = abs(l1.A_csr - l8.A_csr)
+            m = (d.max() if d.nnz else 0.0) / abs(l1.A_csr).max()
+            assert m < 1e-12, f"level {i} 1-dev vs 8-dev rel err {m}"
+            d = abs(lr.A_csr - l8.A_csr)
+            m = (d.max() if d.nnz else 0.0) / abs(lr.A_csr).max()
+            assert m < 1e-12, f"level {i} vs host rel err {m}"
+        b = np.asarray(A @ np.random.default_rng(0).random(A.shape[0]))
+        res = []
+        x = sol8.solve(b, tol=1e-8, accel="cg", maxiter=100, residuals=res)
+        assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-7
+
+    def test_operators_stay_sharded(self):
+        from pyamg_tpu.parallel import classical_setup_sharded, make_mesh
+
+        A = poisson((32, 32), format="csr")
+        sol = classical_setup_sharded(A, mesh=make_mesh(8),
+                                      dtype=np.float64, max_coarse=50)
+        assert tuple(sol.levels[0].A.data.sharding.spec)[0] == "rows"
+        assert tuple(sol.levels[1].A.data.sharding.spec)[0] == "rows"
