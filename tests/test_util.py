@@ -293,6 +293,99 @@ class TestComplexity:
         assert cycle_complexity(ml, "V") > 1.0
         assert cycle_complexity(ml, "W") >= cycle_complexity(ml, "V")
 
+    # The 500^2 Poisson SA hierarchy profile recorded from THIS package's
+    # smoothed_aggregation_solver (defaults), and the values the REFERENCE
+    # model (Jacob_complexity.py:14,118) produces on exactly that profile
+    # (evaluated once against the compiled reference fork; see
+    # docs/design.md "complexity models").  Options:
+    # presmoother = postsmoother = ('block_gauss_seidel',
+    # {'sweep': 'symmetric'}), improve_candidates same + iterations=4,
+    # smooth = ('jacobi', {'omega': 4/3}), strength = 'symmetric'.
+    _PROFILE = [
+        dict(a_nnz=1248000, n=250000, p_nnz=582000, p_rows=250000, b_cols=1),
+        dict(a_nnz=249001, n=27889, p_nnz=76729, p_rows=27889, b_cols=1),
+        dict(a_nnz=27556, n=3136, p_nnz=8464, p_rows=3136, b_cols=1),
+        dict(a_nnz=3025, n=361, b_cols=1),
+    ]
+    _REF_SETUP = 18.582358074039597
+    _REF_CYCLE = {"V": 4.888824519230769, "W": 5.9591378205128205,
+                  "F": 5.868393429487179}
+
+    def _mock_ml(self):
+        import types
+
+        levels = []
+        for e in self._PROFILE:
+            lvl = types.SimpleNamespace()
+            lvl.A_csr = types.SimpleNamespace(nnz=e["a_nnz"],
+                                              shape=(e["n"], e["n"]))
+            if "p_nnz" in e:
+                lvl.P_csr = types.SimpleNamespace(
+                    nnz=e["p_nnz"], shape=(e["p_rows"], 0))
+            lvl.B = np.ones((e["n"], e["b_cols"]))
+            levels.append(lvl)
+        return types.SimpleNamespace(levels=levels)
+
+    def test_setup_matches_reference_model(self):
+        from pyamg_tpu.complexity import setup_complexity
+
+        pres = ("block_gauss_seidel", {"sweep": "symmetric"})
+        impr = ("block_gauss_seidel", {"sweep": "symmetric",
+                                       "iterations": 4})
+        sc = setup_complexity(self._mock_ml(), strength="symmetric",
+                              smooth=("jacobi", {"omega": 4.0 / 3.0}),
+                              improve_candidates=impr, aggregate="standard",
+                              presmoother=pres, postsmoother=pres)
+        assert abs(sc - self._REF_SETUP) / self._REF_SETUP < 1e-10
+
+    def test_cycle_matches_reference_model(self):
+        from pyamg_tpu.complexity import cycle_complexity
+
+        pres = ("block_gauss_seidel", {"sweep": "symmetric"})
+        for cyc, want in self._REF_CYCLE.items():
+            got = cycle_complexity(self._mock_ml(), cyc, presmoothing=pres,
+                                   postsmoothing=pres)
+            assert abs(got - want) / want < 1e-10, (cyc, got, want)
+
+    def test_amli_distinct_from_w(self):
+        # AMLI is modeled from this package's compiled cycle (two
+        # A-conjugate coarse directions: W recursion + 3 coarse matvecs
+        # per visit), so it must cost MORE than W, not alias it
+        from pyamg_tpu.complexity import cycle_complexity
+
+        pres = ("block_gauss_seidel", {"sweep": "symmetric"})
+        ml = self._mock_ml()
+        w = cycle_complexity(ml, "W", presmoothing=pres, postsmoothing=pres)
+        amli = cycle_complexity(ml, "AMLI", presmoothing=pres,
+                                postsmoothing=pres)
+        v = cycle_complexity(ml, "V", presmoothing=pres, postsmoothing=pres)
+        assert v < w < amli
+
+    def test_option_awareness(self):
+        # iterations / symmetric sweep / chebyshev degree all change the
+        # reported work; SmootherData defaults are read off the hierarchy
+        from pyamg_tpu.complexity import cycle_complexity, setup_complexity
+
+        A = poisson((24, 24), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(
+            A, presmoother="chebyshev", postsmoother="chebyshev",
+            max_coarse=30, improve_candidates=None)
+        base = cycle_complexity(ml)     # reads chebyshev degree 3
+        plain = cycle_complexity(ml, presmoothing="jacobi",
+                                 postsmoothing="jacobi")
+        assert base > 2.0 * plain       # degree-3 polynomial vs 1 sweep
+        two = cycle_complexity(ml, presmoothing=("jacobi",
+                                                 {"iterations": 2}),
+                               postsmoothing=("jacobi", {"iterations": 2}))
+        # smoother work doubles exactly; the coarse-solve charge
+        # (nnz_coarsest / nnz_fine) is smoother-independent
+        coarse = ml.levels[-1].A_csr.nnz / ml.levels[0].A_csr.nnz
+        assert abs((two - plain) - (plain - coarse)) < 1e-12
+        # evolution strength charges the product chain in setup work
+        s1 = setup_complexity(ml, strength="symmetric")
+        s2 = setup_complexity(ml, strength=("evolution", {"k": 4}))
+        assert s2 > s1
+
 
 class TestBSRUtils:
     def test_get_row(self):
