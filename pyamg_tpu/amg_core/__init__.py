@@ -22,7 +22,8 @@ __all__ = ["have_native", "rs_cf_splitting", "standard_aggregation_native",
            "gauss_seidel_kaczmarz_native", "bellman_ford_native",
            "bfs_levels_native", "drake_matching_native",
            "masked_spgemm_native", "bsr_gauss_seidel_native",
-           "identity_minus_scaled_native", "evolution_epilogue_native",
+           "identity_minus_scaled_native", "identity_minus_colscaled_native",
+           "evolution_epilogue_native",
            "direct_interpolation_native", "classical_strength_native",
            "first_fit_coloring_native", "constraint_project_native",
            "pattern_gram_native", "masked_spgemm_bsr_native",
@@ -76,6 +77,35 @@ _D = ctypes.c_double
 
 def _declare(lib):
     lib.rs_cf_splitting.argtypes = [_I, _i64p, _i64p, _i64p, _i64p, _i32p]
+    lib.rs_cf_splitting_i32.argtypes = [_I, _i32p, _i32p, _i32p, _i32p,
+                                        _i32p]
+    lib.standard_aggregation_i32.argtypes = [_I, _i32p, _i32p, _i64p,
+                                             _i64p, ctypes.POINTER(_I)]
+    lib.gauss_seidel_sweeps_i32.argtypes = [_I, _i32p, _i32p, _f64p,
+                                            _f64p, _f64p, _I, _I]
+    lib.gauss_seidel_kaczmarz_i32.argtypes = [_I, _i32p, _i32p, _f64p,
+                                              _f64p, _f64p, _D]
+    lib.evolution_nulldim1_i32.argtypes = [_I, _i32p, _i32p, _f64p, _f64p,
+                                           _D]
+    lib.distance_filter_i32.argtypes = [_I, _i32p, _i32p, _f64p, _D]
+    lib.classical_strength_i32.argtypes = [_I, _i32p, _i32p, _f64p, _D,
+                                           _i32p, _i32p, _f64p]
+    lib.classical_strength_i32.restype = _I
+    lib.direct_interpolation_kernel_i32.argtypes = [_I, _i32p, _i32p,
+                                                    _f64p, _i32p, _i32p,
+                                                    _i32p, _i32p, _i32p,
+                                                    _i32p, _f64p]
+    lib.direct_interpolation_kernel_i32.restype = _I
+    lib.standard_interpolation_i32.argtypes = [_I, _i32p, _i32p, _f64p,
+                                               _i32p, _i32p, _f64p, _i32p,
+                                               _i32p, _i32p, _i32p, _f64p]
+    lib.standard_interpolation_i32.restype = _I
+    lib.identity_minus_colscaled.argtypes = [_I, _i64p, _i64p, _f64p,
+                                             _f64p, _D, _f64p]
+    lib.identity_minus_colscaled.restype = _I
+    lib.identity_minus_colscaled_i32.argtypes = [_I, _i32p, _i32p, _f64p,
+                                                 _f64p, _D, _f64p]
+    lib.identity_minus_colscaled_i32.restype = _I
     lib.standard_aggregation.argtypes = [_I, _i64p, _i64p, _i64p, _i64p,
                                          ctypes.POINTER(_I)]
     lib.naive_aggregation.argtypes = [_I, _i64p, _i64p, _i64p, _i64p,
@@ -175,16 +205,32 @@ def _csr_arrays(A):
             np.ascontiguousarray(A.indices, dtype=np.int64))
 
 
+def _csr_ix(A):
+    """(indptr, indices, suffix): scipy's native int32 index arrays pass
+    through copy-free to the ``*_i32`` kernel variants; anything else
+    widens to int64 (the widening was measured at ~0.1-0.2 s per 9M-nnz
+    matrix — a real fraction of the whole setup phase)."""
+    p, j = A.indptr, A.indices
+    if p.dtype == np.int32 and j.dtype == np.int32:
+        return (np.ascontiguousarray(p), np.ascontiguousarray(j), "_i32")
+    return (np.ascontiguousarray(p, dtype=np.int64),
+            np.ascontiguousarray(j, dtype=np.int64), "")
+
+
 def rs_cf_splitting(S, T):
     """Exact Ruge-Stuben splitting; S = strength CSR (zero diag), T = S^T."""
     lib = _load()
     n = S.shape[0]
     if not lib:
         return None
-    Sp, Sj = _csr_arrays(S)
-    Tp, Tj = _csr_arrays(T)
+    Sp, Sj, sfx1 = _csr_ix(S)
+    Tp, Tj, sfx2 = _csr_ix(T)
     out = np.zeros(n, dtype=np.int32)
-    lib.rs_cf_splitting(n, Sp, Sj, Tp, Tj, out)
+    if sfx1 != sfx2:        # mixed index widths: widen both
+        Sp, Sj = _csr_arrays(S)
+        Tp, Tj = _csr_arrays(T)
+        sfx1 = ""
+    getattr(lib, "rs_cf_splitting" + sfx1)(n, Sp, Sj, Tp, Tj, out)
     return out
 
 
@@ -193,11 +239,12 @@ def standard_aggregation_native(C):
     if not lib:
         return None
     n = C.shape[0]
-    Cp, Cj = _csr_arrays(C)
+    Cp, Cj, sfx = _csr_ix(C)
     labels = np.zeros(n, dtype=np.int64)
     roots = np.zeros(n, dtype=np.int64)
     nr = _I(0)
-    lib.standard_aggregation(n, Cp, Cj, labels, roots, ctypes.byref(nr))
+    getattr(lib, "standard_aggregation" + sfx)(n, Cp, Cj, labels, roots,
+                                               ctypes.byref(nr))
     return labels, roots[:nr.value].copy()
 
 
@@ -237,11 +284,11 @@ def gauss_seidel_sweeps_native(A, x, b, iterations, sweep):
     mode = {"forward": 0, "backward": 1, "symmetric": 2}.get(sweep)
     if mode is None:
         return False
-    Ap, Aj = _csr_arrays(A)
+    Ap, Aj, sfx = _csr_ix(A)
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
-    lib.gauss_seidel_sweeps(A.shape[0], Ap, Aj, Ax, x,
-                            np.ascontiguousarray(b, dtype=np.float64),
-                            int(iterations), mode)
+    getattr(lib, "gauss_seidel_sweeps" + sfx)(
+        A.shape[0], Ap, Aj, Ax, x,
+        np.ascontiguousarray(b, dtype=np.float64), int(iterations), mode)
     return True
 
 
@@ -249,11 +296,11 @@ def gauss_seidel_kaczmarz_native(A, x, b, omega=1.0):
     lib = _load()
     if not lib or A.dtype != np.float64 or np.iscomplexobj(x):
         return False
-    Ap, Aj = _csr_arrays(A)
+    Ap, Aj, sfx = _csr_ix(A)
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
-    lib.gauss_seidel_kaczmarz(A.shape[0], Ap, Aj, Ax, x,
-                              np.ascontiguousarray(b, dtype=np.float64),
-                              float(omega))
+    getattr(lib, "gauss_seidel_kaczmarz" + sfx)(
+        A.shape[0], Ap, Aj, Ax, x,
+        np.ascontiguousarray(b, dtype=np.float64), float(omega))
     return True
 
 
@@ -507,6 +554,26 @@ def identity_minus_scaled_native(M, c):
     return Sx if got == n else None
 
 
+def identity_minus_colscaled_native(A, Dinv, c):
+    """Data array of S = I - c*A*diag(Dinv) over A's own CSR pattern —
+    for probe-verified symmetric A this is (I - c*D^{-1}A)^T without any
+    CSC conversion or scaled copy.  None when unavailable or a row lacks
+    a stored diagonal."""
+    lib = _load()
+    if not lib:
+        return None
+    if A.dtype != np.float64 or np.iscomplexobj(A.data):
+        return None
+    n = A.shape[0]
+    Sx = np.empty(A.nnz, dtype=np.float64)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    Dc = np.ascontiguousarray(Dinv, dtype=np.float64)
+    Ap, Aj, sfx = _csr_ix(A)
+    got = getattr(lib, "identity_minus_colscaled" + sfx)(
+        n, Ap, Aj, Ax, Dc, float(c), Sx)
+    return Sx if got == n else None
+
+
 def evolution_epilogue_native(Atilde, epsilon, symmetrize):
     """Fused evolution-SOC tail: distance filter + 0.5(A+A^T) symmetrize +
     unit diagonal + inversion + row scaling in one native call.  Returns the
@@ -596,11 +663,11 @@ def evolution_nulldim1_native(Atilde, b1, tiny):
     if not lib or Atilde.dtype != np.float64 \
             or np.iscomplexobj(Atilde.data):
         return False
-    Ap, Aj = _csr_arrays(Atilde)
+    Ap, Aj, sfx = _csr_ix(Atilde)
     assert Atilde.data.flags["C_CONTIGUOUS"]
-    lib.evolution_nulldim1(Atilde.shape[0], Ap, Aj, Atilde.data,
-                           np.ascontiguousarray(b1, dtype=np.float64),
-                           float(tiny))
+    getattr(lib, "evolution_nulldim1" + sfx)(
+        Atilde.shape[0], Ap, Aj, Atilde.data,
+        np.ascontiguousarray(b1, dtype=np.float64), float(tiny))
     return True
 
 
@@ -611,9 +678,10 @@ def distance_filter_native(C, epsilon):
     lib = _load()
     if not lib or C.dtype != np.float64 or np.iscomplexobj(C.data):
         return False
-    Cp, Cj = _csr_arrays(C)
+    Cp, Cj, sfx = _csr_ix(C)
     assert C.data.flags["C_CONTIGUOUS"]
-    lib.distance_filter(C.shape[0], Cp, Cj, C.data, float(epsilon))
+    getattr(lib, "distance_filter" + sfx)(C.shape[0], Cp, Cj, C.data,
+                                          float(epsilon))
     return True
 
 
@@ -627,12 +695,14 @@ def classical_strength_native(A, theta):
     import scipy.sparse as sp
 
     n = A.shape[0]
-    Ap, Aj = _csr_arrays(A)
+    Ap, Aj, sfx = _csr_ix(A)
+    idt = np.int32 if sfx else np.int64
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
-    Sp = np.zeros(n + 1, dtype=np.int64)
-    Sj = np.zeros(A.nnz, dtype=np.int64)
+    Sp = np.zeros(n + 1, dtype=idt)
+    Sj = np.zeros(A.nnz, dtype=idt)
     Sx = np.zeros(A.nnz, dtype=np.float64)
-    nnz = lib.classical_strength(n, Ap, Aj, Ax, float(theta), Sp, Sj, Sx)
+    nnz = getattr(lib, "classical_strength" + sfx)(n, Ap, Aj, Ax,
+                                                   float(theta), Sp, Sj, Sx)
     return sp.csr_matrix((Sx[:nnz].copy(), Sj[:nnz].copy(), Sp),
                          shape=A.shape)
 
@@ -647,17 +717,22 @@ def direct_interpolation_native(A, C, splitting, cmap, nc):
     import scipy.sparse as sp
 
     n = A.shape[0]
-    Ap, Aj = _csr_arrays(A)
-    Cp, Cj = _csr_arrays(C)
+    Ap, Aj, sfx1 = _csr_ix(A)
+    Cp, Cj, sfx2 = _csr_ix(C)
+    if sfx1 != sfx2:        # mixed index widths: widen both
+        Ap, Aj = _csr_arrays(A)
+        Cp, Cj = _csr_arrays(C)
+        sfx1 = ""
+    idt = np.int32 if sfx1 else np.int64
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
     split32 = np.ascontiguousarray(splitting, dtype=np.int32)
-    cmap64 = np.ascontiguousarray(cmap, dtype=np.int64)
+    cmap_n = np.ascontiguousarray(cmap, dtype=idt)
     cap = C.nnz + n
-    Pp = np.zeros(n + 1, dtype=np.int64)
-    Pj = np.zeros(cap, dtype=np.int64)
+    Pp = np.zeros(n + 1, dtype=idt)
+    Pj = np.zeros(cap, dtype=idt)
     Px = np.zeros(cap, dtype=np.float64)
-    nnz = lib.direct_interpolation_kernel(n, Ap, Aj, Ax, Cp, Cj, split32,
-                                          cmap64, Pp, Pj, Px)
+    nnz = getattr(lib, "direct_interpolation_kernel" + sfx1)(
+        n, Ap, Aj, Ax, Cp, Cj, split32, cmap_n, Pp, Pj, Px)
     return sp.csr_matrix((Px[:nnz].copy(), Pj[:nnz].copy(), Pp),
                          shape=(n, int(nc)))
 
@@ -673,19 +748,24 @@ def standard_interpolation_native(A, S, splitting, cmap, nc):
     import scipy.sparse as sp
 
     n = A.shape[0]
-    Ap, Aj = _csr_arrays(A)
-    Sp, Sj = _csr_arrays(S)
+    Ap, Aj, sfx1 = _csr_ix(A)
+    Sp, Sj, sfx2 = _csr_ix(S)
+    if sfx1 != sfx2:        # mixed index widths: widen both
+        Ap, Aj = _csr_arrays(A)
+        Sp, Sj = _csr_arrays(S)
+        sfx1 = ""
+    idt = np.int32 if sfx1 else np.int64
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
     Sx = np.ascontiguousarray(S.data, dtype=np.float64)
     split32 = np.ascontiguousarray(splitting, dtype=np.int32)
-    cmap64 = np.ascontiguousarray(cmap, dtype=np.int64)
+    cmap_n = np.ascontiguousarray(cmap, dtype=idt)
     # capacity: every stored S entry could be a strong-C emit, plus C rows
     cap = S.nnz + n
-    Pp = np.zeros(n + 1, dtype=np.int64)
-    Pj = np.zeros(cap, dtype=np.int64)
+    Pp = np.zeros(n + 1, dtype=idt)
+    Pj = np.zeros(cap, dtype=idt)
     Px = np.zeros(cap, dtype=np.float64)
-    nnz = lib.standard_interpolation(n, Ap, Aj, Ax, Sp, Sj, Sx, split32,
-                                     cmap64, Pp, Pj, Px)
+    nnz = getattr(lib, "standard_interpolation" + sfx1)(
+        n, Ap, Aj, Ax, Sp, Sj, Sx, split32, cmap_n, Pp, Pj, Px)
     return sp.csr_matrix((Px[:nnz].copy(), Pj[:nnz].copy(), Pp),
                          shape=(n, int(nc)))
 

@@ -48,9 +48,12 @@ extern "C" {
 // — coarse grids at deeper levels depend on it — so the boundary mechanics
 // deliberately match the reference formulation (ruge_stuben.h:158)
 // move-for-move, not just the C/F invariants.
-void rs_cf_splitting(I n,
-                     const I* Sp, const I* Sj,
-                     const I* Tp, const I* Tj,
+}  // extern "C"
+
+template <typename Ix>
+static void rs_cf_splitting_impl(I n,
+                     const Ix* Sp, const Ix* Sj,
+                     const Ix* Tp, const Ix* Tj,
                      int32_t* splitting) {
     const int32_t U = -1, F = 0, C = 1;
     std::vector<I> lambda(n);
@@ -131,7 +134,8 @@ void rs_cf_splitting(I n,
 // needed).  labels out: aggregate id or -1 (isolated); roots out (size n,
 // first *n_roots entries valid).
 // ---------------------------------------------------------------------------
-void standard_aggregation(I n, const I* Cp, const I* Cj,
+template <typename Ix>
+static void standard_aggregation_impl(I n, const Ix* Cp, const Ix* Cj,
                           I* labels, I* roots, I* n_roots) {
     std::fill(labels, labels + n, (I)-1);
     I next = 0, nr = 0;
@@ -184,6 +188,29 @@ void standard_aggregation(I n, const I* Cp, const I* Cj,
     *n_roots = nr;
 }
 
+extern "C" {
+
+void rs_cf_splitting(I n, const I* Sp, const I* Sj,
+                     const I* Tp, const I* Tj, int32_t* splitting) {
+    rs_cf_splitting_impl<I>(n, Sp, Sj, Tp, Tj, splitting);
+}
+
+void rs_cf_splitting_i32(I n, const int32_t* Sp, const int32_t* Sj,
+                         const int32_t* Tp, const int32_t* Tj,
+                         int32_t* splitting) {
+    rs_cf_splitting_impl<int32_t>(n, Sp, Sj, Tp, Tj, splitting);
+}
+
+void standard_aggregation(I n, const I* Cp, const I* Cj,
+                          I* labels, I* roots, I* n_roots) {
+    standard_aggregation_impl<I>(n, Cp, Cj, labels, roots, n_roots);
+}
+
+void standard_aggregation_i32(I n, const int32_t* Cp, const int32_t* Cj,
+                              I* labels, I* roots, I* n_roots) {
+    standard_aggregation_impl<int32_t>(n, Cp, Cj, labels, roots, n_roots);
+}
+
 // single-pass greedy aggregation
 void naive_aggregation(I n, const I* Cp, const I* Cj,
                        I* labels, I* roots, I* n_roots) {
@@ -224,7 +251,11 @@ void gauss_seidel_indexed(I n_idx, const I* order,
 // library crossing per relaxation call instead of one per sweep (the
 // ctypes marshalling around gauss_seidel_indexed costs as much as a 20k-row
 // sweep itself).  mode: 0=forward, 1=backward, 2=symmetric.
-void gauss_seidel_sweeps(I n, const I* Ap, const I* Aj, const double* Ax,
+}  // extern "C"
+
+template <typename Ix>
+static void gauss_seidel_sweeps_impl(I n, const Ix* Ap, const Ix* Aj,
+                         const double* Ax,
                          double* x, const double* b, I iterations, I mode) {
     auto fwd = [&]() {
         for (I i = 0; i < n; i++) {
@@ -255,7 +286,9 @@ void gauss_seidel_sweeps(I n, const I* Ap, const I* Aj, const double* Ax,
 }
 
 // NE Gauss-Seidel (Kaczmarz) row projections, forward order
-void gauss_seidel_kaczmarz(I n, const I* Ap, const I* Aj, const double* Ax,
+template <typename Ix>
+static void gauss_seidel_kaczmarz_impl(I n, const Ix* Ap, const Ix* Aj,
+                           const double* Ax,
                            double* x, const double* b, double omega) {
     for (I i = 0; i < n; i++) {
         double rn = 0.0, ri = b[i];
@@ -268,6 +301,30 @@ void gauss_seidel_kaczmarz(I n, const I* Ap, const I* Aj, const double* Ax,
         for (I jj = Ap[i]; jj < Ap[i + 1]; jj++)
             x[Aj[jj]] += c * Ax[jj];
     }
+}
+
+extern "C" {
+
+void gauss_seidel_sweeps(I n, const I* Ap, const I* Aj, const double* Ax,
+                         double* x, const double* b, I iterations, I mode) {
+    gauss_seidel_sweeps_impl<I>(n, Ap, Aj, Ax, x, b, iterations, mode);
+}
+
+void gauss_seidel_sweeps_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                             const double* Ax, double* x, const double* b,
+                             I iterations, I mode) {
+    gauss_seidel_sweeps_impl<int32_t>(n, Ap, Aj, Ax, x, b, iterations, mode);
+}
+
+void gauss_seidel_kaczmarz(I n, const I* Ap, const I* Aj, const double* Ax,
+                           double* x, const double* b, double omega) {
+    gauss_seidel_kaczmarz_impl<I>(n, Ap, Aj, Ax, x, b, omega);
+}
+
+void gauss_seidel_kaczmarz_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                               const double* Ax, double* x, const double* b,
+                               double omega) {
+    gauss_seidel_kaczmarz_impl<int32_t>(n, Ap, Aj, Ax, x, b, omega);
 }
 
 // ---------------------------------------------------------------------------
@@ -583,7 +640,11 @@ void csr_to_dia_f32_i32(I n, I m, const int32_t* Ap, const int32_t* Aj,
 // below `tiny` clamp to 1e-4 so the later 1/distance inversion stays finite.
 // In-place on Ax.
 // ---------------------------------------------------------------------------
-void evolution_nulldim1(I n, const I* Ap, const I* Aj, double* Ax,
+}  // extern "C"
+
+template <typename Ix>
+static void evolution_nulldim1_impl(I n, const Ix* Ap, const Ix* Aj,
+                        double* Ax,
                         const double* b1, double tiny) {
     for (I i = 0; i < n; i++) {
         double zii = 0.0;
@@ -611,7 +672,8 @@ void evolution_nulldim1(I n, const I* Ap, const I* Aj, double* Ax,
 // S_ij < epsilon * min_k S_ik, stored diagonal to 1.  In-place on Ax
 // (dropped entries set 0; caller compacts).
 // ---------------------------------------------------------------------------
-void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
+template <typename Ix>
+static void distance_filter_impl(I n, const Ix* Ap, const Ix* Aj, double* Ax,
                      double epsilon) {
     for (I i = 0; i < n; i++) {
         double dmin = std::numeric_limits<double>::infinity();
@@ -625,6 +687,30 @@ void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
     }
 }
 
+extern "C" {
+
+void evolution_nulldim1(I n, const I* Ap, const I* Aj, double* Ax,
+                        const double* b1, double tiny) {
+    evolution_nulldim1_impl<I>(n, Ap, Aj, Ax, b1, tiny);
+}
+
+void evolution_nulldim1_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                            double* Ax, const double* b1, double tiny) {
+    evolution_nulldim1_impl<int32_t>(n, Ap, Aj, Ax, b1, tiny);
+}
+
+void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
+                     double epsilon) {
+    distance_filter_impl<I>(n, Ap, Aj, Ax, epsilon);
+}
+
+void distance_filter_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                         double* Ax, double epsilon) {
+    distance_filter_impl<int32_t>(n, Ap, Aj, Ax, epsilon);
+}
+
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // S = I - c*M over M's CSR arrays in ONE value pass: Sx = -c*Mx, +1.0 at the
 // stored diagonal (role of the eye-plus-scale chain in evolution SOC, which
@@ -632,7 +718,6 @@ void distance_filter(I n, const I* Ap, const I* Aj, double* Ax,
 // Returns the number of rows with a stored diagonal; the caller falls back
 // to a sparse add when any row lacks one.
 // ---------------------------------------------------------------------------
-}  // extern "C"
 
 template <typename Ix>
 static I identity_minus_scaled_impl(I n, const Ix* Ap, const Ix* Aj,
@@ -642,6 +727,36 @@ static I identity_minus_scaled_impl(I n, const Ix* Ap, const Ix* Aj,
         bool has_diag = false;
         for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
             double v = -c * Ax[jj];
+            if ((I)Aj[jj] == i) { v += 1.0; has_diag = true; }
+            Sx[jj] = v;
+        }
+        diag_rows += has_diag;
+    }
+    return diag_rows;
+}
+
+// ---------------------------------------------------------------------------
+// S = I - c * A * D^{-1} over A's CSR arrays in ONE value pass:
+// Sx[p] = -c * Ax[p] * Dinv[Aj[p]], +1.0 at the stored diagonal.  For
+// probe-verified SYMMETRIC A this equals (I - c D^{-1} A)^T, so the
+// evolution-SOC transpose operator is built without the CSC conversion and
+// the scaled-copy pass (role of the transpose staging around
+// incomplete_mat_mult_csr, evolution_strength.h:676).  Returns the number
+// of rows with a stored diagonal.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static I identity_minus_colscaled_impl(I n, const Ix* Ap, const Ix* Aj,
+                                       const double* Ax, const double* Dinv,
+                                       double c, double* Sx) {
+    I diag_rows = 0;
+    for (I i = 0; i < n; i++) {
+        bool has_diag = false;
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            // association matches the transpose path bit-for-bit for
+            // bitwise-symmetric A: -(c * (A_ij * Dinv_j)) — scale_rows
+            // produced Dinv_j*A_ji first, then identity_minus_scaled
+            // multiplied by -c (products commute bitwise in IEEE)
+            double v = -c * (Ax[jj] * Dinv[Aj[jj]]);
             if ((I)Aj[jj] == i) { v += 1.0; has_diag = true; }
             Sx[jj] = v;
         }
@@ -783,6 +898,18 @@ I identity_minus_scaled_i32(I n, const int32_t* Ap, const int32_t* Aj,
     return identity_minus_scaled_impl<int32_t>(n, Ap, Aj, Ax, c, Sx);
 }
 
+I identity_minus_colscaled(I n, const I* Ap, const I* Aj, const double* Ax,
+                           const double* Dinv, double c, double* Sx) {
+    return identity_minus_colscaled_impl<I>(n, Ap, Aj, Ax, Dinv, c, Sx);
+}
+
+I identity_minus_colscaled_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                               const double* Ax, const double* Dinv,
+                               double c, double* Sx) {
+    return identity_minus_colscaled_impl<int32_t>(n, Ap, Aj, Ax, Dinv, c,
+                                                  Sx);
+}
+
 void masked_spgemm_rr(I n_row, I n_col,
                       const I* Ap, const I* Aj, const double* Ax,
                       const I* Bp, const I* Bj, const double* Bx,
@@ -836,8 +963,12 @@ I evolution_epilogue_i32(I n, const int32_t* Ap, const int32_t* Aj,
 // (the numpy path's eliminate_zeros).  A sorted CSR; emits CSR S (capacity
 // A.nnz).  Returns nnz written.
 // ---------------------------------------------------------------------------
-I classical_strength(I n, const I* Ap, const I* Aj, const double* Ax,
-                     double theta, I* Sp, I* Sj, double* Sx) {
+}  // extern "C"
+
+template <typename Ix>
+static I classical_strength_impl(I n, const Ix* Ap, const Ix* Aj,
+                     const double* Ax,
+                     double theta, Ix* Sp, Ix* Sj, double* Sx) {
     I nnz = 0;
     Sp[0] = 0;
     for (I i = 0; i < n; i++) {
@@ -879,11 +1010,12 @@ I classical_strength(I n, const I* Ap, const I* Aj, const double* Ax,
 // A sorted CSR; C = strength pattern (indices only, sorted; values unused).
 // Emits CSR P (capacity: C.nnz + n).  Returns nnz written.
 // ---------------------------------------------------------------------------
-I direct_interpolation_kernel(I n,
-                              const I* Ap, const I* Aj, const double* Ax,
-                              const I* Cp, const I* Cj,
-                              const int32_t* splitting, const I* cmap,
-                              I* Pp, I* Pj, double* Px) {
+template <typename Ix>
+static I direct_interpolation_impl(I n,
+                              const Ix* Ap, const Ix* Aj, const double* Ax,
+                              const Ix* Cp, const Ix* Cj,
+                              const int32_t* splitting, const Ix* cmap,
+                              Ix* Pp, Ix* Pj, double* Px) {
     I nnz = 0;
     Pp[0] = 0;
     for (I i = 0; i < n; i++) {
@@ -935,11 +1067,12 @@ I direct_interpolation_kernel(I n,
     return nnz;
 }
 
-I standard_interpolation(I n,
-                         const I* Ap, const I* Aj, const double* Ax,
-                         const I* Sp, const I* Sj, const double* Sx,
-                         const int32_t* splitting, const I* cmap,
-                         I* Pp, I* Pj, double* Px) {
+template <typename Ix>
+static I standard_interpolation_impl(I n,
+                         const Ix* Ap, const Ix* Aj, const double* Ax,
+                         const Ix* Sp, const Ix* Sj, const double* Sx,
+                         const int32_t* splitting, const Ix* cmap,
+                         Ix* Pp, Ix* Pj, double* Px) {
     std::vector<double> contrib(n, 0.0);
     std::vector<char> inCi(n, 0);
     I nnz = 0;
@@ -1000,6 +1133,61 @@ I standard_interpolation(I n,
         Pp[i + 1] = nnz;
     }
     return nnz;
+}
+
+extern "C" {
+
+I classical_strength(I n, const I* Ap, const I* Aj, const double* Ax,
+                     double theta, I* Sp, I* Sj, double* Sx) {
+    return classical_strength_impl<I>(n, Ap, Aj, Ax, theta, Sp, Sj, Sx);
+}
+
+I classical_strength_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                         const double* Ax, double theta,
+                         int32_t* Sp, int32_t* Sj, double* Sx) {
+    return classical_strength_impl<int32_t>(n, Ap, Aj, Ax, theta, Sp, Sj,
+                                            Sx);
+}
+
+I direct_interpolation_kernel(I n,
+                              const I* Ap, const I* Aj, const double* Ax,
+                              const I* Cp, const I* Cj,
+                              const int32_t* splitting, const I* cmap,
+                              I* Pp, I* Pj, double* Px) {
+    return direct_interpolation_impl<I>(n, Ap, Aj, Ax, Cp, Cj, splitting,
+                                        cmap, Pp, Pj, Px);
+}
+
+I direct_interpolation_kernel_i32(I n,
+                                  const int32_t* Ap, const int32_t* Aj,
+                                  const double* Ax,
+                                  const int32_t* Cp, const int32_t* Cj,
+                                  const int32_t* splitting,
+                                  const int32_t* cmap,
+                                  int32_t* Pp, int32_t* Pj, double* Px) {
+    return direct_interpolation_impl<int32_t>(n, Ap, Aj, Ax, Cp, Cj,
+                                              splitting, cmap, Pp, Pj, Px);
+}
+
+I standard_interpolation(I n,
+                         const I* Ap, const I* Aj, const double* Ax,
+                         const I* Sp, const I* Sj, const double* Sx,
+                         const int32_t* splitting, const I* cmap,
+                         I* Pp, I* Pj, double* Px) {
+    return standard_interpolation_impl<I>(n, Ap, Aj, Ax, Sp, Sj, Sx,
+                                          splitting, cmap, Pp, Pj, Px);
+}
+
+I standard_interpolation_i32(I n,
+                             const int32_t* Ap, const int32_t* Aj,
+                             const double* Ax,
+                             const int32_t* Sp, const int32_t* Sj,
+                             const double* Sx, const int32_t* splitting,
+                             const int32_t* cmap,
+                             int32_t* Pp, int32_t* Pj, double* Px) {
+    return standard_interpolation_impl<int32_t>(n, Ap, Aj, Ax, Sp, Sj, Sx,
+                                                splitting, cmap, Pp, Pj,
+                                                Px);
 }
 
 }  // extern "C"

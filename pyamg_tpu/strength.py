@@ -235,6 +235,8 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         Bmat = np.asarray(B).reshape(A.shape[0], -1)
 
     D = A.diagonal()
+    Dinv = None
+    Dinv_A = None
     if bsr_in and block_flag:
         Dinv_blocks = get_block_diag(A, blocksize=numPDEs, inv_flag=True)
         Dinv_mat = sparse.bsr_matrix(
@@ -246,10 +248,15 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         mask_nz = D != 0
         Dinv[mask_nz] = 1.0 / D[mask_nz]
         Dinv[~mask_nz] = 1.0
-        Dinv_A = scale_rows(to_csr(A), Dinv, copy=True)
+        # Dinv_A itself (an O(nnz) scaled copy) is built lazily: the
+        # probe-verified symmetric path below never materializes it
     A = to_csr(A)
     A.eliminate_zeros()
     A.sort_indices()
+
+    def _get_Dinv_A():
+        return (Dinv_A if Dinv_A is not None
+                else scale_rows(A, Dinv, copy=True))
 
     dimen = A.shape[1]
     NullDim = Bmat.shape[1]
@@ -261,13 +268,15 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     # Gram-Schmidt, 15 matvecs total).  The probe costs two matvecs
     # (A.T of a CSR is a free CSC view in scipy).
     rho_DinvA = None
+    sym_probe_rel = np.inf
     if (not np.iscomplexobj(A.data) and numPDEs == 1
             and A.shape[0] == A.shape[1] and (D > 0).all()):
         xp = np.random.default_rng(1).standard_normal(A.shape[0])
         y1 = A @ xp
         y2 = A.T @ xp
         scale = float(np.abs(y1).max()) or 1.0
-        if float(np.abs(y1 - y2).max()) <= 1e-8 * scale:
+        sym_probe_rel = float(np.abs(y1 - y2).max()) / scale
+        if sym_probe_rel <= 1e-8:
             from scipy.sparse.linalg import LinearOperator
 
             from .util.linalg import _rho_lanczos
@@ -285,6 +294,7 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     if rho_DinvA is None:
         # estimate on an f32 twin (2x cheaper host matvecs); the evolution
         # products stay in A's dtype
+        Dinv_A = _get_Dinv_A()
         rho_op = Dinv_A.astype(np.float32) if Dinv_A.dtype == np.float64 \
             else Dinv_A
         rho_DinvA = approximate_spectral_radius(rho_op)
@@ -297,18 +307,34 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     nsquare = int(np.log2(k))
     ninc = k - 2**nsquare
 
-    # (I - c*Dinv_A)^T built directly from Dinv_A's CSC arrays (the CSC of a
-    # matrix IS the CSR of its transpose) with the identity folded into the
-    # stored diagonal — avoids two O(nnz) sparse binop passes
-    W = Dinv_A.tocsc()
-    W.sort_indices()
-    from .amg_core import identity_minus_scaled_native
+    # (I - c*D^{-1}A)^T.  For probe-verified (bitwise-level) symmetric A
+    # this equals I - c*A*D^{-1}, built in ONE value pass over A's own CSR
+    # arrays (identity_minus_colscaled) — no CSC conversion, no scaled
+    # copy: the two O(nnz) passes dominated the host evolution setup at
+    # 1M rows.  The association inside the kernel matches the transpose
+    # path bit-for-bit, so hierarchies are unchanged for exactly
+    # symmetric (stencil) operators.  Otherwise: built from Dinv_A's CSC
+    # arrays (the CSC of a matrix IS the CSR of its transpose) with the
+    # identity folded into the stored diagonal.
+    from .amg_core import (identity_minus_colscaled_native,
+                           identity_minus_scaled_native)
 
-    Sx = identity_minus_scaled_native(W, 1.0 / rho_DinvA)
-    if Sx is not None:
-        Atilde = sparse.csr_matrix((Sx, W.indices, W.indptr),
-                                   shape=(dimen, dimen))
-    else:
+    Atilde = None
+    W = None
+    if sym_probe_rel <= 1e-13 and Dinv is not None:
+        Sx = identity_minus_colscaled_native(A, Dinv, 1.0 / rho_DinvA)
+        if Sx is not None:
+            Atilde = sparse.csr_matrix((Sx, A.indices, A.indptr),
+                                       shape=(dimen, dimen))
+    if Atilde is None:
+        Dinv_A = _get_Dinv_A()
+        W = Dinv_A.tocsc()
+        W.sort_indices()
+        Sx = identity_minus_scaled_native(W, 1.0 / rho_DinvA)
+        if Sx is not None:
+            Atilde = sparse.csr_matrix((Sx, W.indices, W.indptr),
+                                       shape=(dimen, dimen))
+    if Atilde is None:
         Atilde = sparse.csr_matrix(
             ((-1.0 / rho_DinvA) * W.data, W.indices, W.indptr),
             shape=(dimen, dimen))
