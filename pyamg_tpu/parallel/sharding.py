@@ -40,6 +40,20 @@ def pad_to(n: int, k: int) -> int:
     return -(-n // k) * k
 
 
+def _line_pad_quantum(sm) -> int:
+    """Row-count quantum a line smoother needs for padding.
+
+    Line smoothers reshape vectors to the level's grid, so padded rows must
+    arrive as WHOLE leading-axis slabs (row-major: appending axis-0 slabs
+    is exactly appending rows at the end of the flat vector).  One slab is
+    ``prod(grid[1:]) * q`` rows (q = dofs per grid node for node-blocked
+    levels)."""
+    if sm is None or sm.line_tri is None or not sm.grid:
+        return 1
+    q = sm.line_tri.shape[-1] if sm.line_tri.ndim == 5 else 1
+    return int(np.prod(sm.grid[1:])) * q
+
+
 def _pad_ell(E: SparseELL, n_rows_pad: int, n_cols_pad: int) -> SparseELL:
     """Pad an ELL operator with structurally-empty rows/columns.
 
@@ -120,14 +134,57 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
         subdomain_idx = jax.device_put(subdomain_idx, sdom)
         subdomain_inv = jax.device_put(subdomain_inv, sinv)
     line_tri = sm.line_tri
+    grid = sm.grid
     if line_tri is not None:
-        n_grid = int(np.prod(sm.grid)) if sm.grid else -1
+        q = line_tri.shape[-1] if line_tri.ndim == 5 else 1
+        slab = int(np.prod(grid[1:])) * q
+        n_grid = int(np.prod(grid)) * q
         if n_grid != n_pad:
-            raise ValueError(
-                f"cannot shard a {sm.kind!r} line smoother on a level padded "
-                f"from {n_grid} to {n_pad} rows: the grid reshape would be "
-                f"invalid. Use a problem size divisible by the device count "
-                f"or StructuredShardedSolver.")
+            # Pad by whole axis-0 slabs (row-major: appended slabs ARE the
+            # trailing pad rows of the flat vector).  Padding rows carry a
+            # structurally-zero A row and zero RHS, so their residual is
+            # identically zero throughout the iteration; the tridiagonal
+            # systems are extended with DECOUPLED identity rows/lines, so
+            # the correction there is exactly zero and the original lines'
+            # solves are bit-unchanged (eliminations across the zero
+            # couplings contribute exact zeros in the cyclic reduction).
+            if n_pad % slab:
+                raise ValueError(
+                    f"padded size {n_pad} is not a whole number of grid "
+                    f"slabs ({slab} rows) for the {sm.kind!r} line smoother")
+            g0_new = n_pad // slab
+            tri = np.asarray(line_tri)
+            laxis = sm.line_axis % len(grid)
+            if laxis == 0:
+                # lines RUN along the padded axis: each system gains a
+                # decoupled identity tail
+                L = tri.shape[2]
+                shp = list(tri.shape)
+                shp[2] = g0_new
+                new = np.zeros(shp, dtype=tri.dtype)
+                new[:, :, :L] = tri
+                if tri.ndim == 5:
+                    new[1, :, L:] = np.eye(q, dtype=tri.dtype)
+                    new[2, :, L - 1:] = 0.0      # cut coupling into the tail
+                else:
+                    new[1, :, L:] = 1.0
+                    new[2, :, L - 1:] = 0.0
+            else:
+                # padding adds whole NEW lines, appended after the original
+                # ones in the flattened line order
+                nlines = tri.shape[1]
+                nlines_new = (g0_new * int(np.prod(grid[1:]))
+                              // int(grid[laxis]))
+                shp = list(tri.shape)
+                shp[1] = nlines_new
+                new = np.zeros(shp, dtype=tri.dtype)
+                new[:, :nlines] = tri
+                if tri.ndim == 5:
+                    new[1, nlines:] = np.eye(q, dtype=tri.dtype)
+                else:
+                    new[1, nlines:] = 1.0
+            line_tri = jnp.asarray(new)
+            grid = (g0_new,) + tuple(grid[1:])
         nlines = line_tri.shape[1]
         stri = (NamedSharding(mesh, P(None, axis, None))
                 if nlines % nd == 0 else repl)
@@ -148,7 +205,7 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
                         AT=AT, dinv_ne=dinv_ne,
                         subdomain_idx=subdomain_idx,
                         subdomain_inv=subdomain_inv,
-                        line_tri=line_tri, grid=sm.grid,
+                        line_tri=line_tri, grid=grid,
                         line_axis=sm.line_axis,
                         color_rows=color_rows, color_cols=color_cols,
                         color_data=color_data)
@@ -170,11 +227,19 @@ class ShardedSolver:
         nd = mesh.devices.size
         self.n_orig = ml.levels[0].A_csr.shape[0]
 
-        # padded sizes per level (multiple of device count; blocksize-safe)
+        # padded sizes per level (multiple of device count; blocksize-safe;
+        # line smoothers additionally require whole grid slabs — see
+        # _line_pad_quantum)
+        import math
+
         sizes = []
         for lvl in ml.levels:
             bs = max(getattr(lvl, "blocksize", 1), 1)
-            sizes.append(pad_to(lvl.A_csr.shape[0], nd * bs))
+            quantum = nd * bs
+            for sm in (getattr(lvl, "presmoother", None),
+                       getattr(lvl, "postsmoother", None)):
+                quantum = math.lcm(quantum, _line_pad_quantum(sm))
+            sizes.append(pad_to(lvl.A_csr.shape[0], quantum))
         self.sizes = sizes
 
         levels = []
