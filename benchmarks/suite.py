@@ -32,6 +32,12 @@ os.makedirs(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
             exist_ok=True)
 import jax  # noqa: E402
 
+# --sharded re-exec marker: the env-var JAX_PLATFORMS override does not
+# stick under the forced axon plugin, so the subprocess sets this and we
+# flip the platform via config (same pattern as __graft_entry__).
+if os.environ.get("PYAMG_TPU_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..",
@@ -79,16 +85,164 @@ def _solve_mp(A, ml, b, **kw):
             "relres": rr}
 
 
+def _collective_counts(hlo_text):
+    """Static collective-instruction counts in a compiled HLO module (the
+    call-site spellings; `-start` covers the async forms)."""
+    import re
+
+    out = {}
+    for name in ("all-reduce", "all-gather", "reduce-scatter",
+                 "collective-permute", "all-to-all"):
+        n = len(re.findall(re.escape(name) + r"(?:-start)?\(", hlo_text))
+        if n:
+            out[name] = n
+    return out
+
+
+def run_sharded(n_devices, small):
+    """Multi-chip benchmark mode (SURVEY §7 step 8): headline + config 2
+    under the sharded solvers, recording per-device DoF/s and the
+    collective instruction counts of the compiled programs.
+
+    Produces one JSON artifact (benchmarks/results/sharded_<platform><N>.json)
+    so the same command run on a real v5e-N pod records the scaling row.
+    When fewer than N real devices are attached, re-execs itself on an
+    N-device virtual CPU mesh — same programs, host backend.
+    """
+    try:
+        have = len(jax.devices())
+    except Exception:
+        have = 0
+    if have < n_devices:
+        import subprocess
+
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                            f" --xla_force_host_platform_device_count="
+                            f"{n_devices}")
+        env["PYAMG_TPU_FORCE_CPU"] = "1"
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--sharded", str(n_devices)]
+        if small:
+            cmd.append("--small")
+        r = subprocess.run(cmd, env=env)
+        if r.returncode:
+            raise SystemExit(r.returncode)
+        return
+
+    import pyamg_tpu
+    from pyamg_tpu.gallery import (poisson, stencil_grid,
+                                   diffusion_stencil_2d)
+    from pyamg_tpu.parallel import (make_mesh, classical_setup_sharded,
+                                    structured_sa_setup_sharded)
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform != "cpu"
+    mesh = make_mesh(n_devices)
+    results = {"mode": "sharded", "n_devices": n_devices,
+               "platform": platform, "configs": []}
+
+    def record(name, n, setup_s, solve_s, iters, relres, coll):
+        out = {"config": name, "n": int(n), "n_devices": n_devices,
+               "platform": platform, "setup_s": round(setup_s, 2),
+               "solve_s": round(solve_s, 4), "iters": int(iters),
+               "relres": float(relres),
+               "dofps": round(n / solve_s, 1),
+               "per_device_dofps": round(n / solve_s / n_devices, 1),
+               "collectives_per_program": coll}
+        print(json.dumps(out))
+        results["configs"].append(out)
+
+    def accel_hlo(ml, b_dev, maxiter):
+        """Compiled HLO of the fused CG+V-cycle program actually used by
+        solve (hierarchy passed as pytree argument, mesh-placed)."""
+        run = ml._raw_accel("cg", "V", int(maxiter))
+        hier = ml._dev()
+        tol_t = jnp.asarray(1e-8, dtype=jnp.real(
+            jnp.zeros(0, b_dev.dtype)).dtype)
+        return run.lower(hier, jnp.zeros_like(b_dev), b_dev,
+                         tol_t).compile().as_text()
+
+    rng = np.random.default_rng(0)
+
+    # 1. headline: structured SA on 2D Poisson, SETUP distributed over the
+    #    mesh (SPMD comb-probe RAP) and the fused CG+V-cycle solve SPMD.
+    g = ((1024, 1024) if on_tpu else
+         ((128, 128) if small else (512, 512)))
+    A = poisson(g, format="csr")
+    n = A.shape[0]
+    b = np.asarray(A @ rng.random(n))
+    t0 = time.time()
+    ml = structured_sa_setup_sharded(A, g, mesh=mesh, dtype=jnp.float32,
+                                     max_coarse=500)
+    setup_s = time.time() - t0
+    res = []
+    ml.solve(b, tol=1e-6, maxiter=60, accel="cg", residuals=res)  # warm-up
+    res = []
+    t0 = time.time()
+    x = ml.solve(b, tol=1e-6, maxiter=60, accel="cg", residuals=res)
+    solve_s = time.time() - t0
+    rr = float(np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+               / np.linalg.norm(b))
+    b_dev = jax.device_put(
+        jnp.asarray(b, dtype=ml.levels[0].A.dtype),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("rows")))
+    coll = _collective_counts(accel_hlo(ml, b_dev, 60))
+    record("headline_poisson_sa_sharded", n, setup_s, solve_s,
+           len(res) - 1, rr, coll)
+
+    # 2. config 2: rotated anisotropic diffusion, classical AMG with
+    #    evolution SOC — setup distributed (classical_setup_sharded:
+    #    host integer graph stages, SPMD numeric stages), padded-ELL solve.
+    g2 = ((1024, 1024) if on_tpu else
+          ((96, 96) if small else (256, 256)))
+    sten = diffusion_stencil_2d(epsilon=0.01, theta=np.pi / 4, type="FD")
+    A2 = stencil_grid(sten, g2, format="csr")
+    n2 = A2.shape[0]
+    b2 = np.asarray(A2 @ rng.random(n2))
+    t0 = time.time()
+    sol = classical_setup_sharded(
+        A2, mesh=mesh, strength=("evolution", {"k": 2, "epsilon": 4.0}),
+        CF="RS", interpolation="standard", dtype=np.float32)
+    setup2_s = time.time() - t0
+    res2 = []
+    sol.solve(b2, tol=1e-6, maxiter=60, accel="cg", residuals=res2)
+    res2 = []
+    t0 = time.time()
+    x2 = sol.solve(b2, tol=1e-6, maxiter=60, accel="cg", residuals=res2)
+    solve2_s = time.time() - t0
+    rr2 = float(np.linalg.norm(b2 - A2 @ np.asarray(x2, dtype=float))
+                / np.linalg.norm(b2))
+    coll2 = _collective_counts(
+        accel_hlo(sol.inner, sol._pad_vec(b2), 60))
+    record("anisotropic_classical_sharded", n2, setup2_s, solve2_s,
+           len(res2) - 1, rr2, coll2)
+
+    out_path = os.path.join(os.path.dirname(__file__), "results",
+                            f"sharded_{platform}{n_devices}.json")
+    json.dump(results, open(out_path, "w"), indent=1)
+    print(f"# wrote {out_path}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="shrink problem sizes for CI")
     ap.add_argument("--only", default=None,
                     help="run only configs whose name contains this")
+    ap.add_argument("--sharded", type=int, default=0, metavar="N",
+                    help="run the multi-chip benchmark mode over an "
+                         "N-device mesh (virtual CPU mesh when fewer "
+                         "real devices are attached)")
     args = ap.parse_args()
     s = args.small
     global _ONLY
     _ONLY = args.only
+
+    if args.sharded:
+        run_sharded(args.sharded, s)
+        return
 
     import pyamg_tpu
     from pyamg_tpu.gallery import (poisson, stencil_grid,
