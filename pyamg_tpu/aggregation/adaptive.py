@@ -454,6 +454,19 @@ def adaptive_sa_solver(A, initial_candidates=None, symmetry="hermitian",
     ``num_candidates`` is the *total* number of near-nullspace candidates
     (the initial stage provides the first; the general stage adds the rest).
     ``work`` is the setup work estimate in units of fine-level nnz.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation import adaptive_sa_solver
+    >>> A = poisson((16, 16), format='csr')
+    >>> ml, work = adaptive_sa_solver(A, num_candidates=1, max_coarse=20)
+    >>> b = np.ones(A.shape[0])
+    >>> res = []
+    >>> x = ml.solve(b, tol=1e-8, residuals=res)
+    >>> res[-1] < 1e-8 * res[0] and work > 0
+    True
     """
     A = to_csr(A)
     work = 0.0

@@ -139,6 +139,19 @@ def smoothed_aggregation_solver(A, B=None, BH=None, symmetry="hermitian",
     directly in that dtype (e.g. ``jnp.float32`` for an f32 preconditioner
     from an f64 host setup) — host-side casts before the H2D transfers,
     instead of transferring f64 and casting on device.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation import smoothed_aggregation_solver
+    >>> A = poisson((32, 32), format='csr')
+    >>> ml = smoothed_aggregation_solver(A, max_coarse=50)
+    >>> b = np.ones(A.shape[0])
+    >>> res = []
+    >>> x = ml.solve(b, tol=1e-8, residuals=res)
+    >>> res[-1] < 1e-8 * res[0]
+    True
     """
     if symmetry not in ("hermitian", "symmetric", "nonsymmetric"):
         raise ValueError("expected 'symmetric', 'nonsymmetric' or "

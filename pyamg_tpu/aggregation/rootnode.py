@@ -39,7 +39,21 @@ def rootnode_solver(A, B=None, BH=None, symmetry="hermitian",
                                           "iterations": 4}), None),
                     max_levels=10, max_coarse=500, keep=False,
                     coarse_solver="pinv", **kwargs):
-    """Create a root-node SA solver (reference rootnode.py:33)."""
+    """Create a root-node SA solver (reference rootnode.py:33).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation import rootnode_solver
+    >>> A = poisson((16, 16), format='csr')
+    >>> ml = rootnode_solver(A, max_coarse=20)
+    >>> b = np.ones(A.shape[0])
+    >>> res = []
+    >>> x = ml.solve(b, tol=1e-8, residuals=res)
+    >>> res[-1] < 1e-8 * res[0]
+    True
+    """
     if symmetry not in ("hermitian", "symmetric", "nonsymmetric"):
         raise ValueError("invalid symmetry")
 

@@ -108,7 +108,23 @@ def jacobi_prolongation_smoother(S, T, C, B, omega=4.0 / 3.0, degree=1,
                                  sym_hint=None):
     """P = (I - omega/rho(D^{-1}S) D^{-1}S)^degree T
     (reference smooth.py:67), with optional strength filtering that
-    preserves T B_c via constraint satisfaction."""
+    preserves T B_c via constraint satisfaction.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation.aggregate import standard_aggregation
+    >>> from pyamg_tpu.aggregation.tentative import fit_candidates
+    >>> from pyamg_tpu.aggregation.smooth import (
+    ...     jacobi_prolongation_smoother)
+    >>> A = poisson((16, 16), format='csr')
+    >>> AggOp, _ = standard_aggregation(A)
+    >>> T, Bc = fit_candidates(AggOp, np.ones((A.shape[0], 1)))
+    >>> P = jacobi_prolongation_smoother(A, T, A, np.ones((A.shape[0], 1)))
+    >>> P.shape == T.shape and P.nnz >= T.nnz
+    True
+    """
     if not filter:
         E = _jacobi_operator(S, omega, weighting, sym_hint)
         if E is not None:

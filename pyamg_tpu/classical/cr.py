@@ -53,6 +53,16 @@ def CR(A, method="habituated", B=None, maxiter=20, nu=3, thetacr=0.7,
     (constant when None).
 
     Returns splitting array (1 = C, 0 = F).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.classical.cr import CR
+    >>> A = poisson((8, 8), format='csr')
+    >>> splitting = CR(A)
+    >>> bool(0 < splitting.sum() < A.shape[0])
+    True
     """
     A = to_csr(A)
     n = A.shape[0]

@@ -65,6 +65,18 @@ def RS(S):
     Uses the native C++ kernel (amg_core/core.cpp) when available; the
     Python interval-list implementation below is the fallback (same
     traversal order, same hierarchies).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.classical.split import RS
+    >>> from pyamg_tpu.strength import classical_strength_of_connection
+    >>> A = poisson((8, 8), format='csr')
+    >>> S = classical_strength_of_connection(A, theta=0.25)
+    >>> splitting = RS(S)
+    >>> sorted(np.unique(splitting).tolist())
+    [0, 1]
     """
     S, T = preprocess_strength(S)
     from ..amg_core import rs_cf_splitting as _native_rs

@@ -61,6 +61,13 @@ def linear_elasticity(grid, spacing=None, E=1e5, nu=0.3, format=None):
     the Dirichlet restriction).  The BSR arrays are written directly in
     sorted order — no element COO, no duplicate summing, no fancy-index
     restriction (~4x over the generic path; same trick as stencil_grid).
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import linear_elasticity
+    >>> A, B = linear_elasticity((4, 4))
+    >>> A.shape, B.shape
+    ((32, 32), (32, 3))
     """
     grid = tuple(int(g) for g in grid)
     if len(grid) != 2:

@@ -45,6 +45,16 @@ def maximal_independent_set(G, algo="parallel", k=None, seed=0):
     ``algo='serial'`` is the greedy lexicographic MIS (graph.h:35);
     ``algo='parallel'`` is Luby's randomized round-based MIS (graph.h:91);
     ``k`` requests a distance-k MIS (graph.h:520, via graph power).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.graph import maximal_independent_set
+    >>> G = poisson((8, 8), format='csr')
+    >>> mis = maximal_independent_set(G)
+    >>> bool(0 < mis.sum() < G.shape[0])
+    True
     """
     G = _graph_csr(G)
     n = G.shape[0]
@@ -104,6 +114,16 @@ def vertex_coloring(G, method="JP", seed=0):
     ``method='MIS'``/'JP': Jones-Plassmann rounds (graph.h:243);
     'FF'/'first-fit': greedy first-fit (graph.h:201);
     'LDF': largest-degree-first (graph.h:291).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.graph import vertex_coloring
+    >>> G = poisson((8, 8), format='csr')
+    >>> c = vertex_coloring(G)
+    >>> int(c.min())
+    0
     """
     G = _graph_csr(G)
     n = G.shape[0]
@@ -287,7 +307,17 @@ def pseudo_peripheral_node(G):
 
 def symmetric_rcm(A):
     """Reverse Cuthill-McKee permutation applied symmetrically
-    (reference graph.py:321)."""
+    (reference graph.py:321).
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.graph import symmetric_rcm
+    >>> A = poisson((8, 8), format='csr')
+    >>> B, perm = symmetric_rcm(A)
+    >>> bool(B.nnz == A.nnz and perm.shape == (64,))
+    True
+    """
     from .util.utils import to_csr
 
     A = to_csr(A)

@@ -97,7 +97,20 @@ def cg_chunk(mv, pre, carry, tol_t, it_cap):
 
 def cg(A, b, x0=None, tol=1e-5, maxiter=None, xtype=None, M=None,
        callback=None, residuals=None):
-    """Solve SPD/HPD A x = b with preconditioned CG; returns (x, info)."""
+    """Solve SPD/HPD A x = b with preconditioned CG; returns (x, info).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.krylov import cg
+    >>> A = poisson((10, 10), format='csr')
+    >>> b = np.ones(A.shape[0])
+    >>> x, info = cg(A, b, tol=1e-8, maxiter=300)
+    >>> bool(info == 0 and
+    ...      np.linalg.norm(b - A @ x) < 1e-6 * np.linalg.norm(b))
+    True
+    """
     A, M, mv, pre, b, x, maxiter = prepare(A, b, x0, maxiter, M)
     normb = norm(b)
     normb = jnp.where(normb == 0, 1.0, normb)

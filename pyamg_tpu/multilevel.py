@@ -198,7 +198,23 @@ def coarse_grid_solver(solver):
 
 
 class MultilevelSolver:
-    """Multigrid hierarchy + compiled cycle executor."""
+    """Multigrid hierarchy + compiled cycle executor.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu import ruge_stuben_solver
+    >>> A = poisson((32, 32), format='csr')
+    >>> ml = ruge_stuben_solver(A)
+    >>> b = np.ones(A.shape[0])
+    >>> res = []
+    >>> x = ml.solve(b, tol=1e-8, residuals=res)
+    >>> res[-1] < 1e-8 * res[0]
+    True
+    >>> len(ml.levels) > 1
+    True
+    """
 
     def __init__(self, levels: List[Level], coarse_solver="pinv"):
         self.levels = levels

@@ -83,6 +83,19 @@ def gauss_seidel(A, x, b, iterations=1, sweep="forward"):
     Real f64 CSR input runs the native in-place sweep (a full-order
     gauss_seidel_indexed); other dtypes use sparse triangular solves in
     delta form.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.relaxation.relaxation import gauss_seidel
+    >>> A = poisson((10, 10), format='csr')
+    >>> b = np.ones(A.shape[0])
+    >>> x = np.zeros(A.shape[0])
+    >>> r0 = np.linalg.norm(b - A @ x)
+    >>> _ = gauss_seidel(A, x, b, iterations=5)
+    >>> bool(np.linalg.norm(b - A @ x) < r0)
+    True
     """
     A, x_v, b_v = make_system(A, x, b)
     A = A.tocsr()
@@ -276,7 +289,21 @@ def sor(A, x, b, omega, iterations=1, sweep="forward"):
 
 def jacobi(A, x, b, iterations=1, omega=1.0):
     """Weighted Jacobi (reference relaxation.py:357):
-    x += omega D^{-1} (b - A x)."""
+    x += omega D^{-1} (b - A x).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.relaxation.relaxation import jacobi
+    >>> A = poisson((10, 10), format='csr')
+    >>> b = np.ones(A.shape[0])
+    >>> x = np.zeros(A.shape[0])
+    >>> r0 = np.linalg.norm(b - A @ x)
+    >>> _ = jacobi(A, x, b, iterations=5, omega=2.0 / 3.0)
+    >>> bool(np.linalg.norm(b - A @ x) < r0)
+    True
+    """
     A, x_v, b_v = make_system(A, x, b)
     d = A.diagonal()
     mask = d != 0

@@ -543,7 +543,20 @@ def change_smoothers(ml, presmoother, postsmoother):
     (reference smoothing.py:24).
 
     Smoother arrays are host-staged; the batched upload happens at
-    ``MultilevelSolver._dev()`` (one tunnel round-trip for the hierarchy)."""
+    ``MultilevelSolver._dev()`` (one tunnel round-trip for the hierarchy).
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.aggregation import smoothed_aggregation_solver
+    >>> from pyamg_tpu.relaxation.smoothing import change_smoothers
+    >>> A = poisson((16, 16), format='csr')
+    >>> ml = smoothed_aggregation_solver(A, max_coarse=20)
+    >>> _ = change_smoothers(ml, 'jacobi', ('gauss_seidel',
+    ...                                     {'sweep': 'symmetric'}))
+    >>> ml.levels[0].presmoother.kind
+    'jacobi'
+    """
     from ..util.staging import staging
 
     with staging():

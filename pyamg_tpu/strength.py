@@ -80,6 +80,15 @@ def classical_strength_of_connection(A, theta=0.0):
 
     Returns CSR S with |A| values on the kept pattern (diagonal included),
     rows scaled so the largest entry is 1.
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.strength import classical_strength_of_connection
+    >>> A = poisson((4, 4), format='csr')
+    >>> S = classical_strength_of_connection(A, theta=0.25)
+    >>> S.shape == A.shape and S.nnz == A.nnz
+    True
     """
     if sparse.issparse(A) and A.format == "bsr":
         blocksize = A.blocksize[0]
@@ -117,6 +126,15 @@ def symmetric_strength_of_connection(A, theta=0):
     """|A_ij| >= theta * sqrt(|A_ii| |A_jj|) (≙ smoothed_aggregation.h:49).
 
     For BSR input, strength between supernodes uses block Frobenius norms.
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.strength import symmetric_strength_of_connection
+    >>> A = poisson((4, 4), format='csr')
+    >>> S = symmetric_strength_of_connection(A, theta=0.0)
+    >>> S.nnz == A.nnz
+    True
     """
     if theta < 0:
         raise ValueError("expected a positive theta")
@@ -218,6 +236,15 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
     Evolves delta functions by k weighted-Jacobi steps and measures how well
     the near-nullspace B locally approximates the evolved vector, via a
     constrained minimization per row (batched here).
+
+    Examples
+    --------
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.strength import evolution_strength_of_connection
+    >>> A = poisson((8, 8), format='csr')
+    >>> S = evolution_strength_of_connection(A, k=2, epsilon=4.0)
+    >>> S.shape
+    (64, 64)
     """
     if epsilon < 1.0:
         raise ValueError("expected epsilon > 1.0")

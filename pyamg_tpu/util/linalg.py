@@ -196,7 +196,17 @@ def cond(A):
 
 def ishermitian(A, fast_check=True, tol=1e-6, seed=0):
     """Test A ≈ A^H, either exactly or via random probes (reference
-    util/linalg.py:507)."""
+    util/linalg.py:507).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.util.linalg import ishermitian
+    >>> bool(ishermitian(np.array([[1.0, 2.0], [2.0, 1.0]])))
+    True
+    >>> bool(ishermitian(np.array([[1.0, 2.0], [0.0, 1.0]])))
+    False
+    """
     import scipy.sparse as sp
 
     if fast_check:

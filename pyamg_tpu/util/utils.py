@@ -87,7 +87,19 @@ def symmetric_rescaling(A, copy=True):
 
 def get_diagonal(A, norm_eq=False, inv=False):
     """Diagonal of A, A A^H (norm_eq=1) or A^H A (norm_eq=2); optionally
-    inverted with zeros preserved (reference util/utils.py:526)."""
+    inverted with zeros preserved (reference util/utils.py:526).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from pyamg_tpu.gallery import poisson
+    >>> from pyamg_tpu.util.utils import get_diagonal
+    >>> A = poisson((4, 4), format='csr')
+    >>> bool(np.all(get_diagonal(A) == 4.0))
+    True
+    >>> bool(np.all(get_diagonal(A, inv=True) == 0.25))
+    True
+    """
     A = to_csr(A)
     if norm_eq == 1:
         d = np.asarray((A.multiply(A.conjugate())).sum(axis=1)).ravel()
