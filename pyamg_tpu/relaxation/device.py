@@ -213,6 +213,50 @@ def batched_tridiag_pcr(dl, d, du, B):
     return B / d
 
 
+def _binv_small(M):
+    """Batched inverse of tiny q x q blocks in CLOSED FORM (adjugate).
+
+    ``jnp.linalg.solve`` on (batch, 2, 2) lowers to a pivoted LU kernel
+    that is scalar-unit bound on TPU — measured ~500 ms per call at
+    (171, 512, 2, 2) inside the block-PCR rounds, which made one blocked
+    zebra application cost 1.1 s and a K=2 V-cycle 3.3 s (long enough to
+    trip the device watchdog inside a chunked solve).  The adjugate form
+    is pure elementwise VPU work.  q >= 4 falls back to linalg.inv."""
+    q = M.shape[-1]
+    if q == 1:
+        return 1.0 / M
+    if q == 2:
+        a = M[..., 0, 0]
+        b = M[..., 0, 1]
+        c = M[..., 1, 0]
+        d = M[..., 1, 1]
+        det = a * d - b * c
+        r = jnp.stack([jnp.stack([d, -b], -1),
+                       jnp.stack([-c, a], -1)], -2)
+        return r / det[..., None, None]
+    if q == 3:
+        m = [[M[..., i, j] for j in range(3)] for i in range(3)]
+
+        def cof(i1, i2, j1, j2):
+            return m[i1][j1] * m[i2][j2] - m[i1][j2] * m[i2][j1]
+
+        c00 = cof(1, 2, 1, 2)
+        c01 = -cof(1, 2, 0, 2)
+        c02 = cof(1, 2, 0, 1)
+        c10 = -cof(0, 2, 1, 2)
+        c11 = cof(0, 2, 0, 2)
+        c12 = -cof(0, 2, 0, 1)
+        c20 = cof(0, 1, 1, 2)
+        c21 = -cof(0, 1, 0, 2)
+        c22 = cof(0, 1, 0, 1)
+        det = m[0][0] * c00 + m[0][1] * c01 + m[0][2] * c02
+        adjT = jnp.stack([jnp.stack([c00, c10, c20], -1),
+                          jnp.stack([c01, c11, c21], -1),
+                          jnp.stack([c02, c12, c22], -1)], -2)
+        return adjT / det[..., None, None]
+    return jnp.linalg.inv(M)
+
+
 def batched_block_tridiag_pcr(dl, d, du, B):
     """Batched BLOCK-tridiagonal solve by parallel cyclic reduction.
 
@@ -220,7 +264,8 @@ def batched_block_tridiag_pcr(dl, d, du, B):
     log2(L) elimination rounds as the scalar kernel with q x q block
     algebra — the q-dof-per-node levels of a K-candidate structured
     hierarchy stay exactly line-solvable.  Out-of-range neighbors are
-    identity blocks / zero blocks via padding.
+    identity blocks / zero blocks via padding.  Block inverses use the
+    closed adjugate form (see :func:`_binv_small`).
     """
     L = d.shape[1]
     q = d.shape[-1]
@@ -241,17 +286,12 @@ def batched_block_tridiag_pcr(dl, d, du, B):
     def bmv(X, v):
         return jnp.einsum("nlij,nlj->nli", X, v)
 
-    def rsolve(num, den):
-        # num @ den^{-1} via a batched LU solve of the transposed system
-        mT = lambda a: jnp.swapaxes(a, -1, -2)  # noqa: E731
-        return mT(jnp.linalg.solve(mT(den), mT(num)))
-
     s = 1
     while s < L:
-        dm = shift(d, -s, eye)
-        dp = shift(d, s, eye)
-        alpha = -rsolve(dl, dm)
-        beta = -rsolve(du, dp)
+        dm_inv = _binv_small(shift(d, -s, eye))
+        dp_inv = _binv_small(shift(d, s, eye))
+        alpha = -bmm(dl, dm_inv)
+        beta = -bmm(du, dp_inv)
         d = d + bmm(alpha, shift(du, -s, None)) + bmm(beta, shift(dl, s,
                                                                   None))
         B = B + bmv(alpha, shift(B, -s, None)) + bmv(beta, shift(B, s,
@@ -259,7 +299,7 @@ def batched_block_tridiag_pcr(dl, d, du, B):
         dl = bmm(alpha, shift(dl, -s, None))
         du = bmm(beta, shift(du, s, None))
         s *= 2
-    return jnp.linalg.solve(d, B[..., None])[..., 0]
+    return bmv(_binv_small(d), B)
 
 
 def line_relaxation_step(A, sm: "SmootherData", x, b, zebra_phase=None):
