@@ -50,7 +50,8 @@ def _line_pad_quantum(sm) -> int:
     levels)."""
     if sm is None or sm.line_tri is None or not sm.grid:
         return 1
-    q = sm.line_tri.shape[-1] if sm.line_tri.ndim == 5 else 1
+    # blocked line_tri is (3, q, q, nlines, L) component layout
+    q = sm.line_tri.shape[1] if sm.line_tri.ndim == 5 else 1
     return int(np.prod(sm.grid[1:])) * q
 
 
@@ -136,7 +137,8 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
     line_tri = sm.line_tri
     grid = sm.grid
     if line_tri is not None:
-        q = line_tri.shape[-1] if line_tri.ndim == 5 else 1
+        blocked = line_tri.ndim == 5      # (3, q, q, nlines, L) layout
+        q = line_tri.shape[1] if blocked else 1
         slab = int(np.prod(grid[1:])) * q
         n_grid = int(np.prod(grid)) * q
         if n_grid != n_pad:
@@ -155,39 +157,51 @@ def _pad_smoother(sm: SmootherData, n_pad: int, mesh, axis) -> SmootherData:
             g0_new = n_pad // slab
             tri = np.asarray(line_tri)
             laxis = sm.line_axis % len(grid)
+            # axis index of L (the along-line axis) and of the lines axis
+            # in the stored layout: scalar (3, nlines, L); blocked
+            # component layout (3, q, q, nlines, L)
+            ax_L = 4 if blocked else 2
+            ax_lines = 3 if blocked else 1
             if laxis == 0:
                 # lines RUN along the padded axis: each system gains a
                 # decoupled identity tail
-                L = tri.shape[2]
+                L = tri.shape[ax_L]
                 shp = list(tri.shape)
-                shp[2] = g0_new
+                shp[ax_L] = g0_new
                 new = np.zeros(shp, dtype=tri.dtype)
-                new[:, :, :L] = tri
-                if tri.ndim == 5:
-                    new[1, :, L:] = np.eye(q, dtype=tri.dtype)
-                    new[2, :, L - 1:] = 0.0      # cut coupling into the tail
+                new[..., :L] = tri
+                if blocked:
+                    for i in range(q):
+                        new[1, i, i, :, L:] = 1.0
+                    new[2, :, :, :, L - 1:] = 0.0  # cut coupling into tail
                 else:
                     new[1, :, L:] = 1.0
                     new[2, :, L - 1:] = 0.0
             else:
                 # padding adds whole NEW lines, appended after the original
                 # ones in the flattened line order
-                nlines = tri.shape[1]
+                nlines = tri.shape[ax_lines]
                 nlines_new = (g0_new * int(np.prod(grid[1:]))
                               // int(grid[laxis]))
                 shp = list(tri.shape)
-                shp[1] = nlines_new
+                shp[ax_lines] = nlines_new
                 new = np.zeros(shp, dtype=tri.dtype)
-                new[:, :nlines] = tri
-                if tri.ndim == 5:
-                    new[1, nlines:] = np.eye(q, dtype=tri.dtype)
+                if blocked:
+                    new[:, :, :, :nlines] = tri
+                    for i in range(q):
+                        new[1, i, i, nlines:] = 1.0
                 else:
+                    new[:, :nlines] = tri
                     new[1, nlines:] = 1.0
             line_tri = jnp.asarray(new)
             grid = (g0_new,) + tuple(grid[1:])
-        nlines = line_tri.shape[1]
-        stri = (NamedSharding(mesh, P(None, axis, None))
-                if nlines % nd == 0 else repl)
+        nlines = line_tri.shape[3 if blocked else 1]
+        if nlines % nd == 0:
+            stri = NamedSharding(
+                mesh, P(None, None, None, axis, None) if blocked
+                else P(None, axis, None))
+        else:
+            stri = repl
         line_tri = jax.device_put(line_tri, stri)
     color_rows, color_cols, color_data = (sm.color_rows, sm.color_cols,
                                           sm.color_data)

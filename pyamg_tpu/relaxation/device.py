@@ -48,7 +48,8 @@ class SmootherData:
     dinv_ne: Optional[jnp.ndarray] = None
     subdomain_idx: Optional[jnp.ndarray] = None     # (n_dom, L) int32, -1 pad
     subdomain_inv: Optional[jnp.ndarray] = None     # (n_dom, L, L)
-    line_tri: Optional[jnp.ndarray] = None   # (3, nlines, L) dl/d/du
+    line_tri: Optional[jnp.ndarray] = None   # (3, nlines, L) dl/d/du;
+    # blocked levels: (3, q, q, nlines, L) component layout
     grid: Tuple[int, ...] = ()               # static, for line smoothers
     line_axis: int = -1                      # static
     color_rows: Optional[jnp.ndarray] = None  # (C, R) int32, -1 padded
@@ -216,26 +217,25 @@ def batched_tridiag_pcr(dl, d, du, B):
 def _binv_small(M):
     """Batched inverse of tiny q x q blocks in CLOSED FORM (adjugate).
 
-    ``jnp.linalg.solve`` on (batch, 2, 2) lowers to a pivoted LU kernel
-    that is scalar-unit bound on TPU — measured ~500 ms per call at
-    (171, 512, 2, 2) inside the block-PCR rounds, which made one blocked
-    zebra application cost 1.1 s and a K=2 V-cycle 3.3 s (long enough to
-    trip the device watchdog inside a chunked solve).  The adjugate form
-    is pure elementwise VPU work.  q >= 4 falls back to linalg.inv."""
-    q = M.shape[-1]
+    ``M`` is in component layout (q, q, ...): block indices LEADING, the
+    large batch axes trailing.  ``jnp.linalg.solve`` on (batch, 2, 2)
+    lowers to a pivoted LU kernel that is scalar-unit bound on TPU —
+    measured ~500 ms per call at (171, 512, 2, 2) inside the block-PCR
+    rounds, which made one blocked zebra application cost 1.1 s and a K=2
+    V-cycle 3.3 s (long enough to trip the device watchdog inside a
+    chunked solve).  The adjugate form is pure elementwise VPU work.
+    q >= 4 falls back to linalg.inv on a transposed view."""
+    q = M.shape[0]
     if q == 1:
         return 1.0 / M
     if q == 2:
-        a = M[..., 0, 0]
-        b = M[..., 0, 1]
-        c = M[..., 1, 0]
-        d = M[..., 1, 1]
+        a, b = M[0, 0], M[0, 1]
+        c, d = M[1, 0], M[1, 1]
         det = a * d - b * c
-        r = jnp.stack([jnp.stack([d, -b], -1),
-                       jnp.stack([-c, a], -1)], -2)
-        return r / det[..., None, None]
+        r = jnp.stack([jnp.stack([d, -b]), jnp.stack([-c, a])])
+        return r / det
     if q == 3:
-        m = [[M[..., i, j] for j in range(3)] for i in range(3)]
+        m = [[M[i, j] for j in range(3)] for i in range(3)]
 
         def cof(i1, i2, j1, j2):
             return m[i1][j1] * m[i2][j2] - m[i1][j2] * m[i2][j1]
@@ -250,54 +250,64 @@ def _binv_small(M):
         c21 = -cof(0, 1, 0, 2)
         c22 = cof(0, 1, 0, 1)
         det = m[0][0] * c00 + m[0][1] * c01 + m[0][2] * c02
-        adjT = jnp.stack([jnp.stack([c00, c10, c20], -1),
-                          jnp.stack([c01, c11, c21], -1),
-                          jnp.stack([c02, c12, c22], -1)], -2)
-        return adjT / det[..., None, None]
-    return jnp.linalg.inv(M)
+        adjT = jnp.stack([jnp.stack([c00, c10, c20]),
+                          jnp.stack([c01, c11, c21]),
+                          jnp.stack([c02, c12, c22])])
+        return adjT / det
+    # rare: move block axes trailing for the LAPACK-style path
+    Mt = jnp.moveaxis(M, (0, 1), (-2, -1))
+    return jnp.moveaxis(jnp.linalg.inv(Mt), (-2, -1), (0, 1))
 
 
 def batched_block_tridiag_pcr(dl, d, du, B):
     """Batched BLOCK-tridiagonal solve by parallel cyclic reduction.
 
-    dl/d/du: (nlines, L, q, q) node blocks; B: (nlines, L, q).  Same
-    log2(L) elimination rounds as the scalar kernel with q x q block
+    COMPONENT LAYOUT: dl/d/du are (q, q, nlines, L) node blocks and B is
+    (q, nlines, L) — the tiny q x q block indices lead and the large
+    (nlines, L) plane trails.  With the blocks trailing, TPU tiling pads
+    each (2, 2) to the (8, 128) register tile: a 64x HBM expansion that
+    OOMed the 1024^2 K=2 hierarchy (342 MB per temp).  In this layout the
+    tile applies to (nlines, L) and padding is negligible; all block
+    algebra is unrolled elementwise VPU work over full planes.
+
+    Same log2(L) elimination rounds as the scalar kernel with q x q block
     algebra — the q-dof-per-node levels of a K-candidate structured
     hierarchy stay exactly line-solvable.  Out-of-range neighbors are
     identity blocks / zero blocks via padding.  Block inverses use the
     closed adjugate form (see :func:`_binv_small`).
     """
-    L = d.shape[1]
-    q = d.shape[-1]
-    eye = jnp.broadcast_to(jnp.eye(q, dtype=d.dtype), d.shape[:2] + (q, q))
+    L = d.shape[-1]
+    q = d.shape[0]
+    eye_col = jnp.eye(q, dtype=d.dtype)[:, :, None, None]
 
-    def shift(a, s, fill):
+    def shift(a, s, fill_eye=False):
         if s == 0:
             return a
-        pad = fill[:, :abs(s)] if hasattr(fill, "shape") \
-            else jnp.zeros(a.shape[:1] + (abs(s),) + a.shape[2:], a.dtype)
+        pad_shape = a.shape[:-1] + (abs(s),)
+        if fill_eye:
+            pad = jnp.broadcast_to(eye_col, pad_shape)
+        else:
+            pad = jnp.zeros(pad_shape, a.dtype)
         if s > 0:
-            return jnp.concatenate([a[:, s:], pad], axis=1)
-        return jnp.concatenate([pad, a[:, :s]], axis=1)
+            return jnp.concatenate([a[..., s:], pad], axis=-1)
+        return jnp.concatenate([pad, a[..., :s]], axis=-1)
 
     def bmm(X, Y):
-        return jnp.einsum("nlij,nljk->nlik", X, Y)
+        return jnp.einsum("ij...,jk...->ik...", X, Y)
 
     def bmv(X, v):
-        return jnp.einsum("nlij,nlj->nli", X, v)
+        return jnp.einsum("ij...,j...->i...", X, v)
 
     s = 1
     while s < L:
-        dm_inv = _binv_small(shift(d, -s, eye))
-        dp_inv = _binv_small(shift(d, s, eye))
+        dm_inv = _binv_small(shift(d, -s, fill_eye=True))
+        dp_inv = _binv_small(shift(d, s, fill_eye=True))
         alpha = -bmm(dl, dm_inv)
         beta = -bmm(du, dp_inv)
-        d = d + bmm(alpha, shift(du, -s, None)) + bmm(beta, shift(dl, s,
-                                                                  None))
-        B = B + bmv(alpha, shift(B, -s, None)) + bmv(beta, shift(B, s,
-                                                                 None))
-        dl = bmm(alpha, shift(dl, -s, None))
-        du = bmm(beta, shift(du, s, None))
+        d = d + bmm(alpha, shift(du, -s)) + bmm(beta, shift(dl, s))
+        B = B + bmv(alpha, shift(B, -s)) + bmv(beta, shift(B, s))
+        dl = bmm(alpha, shift(dl, -s))
+        du = bmm(beta, shift(du, s))
         s *= 2
     return bmv(_binv_small(d), B)
 
@@ -318,18 +328,19 @@ def line_relaxation_step(A, sm: "SmootherData", x, b, zebra_phase=None):
     r = b - A.matvec(x)
     dl, d, du = sm.line_tri[0], sm.line_tri[1], sm.line_tri[2]
     if sm.line_tri.ndim == 5:
-        q = sm.line_tri.shape[-1]
-        L = d.shape[1]
+        # blocked level: line_tri is (3, q, q, nlines, L) component layout
+        q = sm.line_tri.shape[1]
+        L = d.shape[-1]
         Rg = r.reshape(tuple(grid) + (q,))
         Rg = jnp.moveaxis(Rg, axis, len(grid) - 1)
         lead_shape = Rg.shape[:-2]
-        R2 = Rg.reshape(-1, L, q)
+        R2 = jnp.moveaxis(Rg.reshape(-1, L, q), -1, 0)     # (q, nlines, L)
         dx = batched_block_tridiag_pcr(dl, d, du, R2)
         if zebra_phase is not None:
-            mask = (jnp.arange(dx.shape[0]) % 2 == zebra_phase)
-            dx = dx * mask[:, None, None].astype(dx.dtype)
-        dxg = jnp.moveaxis(dx.reshape(lead_shape + (L, q)),
-                           len(grid) - 1, axis)
+            mask = (jnp.arange(dx.shape[1]) % 2 == zebra_phase)
+            dx = dx * mask[None, :, None].astype(dx.dtype)
+        dxg = jnp.moveaxis(jnp.moveaxis(dx, 0, -1).reshape(
+            lead_shape + (L, q)), len(grid) - 1, axis)
         return x + sm.omega * dxg.reshape(-1)
     Rg = r.reshape(grid)
     Rg = jnp.moveaxis(Rg, axis, -1)

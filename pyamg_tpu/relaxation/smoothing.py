@@ -235,8 +235,11 @@ def _make_block_line_data(lvl, A_csr, grid, q, fn_name, iterations, sweep,
     along the strong axis are BLOCK-tridiagonal (q x q node blocks), solved
     by block parallel cyclic reduction on the device.
 
-    line_tri: (3, nlines, L, q, q) [sub, diag, super] node-block diagonals
-    (5-D marks the blocked form to ``line_relaxation_step``)."""
+    line_tri: (3, q, q, nlines, L) [sub, diag, super] node-block diagonals
+    in COMPONENT layout — block indices leading so TPU tiling pads the
+    large (nlines, L) plane, not the tiny q x q block (trailing 2x2 dims
+    tile to (8, 128): a 64x HBM expansion that OOMed 1024^2 K=2 levels).
+    5-D marks the blocked form to ``line_relaxation_step``."""
     nb = int(np.prod(grid))
     A_bsr = A_csr.tobsr(blocksize=(q, q))
     A_bsr.sort_indices()
@@ -283,6 +286,7 @@ def _make_block_line_data(lvl, A_csr, grid, q, fn_name, iterations, sweep,
         return g.reshape(-1, L, q, q)
 
     tri = np.stack([lines(dl), lines(d), lines(du)])
+    tri = np.ascontiguousarray(tri.transpose(0, 3, 4, 1, 2))
     omega = float(kwargs.get("omega",
                              0.7 if fn_name == "line_jacobi" else 1.0))
     kind = "line_jacobi" if fn_name == "line_jacobi" else "zebra"
