@@ -1,0 +1,42 @@
+"""Our K=2 adaptive SA column on aniso-1024 (mirrors ref_k2.py protocol)."""
+import os, sys, time, json
+sys.path.insert(0, "/root/repo")
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import pyamg_tpu
+from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
+
+g = 1024
+sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
+A = stencil_grid(sten, (g, g), format="csr")
+rng = np.random.default_rng(0)
+b = np.asarray(A @ rng.random(A.shape[0]))
+
+t0 = time.time()
+ml, work = pyamg_tpu.adaptive_sa_solver(
+    A, num_candidates=2, candidate_iters=5, prepostsmoother="zebra",
+    max_coarse=100)
+ml = ml.astype(jnp.float32)
+ts = time.time() - t0
+
+def solve():
+    x, info = ml.solve_mp(b, tol=1e-10, return_info=True, inner_maxiter=60)
+    return np.asarray(x, dtype=float), info
+
+x, info = solve()                    # warm-up (compile)
+t0 = time.time()
+x, info = solve()
+tsol = time.time() - t0
+rr = float(np.linalg.norm(b - A @ x) / np.linalg.norm(b))
+out = {"config": "adaptive_sa_anisotropy_K2", "grid": g,
+       "n": int(A.shape[0]), "num_candidates": 2, "candidate_iters": 5,
+       "setup_s": round(ts, 2), "solve_s": round(tsol, 4),
+       "iters": info["inner_iterations"], "relres": rr,
+       "opc": round(float(ml.operator_complexity()), 3)}
+print(json.dumps(out))
+json.dump(out, open("/tmp/our_k2.json", "w"), indent=1)

@@ -292,11 +292,22 @@ def batched_block_tridiag_pcr(dl, d, du, B):
             return jnp.concatenate([a[..., s:], pad], axis=-1)
         return jnp.concatenate([pad, a[..., :s]], axis=-1)
 
+    # The block contractions are UNROLLED into explicit elementwise
+    # multiply-adds: an einsum here lowers to dot_general, which the TPU
+    # MXU evaluates with bf16 operand rounding by default — the cyclic
+    # reduction relies on exact f32 cancellation of the eliminated
+    # couplings, and bf16 rounding compounds over the log2(L) rounds into
+    # a completely wrong solve (measured: resid 2e4 vs 1.5e-2 at 512^2).
     def bmm(X, Y):
-        return jnp.einsum("ij...,jk...->ik...", X, Y)
+        return jnp.stack([
+            jnp.stack([
+                sum(X[i, j] * Y[j, k] for j in range(q))
+                for k in range(q)])
+            for i in range(q)])
 
     def bmv(X, v):
-        return jnp.einsum("ij...,j...->i...", X, v)
+        return jnp.stack([
+            sum(X[i, j] * v[j] for j in range(q)) for i in range(q)])
 
     s = 1
     while s < L:

@@ -276,6 +276,44 @@ class TestDeviceSmoothers:
             T = sp.diags([dl[i, 1:], d[i], du[i, :-1]], [-1, 0, 1]).toarray()
             assert np.allclose(T @ X[i], B[i], atol=1e-9)
 
+    def test_block_pcr_exact_and_f32_stable_on_long_lines(self):
+        # Component layout (q, q, nlines, L): exact vs dense in f64, and
+        # f32 must stay accurate over the log2(L) elimination rounds on
+        # realistic anisotropic blocks (round-4: the einsum form lowered
+        # to bf16-rounded dot_general on TPU and destroyed the
+        # cancellation; the kernel must be elementwise-only).
+        from pyamg_tpu.relaxation.device import batched_block_tridiag_pcr
+
+        r = rng()
+        for q, L, nl in ((2, 16, 4), (3, 8, 3), (2, 256, 2)):
+            d = r.standard_normal((nl, L, q, q)) + 6 * np.eye(q)
+            dl = 0.5 * r.standard_normal((nl, L, q, q))
+            dl[:, 0] = 0
+            du = 0.5 * r.standard_normal((nl, L, q, q))
+            du[:, -1] = 0
+            B = r.standard_normal((nl, L, q))
+            tc = lambda a: np.ascontiguousarray(a.transpose(2, 3, 0, 1))
+            Bc = np.ascontiguousarray(B.transpose(2, 0, 1))
+            for dt, tol in ((np.float64, 1e-9), (np.float32, 1e-3)):
+                X = np.asarray(batched_block_tridiag_pcr(
+                    jnp.asarray(tc(dl), dt), jnp.asarray(tc(d), dt),
+                    jnp.asarray(tc(du), dt), jnp.asarray(Bc, dt)))
+                X = X.transpose(1, 2, 0)            # (nl, L, q)
+                for i in range(nl):
+                    M = np.zeros((L * q, L * q))
+                    for line in range(L):
+                        s = slice(line * q, (line + 1) * q)
+                        M[s, s] = d[i, line]
+                        if line > 0:
+                            M[s, slice((line - 1) * q, line * q)] = \
+                                dl[i, line]
+                        if line < L - 1:
+                            M[s, slice((line + 1) * q,
+                                       (line + 2) * q)] = du[i, line]
+                    want = np.linalg.solve(M, B[i].ravel())
+                    assert np.allclose(X[i].ravel(), want, atol=tol), \
+                        (q, L, dt)
+
     def test_zebra_beats_point_gs_on_anisotropy(self):
         import pyamg_tpu
         from pyamg_tpu.gallery import stencil_grid, diffusion_stencil_2d
