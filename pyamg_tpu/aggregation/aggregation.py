@@ -422,15 +422,23 @@ def structured_smoother_S(A, grid, block, q_lvl, sfn, skw, symmetry):
     if (cache is not None and cache[0] == key
             and np.array_equal(cache[1], probe)):
         return cache[2], degree
+    from ..amg_core import identity_minus_rowscaled_native
+
     S_csr = None
     if sfn == "jacobi":
         omega = float(skw.get("omega", 4.0 / 3.0))
         c = omega / rho_D_inv_A(A, symmetric=sym_hint)
         Dinv = get_diagonal(A, inv=True)
         # S = I - c D^{-1} A built in place on A's sparsity (A from a PDE
-        # stencil holds its full diagonal), avoiding the eye-minus SpADD
-        S_data = (-c) * np.repeat(Dinv, np.diff(A.indptr)) * A.data
-        S_csr = _add_identity_inplace(S_data, A, n)
+        # stencil holds its full diagonal), avoiding the eye-minus SpADD;
+        # the native one-pass kernel matches the numpy expression
+        # ((-c) * Dinv_i) * A_ij bit-for-bit
+        Sx = identity_minus_rowscaled_native(A, Dinv, c)
+        if Sx is not None:
+            S_csr = sp.csr_matrix((Sx, A.indices, A.indptr), shape=A.shape)
+        else:
+            S_data = (-c) * np.repeat(Dinv, np.diff(A.indptr)) * A.data
+            S_csr = _add_identity_inplace(S_data, A, n)
     elif sfn == "richardson":
         omega = float(skw.get("omega", 4.0 / 3.0))
         c = omega / approximate_spectral_radius(
@@ -450,24 +458,39 @@ def structured_smoother_S(A, grid, block, q_lvl, sfn, skw, symmetry):
         # strides — the dof-stride rint decomposition misclassified e.g.
         # the dof0<->dof2 coupling at q=3 as a +-1 step on the last axis
         strides_w = [int(np.prod(grid[kk + 1:])) for kk in range(len(grid))]
-        rows_w = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
-        rem = A.indices.astype(np.int64) // q_lvl - rows_w // q_lvl
-        keep_w = np.ones(A.nnz, dtype=bool)
-        for k in np.argsort(strides_w)[::-1]:
-            s = strides_w[k]
-            dk = np.rint(rem / s).astype(np.int64)
-            rem = rem - dk * s
-            if block[k] == 1:
-                keep_w &= dk == 0
-        # fresh index arrays: eliminate_zeros compacts them IN PLACE before
-        # pruning, which would corrupt A's shared arrays
-        Aw = sp.csr_matrix((np.where(keep_w, A.data, 0), A.indices.copy(),
-                            A.indptr.copy()), shape=A.shape)
-        Aw.eliminate_zeros()
+        from ..amg_core import weak_axis_filter_native
+
+        Aw = weak_axis_filter_native(A, q_lvl, strides_w, block)
+        if Aw is not None:
+            # match the numpy path's eliminate_zeros (drops stored zeros)
+            if Aw.nnz and not Aw.data.all():
+                Aw.eliminate_zeros()
+        else:
+            rows_w = np.repeat(np.arange(n, dtype=np.int64),
+                               np.diff(A.indptr))
+            rem = A.indices.astype(np.int64) // q_lvl - rows_w // q_lvl
+            keep_w = np.ones(A.nnz, dtype=bool)
+            for k in np.argsort(strides_w)[::-1]:
+                s = strides_w[k]
+                dk = np.rint(rem / s).astype(np.int64)
+                rem = rem - dk * s
+                if block[k] == 1:
+                    keep_w &= dk == 0
+            # fresh index arrays: eliminate_zeros compacts them IN PLACE
+            # before pruning, which would corrupt A's shared arrays
+            Aw = sp.csr_matrix((np.where(keep_w, A.data, 0),
+                                A.indices.copy(), A.indptr.copy()),
+                               shape=A.shape)
+            Aw.eliminate_zeros()
         c = omega / rho_D_inv_A(Aw, symmetric=sym_hint)
         Dinv = get_diagonal(A, inv=True)
-        S_data = (-c) * np.repeat(Dinv, np.diff(Aw.indptr)) * Aw.data
-        S_csr = _add_identity_inplace(S_data, Aw, n)
+        Sx = identity_minus_rowscaled_native(Aw, Dinv, c)
+        if Sx is not None:
+            S_csr = sp.csr_matrix((Sx, Aw.indices, Aw.indptr),
+                                  shape=Aw.shape)
+        else:
+            S_data = (-c) * np.repeat(Dinv, np.diff(Aw.indptr)) * Aw.data
+            S_csr = _add_identity_inplace(S_data, Aw, n)
     try:
         A._struct_S = (key, probe.copy(), S_csr)
     except AttributeError:           # exotic matrix types: skip the cache

@@ -106,6 +106,25 @@ def _declare(lib):
     lib.identity_minus_colscaled_i32.argtypes = [_I, _i32p, _i32p, _f64p,
                                                  _f64p, _D, _f64p]
     lib.identity_minus_colscaled_i32.restype = _I
+    lib.weak_axis_filter.argtypes = [_I, _i64p, _i64p, _f64p, _I, _I,
+                                     _i64p, _i64p, _i64p, _i64p, _f64p]
+    lib.weak_axis_filter.restype = _I
+    lib.weak_axis_filter_i32.argtypes = [_I, _i32p, _i32p, _f64p, _I, _I,
+                                         _i64p, _i64p, _i32p, _i32p,
+                                         _f64p]
+    lib.weak_axis_filter_i32.restype = _I
+    lib.identity_minus_rowscaled.argtypes = [_I, _i64p, _i64p, _f64p,
+                                             _f64p, _D, _f64p]
+    lib.identity_minus_rowscaled.restype = _I
+    lib.identity_minus_rowscaled_i32.argtypes = [_I, _i32p, _i32p, _f64p,
+                                                 _f64p, _D, _f64p]
+    lib.identity_minus_rowscaled_i32.restype = _I
+    lib.pattern_values.argtypes = [_I, _i64p, _i64p, _i64p, _i64p, _f64p,
+                                   _f64p]
+    lib.pattern_values.restype = _I
+    lib.pattern_values_i32.argtypes = [_I, _i32p, _i32p, _i32p, _i32p,
+                                       _f64p, _f64p]
+    lib.pattern_values_i32.restype = _I
     lib.standard_aggregation.argtypes = [_I, _i64p, _i64p, _i64p, _i64p,
                                          ctypes.POINTER(_I)]
     lib.naive_aggregation.argtypes = [_I, _i64p, _i64p, _i64p, _i64p,
@@ -342,13 +361,21 @@ def masked_spgemm_native(A, B, pattern):
         return None
     import scipy.sparse as sp
 
-    A = sp.csr_matrix(A)
+    # constructing csr_matrix FROM a csr_matrix copies all three arrays
+    # (~0.3 s per 9M-nnz level); pass CSR operands through untouched.
+    # sort_indices is flag-guarded in scipy, so already-sorted inputs
+    # (every caller) are not mutated.
+    def _csr(M):
+        return M if sp.issparse(M) and M.format == "csr" \
+            else sp.csr_matrix(M)
+
+    A = _csr(A)
     if A.dtype != np.float64 or np.iscomplexobj(A.data):
         return None
-    Br = sp.csr_matrix(B)
+    Br = _csr(B)
     if Br.dtype != np.float64:
         return None
-    P = sp.csr_matrix(pattern)        # only the structure of P is read
+    P = _csr(pattern)                 # only the structure of P is read
     A.sort_indices()
     P.sort_indices()
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
@@ -572,6 +599,85 @@ def identity_minus_colscaled_native(A, Dinv, c):
     got = getattr(lib, "identity_minus_colscaled" + sfx)(
         n, Ap, Aj, Ax, Dc, float(c), Sx)
     return Sx if got == n else None
+
+
+def weak_axis_filter_native(A, q, strides, block):
+    """Compacted CSR of A restricted to weak-axis (uncoarsened-delta-zero)
+    stencil couplings, or None when unavailable.  ``strides``/``block``
+    in natural axis order; the kernel visits axes by descending stride
+    with np.rint (half-even) delta rounding — matching the numpy
+    reference bit-for-bit."""
+    lib = _load()
+    if not lib:
+        return None
+    if A.dtype != np.float64 or np.iscomplexobj(A.data):
+        return None
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    order = np.argsort(strides)[::-1]
+    strides_desc = np.ascontiguousarray(
+        np.asarray(strides, dtype=np.int64)[order])
+    coarsened_desc = np.ascontiguousarray(
+        (np.asarray(block, dtype=np.int64)[order] != 1).astype(np.int64))
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    Ap, Aj, sfx = _csr_ix(A)
+    Bp = np.empty(n + 1, dtype=Ap.dtype)
+    Bj = np.empty(A.nnz, dtype=Aj.dtype)
+    Bx = np.empty(A.nnz, dtype=np.float64)
+    out = getattr(lib, "weak_axis_filter" + sfx)(
+        n, Ap, Aj, Ax, int(q), len(strides_desc), strides_desc,
+        coarsened_desc, Bp, Bj, Bx)
+    Aw = sp.csr_matrix((Bx[:out], Bj[:out], Bp), shape=A.shape)
+    Aw.has_sorted_indices = A.has_sorted_indices
+    return Aw
+
+
+def identity_minus_rowscaled_native(A, Dinv, c):
+    """Data array of S = I - c*diag(Dinv)*A over A's own CSR pattern, or
+    None when unavailable / a row lacks a stored diagonal."""
+    lib = _load()
+    if not lib:
+        return None
+    if A.dtype != np.float64 or np.iscomplexobj(A.data):
+        return None
+    n = A.shape[0]
+    Sx = np.empty(A.nnz, dtype=np.float64)
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    Dc = np.ascontiguousarray(Dinv, dtype=np.float64)
+    Ap, Aj, sfx = _csr_ix(A)
+    got = getattr(lib, "identity_minus_rowscaled" + sfx)(
+        n, Ap, Aj, Ax, Dc, float(c), Sx)
+    return Sx if got == n else None
+
+
+def pattern_values_native(C, A):
+    """Data array holding A's values on C's (sorted) pattern, or None.
+
+    Exact-intersection semantics: returns None (fall back to scipy
+    ``multiply``) when any C entry is absent from A's pattern, so callers
+    replacing ``ones_like(C).multiply(A)`` get bit-identical results.
+    Both matrices must have sorted indices."""
+    lib = _load()
+    if not lib:
+        return None
+    if A.dtype != np.float64 or np.iscomplexobj(A.data) \
+            or C.shape != A.shape:
+        return None
+    n = A.shape[0]
+    Cp, Cj, sfx_c = _csr_ix(C)
+    Ap, Aj, sfx_a = _csr_ix(A)
+    if sfx_c != sfx_a:
+        Cp = np.ascontiguousarray(Cp, dtype=np.int64)
+        Cj = np.ascontiguousarray(Cj, dtype=np.int64)
+        Ap = np.ascontiguousarray(Ap, dtype=np.int64)
+        Aj = np.ascontiguousarray(Aj, dtype=np.int64)
+        sfx_a = ""
+    Ax = np.ascontiguousarray(A.data, dtype=np.float64)
+    out = np.empty(C.nnz, dtype=np.float64)
+    missing = getattr(lib, "pattern_values" + sfx_a)(
+        n, Cp, Cj, Ap, Aj, Ax, out)
+    return out if missing == 0 else None
 
 
 def evolution_epilogue_native(Atilde, epsilon, symmetrize):

@@ -766,6 +766,100 @@ static I identity_minus_colscaled_impl(I n, const Ix* Ap, const Ix* Aj,
 }
 
 // ---------------------------------------------------------------------------
+// weak-axis stencil filter (structured SA, jacobi_weak prolongation
+// smoothing): keep only entries whose NODE offset has zero delta along
+// every uncoarsened (block[k] == 1) grid axis, emitting the compacted CSR
+// directly.  delta decomposition matches the numpy reference exactly:
+// axes visited in descending-stride order, dk = rint(rem / stride) with
+// round-half-even (np.rint), rem -= dk * stride.  Replaces ~6 O(nnz)
+// numpy passes + an eliminate_zeros.  Returns the output nnz.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static I weak_axis_filter_impl(I n, const Ix* Ap, const Ix* Aj,
+                               const double* Ax, I q, I naxes,
+                               const int64_t* strides_desc,
+                               const int64_t* coarsened_desc,
+                               Ix* Bp, Ix* Bj, double* Bx) {
+    I out = 0;
+    Bp[0] = 0;
+    for (I i = 0; i < n; i++) {
+        const int64_t node_i = i / q;
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            int64_t rem = (int64_t)Aj[jj] / q - node_i;
+            bool keep = true;
+            for (I k = 0; k < naxes; k++) {
+                const double s = (double)strides_desc[k];
+                const int64_t dk = (int64_t)std::nearbyint((double)rem / s);
+                rem -= dk * strides_desc[k];
+                if (!coarsened_desc[k] && dk != 0) { keep = false; break; }
+            }
+            if (keep) {
+                Bj[out] = Aj[jj];
+                Bx[out] = Ax[jj];
+                out++;
+            }
+        }
+        Bp[i + 1] = (Ix)out;
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// S = I - c * diag(Dinv) * A on A's own pattern (row scaling): the
+// prolongation-smoother matrix of the structured SA path.  Returns the
+// number of rows holding a stored diagonal (callers fall back to an
+// explicit SpADD when < n).  Association matches the numpy expression
+// ((-c) * Dinv_i) * A_ij bit-for-bit.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static I identity_minus_rowscaled_impl(I n, const Ix* Ap, const Ix* Aj,
+                                       const double* Ax, const double* Dinv,
+                                       double c, double* Sx) {
+    I diag_rows = 0;
+    for (I i = 0; i < n; i++) {
+        const double s = (-c) * Dinv[i];
+        bool has_diag = false;
+        for (Ix jj = Ap[i]; jj < Ap[i + 1]; jj++) {
+            double v = s * Ax[jj];
+            if ((I)Aj[jj] == i) { v += 1.0; has_diag = true; }
+            Sx[jj] = v;
+        }
+        diag_rows += has_diag;
+    }
+    return diag_rows;
+}
+
+// ---------------------------------------------------------------------------
+// pattern values: out[kc] = A[i, Cj[kc]] for every entry of the (sorted)
+// pattern C, by a two-pointer merge over each sorted A row.  Returns the
+// number of pattern entries NOT present in A (callers needing exact
+// intersection semantics fall back when > 0).  Replaces the scipy idiom
+// ``ones_like(C).multiply(A)`` (a full binopt merge + two copies) on the
+// interpolation hot path.
+// ---------------------------------------------------------------------------
+template <typename Ix>
+static I pattern_values_impl(I n, const Ix* Cp, const Ix* Cj,
+                             const Ix* Ap, const Ix* Aj, const double* Ax,
+                             double* out) {
+    I missing = 0;
+    for (I i = 0; i < n; i++) {
+        Ix ka = Ap[i];
+        const Ix ka_end = Ap[i + 1];
+        for (Ix kc = Cp[i]; kc < Cp[i + 1]; kc++) {
+            const Ix col = Cj[kc];
+            while (ka < ka_end && Aj[ka] < col) ka++;
+            if (ka < ka_end && Aj[ka] == col) {
+                out[kc] = Ax[ka];
+            } else {
+                out[kc] = 0.0;
+                missing++;
+            }
+        }
+    }
+    return missing;
+}
+
+// ---------------------------------------------------------------------------
 // masked SpGEMM, row-scatter form: C = (A @ B) restricted to C's pattern
 // with ALL operands CSR — no CSC conversion of B (a full transpose pass the
 // merge-form kernel above needs).  Mask row i's columns are tagged in a
@@ -901,6 +995,47 @@ I identity_minus_scaled_i32(I n, const int32_t* Ap, const int32_t* Aj,
 I identity_minus_colscaled(I n, const I* Ap, const I* Aj, const double* Ax,
                            const double* Dinv, double c, double* Sx) {
     return identity_minus_colscaled_impl<I>(n, Ap, Aj, Ax, Dinv, c, Sx);
+}
+
+I weak_axis_filter(I n, const I* Ap, const I* Aj, const double* Ax,
+                   I q, I naxes, const int64_t* strides_desc,
+                   const int64_t* coarsened_desc,
+                   I* Bp, I* Bj, double* Bx) {
+    return weak_axis_filter_impl<I>(n, Ap, Aj, Ax, q, naxes, strides_desc,
+                                    coarsened_desc, Bp, Bj, Bx);
+}
+
+I weak_axis_filter_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                       const double* Ax, I q, I naxes,
+                       const int64_t* strides_desc,
+                       const int64_t* coarsened_desc,
+                       int32_t* Bp, int32_t* Bj, double* Bx) {
+    return weak_axis_filter_impl<int32_t>(n, Ap, Aj, Ax, q, naxes,
+                                          strides_desc, coarsened_desc,
+                                          Bp, Bj, Bx);
+}
+
+I identity_minus_rowscaled(I n, const I* Ap, const I* Aj, const double* Ax,
+                           const double* Dinv, double c, double* Sx) {
+    return identity_minus_rowscaled_impl<I>(n, Ap, Aj, Ax, Dinv, c, Sx);
+}
+
+I identity_minus_rowscaled_i32(I n, const int32_t* Ap, const int32_t* Aj,
+                               const double* Ax, const double* Dinv,
+                               double c, double* Sx) {
+    return identity_minus_rowscaled_impl<int32_t>(n, Ap, Aj, Ax, Dinv, c,
+                                                  Sx);
+}
+
+I pattern_values(I n, const I* Cp, const I* Cj,
+                 const I* Ap, const I* Aj, const double* Ax, double* out) {
+    return pattern_values_impl<I>(n, Cp, Cj, Ap, Aj, Ax, out);
+}
+
+I pattern_values_i32(I n, const int32_t* Cp, const int32_t* Cj,
+                     const int32_t* Ap, const int32_t* Aj,
+                     const double* Ax, double* out) {
+    return pattern_values_impl<int32_t>(n, Cp, Cj, Ap, Aj, Ax, out);
 }
 
 I identity_minus_colscaled_i32(I n, const int32_t* Ap, const int32_t* Aj,

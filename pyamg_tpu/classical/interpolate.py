@@ -157,17 +157,27 @@ def standard_interpolation(A, C, splitting):
     splitting = np.asarray(splitting, dtype=np.int32)
     n = A.shape[0]
 
-    S = C.copy()
-    S.data = np.ones_like(S.data)
-    S = S.multiply(A).tocsr()
-    S.sort_indices()
+    from ..amg_core import (pattern_values_native,
+                            standard_interpolation_native)
+
+    # S = A's values on C's pattern.  The native two-pointer merge shares
+    # C's index arrays (zero copies); the scipy ``multiply`` path costs a
+    # full binopt merge + three O(nnz) copies per level.
+    A.sort_indices()
+    C.sort_indices()
+    S_data = pattern_values_native(C, A)
+    if S_data is not None:
+        S = sp.csr_matrix((S_data, C.indices, C.indptr), shape=C.shape)
+        S.has_sorted_indices = True
+    else:
+        S = C.copy()
+        S.data = np.ones_like(S.data)
+        S = S.multiply(A).tocsr()
+        S.sort_indices()
 
     cmap = np.cumsum(splitting) - splitting
     nc = int(splitting.sum())
 
-    from ..amg_core import standard_interpolation_native
-
-    A.sort_indices()
     P = standard_interpolation_native(A, S, splitting, cmap, nc)
     if P is not None:
         return P

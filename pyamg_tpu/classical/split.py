@@ -48,13 +48,31 @@ F_NODE, C_NODE, U_NODE = 0, 1, -1
 
 
 def preprocess_strength(S):
-    """Binary, zero-diagonal strength pattern + its transpose."""
-    S = to_csr(S).copy()
-    S.data = np.ones_like(S.data, dtype=np.float64)
-    S.setdiag(0)
-    S.eliminate_zeros()
-    T = S.T.tocsr()
-    return S, T
+    """Binary, zero-diagonal strength pattern + its transpose.
+
+    Structure-only: every consumer (native/Python RS, the MIS/CLJP
+    splittings, vertex coloring) reads indptr/indices, so the pattern is
+    built by one mask pass over S's index arrays with 1-byte placeholder
+    data — no O(nnz) matrix copy, float ones, setdiag or eliminate_zeros
+    passes.  Entry ORDER within rows is preserved exactly (the RS
+    traversal order is observable in coarse-grid structure)."""
+    S = to_csr(S)
+    n = S.shape[0]
+    rows = np.repeat(np.arange(n, dtype=S.indices.dtype),
+                     np.diff(S.indptr))
+    offd = S.indices != rows
+    indices = S.indices[offd]
+    removed = np.bincount(rows[~offd], minlength=n)
+    indptr = (S.indptr
+              - np.concatenate([[0], np.cumsum(removed)])).astype(
+                  S.indptr.dtype, copy=False)
+    S2 = sp.csr_matrix(
+        (np.ones(indices.size, dtype=np.uint8), indices, indptr),
+        shape=S.shape)
+    if S.has_sorted_indices:
+        S2.has_sorted_indices = True
+    T = S2.T.tocsr()
+    return S2, T
 
 
 def RS(S):

@@ -159,20 +159,22 @@ def zebra(A, x, b, iterations=1, sweep="symmetric", grid=None, axis=None,
     cache = getattr(A, "_zebra_setup", None)
     if (cache is not None and cache[0] == key
             and np.array_equal(cache[1], probe)):
-        lines, unlines, solve_lines, parity = cache[2]
+        lines, unlines, solve_lines, parity, solve_phase = cache[2]
     else:
-        lines, unlines, solve_lines, parity = _line_setup(A, grid, axis)
+        lines, unlines, solve_lines, parity, solve_phase = \
+            _line_setup(A, grid, axis)
         try:
             A._zebra_setup = (key, probe.copy(),
-                              (lines, unlines, solve_lines, parity))
+                              (lines, unlines, solve_lines, parity,
+                               solve_phase))
         except AttributeError:      # exotic matrix types: skip the cache
             pass
     phases = (0, 1) if sweep in ("forward", "symmetric") else (1, 0)
     for _ in range(iterations):
         for ph in phases:
-            dx = solve_lines(lines(b - A @ x))
-            dx[parity != ph] = 0.0
-            x += omega * unlines(dx)
+            # solve_phase runs Thomas on the phase's lines only (half the
+            # work of solve-all-then-mask) with bit-identical results
+            x += omega * unlines(solve_phase(lines(b - A @ x), ph))
     return x
 
 
@@ -239,7 +241,31 @@ def _line_setup(A, grid, axis):
             xp[:, i] -= cp[:, i] * xp[:, i + 1]
         return xp
 
-    return lines, unlines, solve_lines, parity
+    # per-parity contiguous triplets: zebra half-sweeps run Thomas over
+    # only that phase's lines (solve-all-then-mask did 2x the work)
+    tri_ph = None
+    if dlc is not None:
+        tri_ph = tuple(
+            (np.ascontiguousarray(dlc[ph::2]),
+             np.ascontiguousarray(dmc[ph::2]),
+             np.ascontiguousarray(duc[ph::2])) for ph in (0, 1))
+
+    def solve_phase(R, ph):
+        """Solution on phase-``ph`` lines, zeros elsewhere: (nlines, L)."""
+        if tri_ph is not None and not np.iscomplexobj(R):
+            from ..amg_core import thomas_lines_native
+
+            dlp, dmp, dup = tri_ph[ph]
+            Rp = np.array(R[ph::2], dtype=np.float64, order="C", copy=True)
+            if thomas_lines_native(dlp, dmp, dup, Rp):
+                out = np.zeros(R.shape, dtype=Rp.dtype)
+                out[ph::2] = Rp
+                return out
+        xp = solve_lines(R)
+        xp[parity != ph] = 0.0
+        return xp
+
+    return lines, unlines, solve_lines, parity, solve_phase
 
 
 def line_gauss_seidel(A, x, b, iterations=1, sweep="symmetric", grid=None,
@@ -257,7 +283,8 @@ def line_jacobi(A, x, b, iterations=1, grid=None, axis=None, omega=0.7):
         grid = getattr(A, "grid", None)
     if grid is None or int(np.prod(grid)) != A.shape[0]:
         return jacobi(A, x, b, iterations=iterations, omega=omega)
-    lines, unlines, solve_lines, _parity = _line_setup(A, grid, axis)
+    lines, unlines, solve_lines, _parity, _solve_phase = \
+        _line_setup(A, grid, axis)
     for _ in range(iterations):
         dx = solve_lines(lines(b - A @ x))
         x += omega * unlines(dx)

@@ -278,7 +278,10 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
         # Dinv_A itself (an O(nnz) scaled copy) is built lazily: the
         # probe-verified symmetric path below never materializes it
     A = to_csr(A)
-    A.eliminate_zeros()
+    # eliminate_zeros unconditionally prunes (two O(nnz) copies); scan
+    # first — RAP-produced level operators are already zero-free
+    if A.nnz and not A.data.all():
+        A.eliminate_zeros()
     A.sort_indices()
 
     def _get_Dinv_A():
