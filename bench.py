@@ -211,10 +211,30 @@ def main():
     # warm-up: compile once (excluded from timing)
     _ = solve(b64)
 
-    # device-resident solve time (completion forced by the iteration count)
-    t0 = time.time()
-    x_dev, inner_iters = solve(b64)
-    t_tpu = time.time() - t0
+    # tunnel-floor probe: median round-trip of a trivial dispatch + scalar
+    # fetch.  Recorded next to the metric so a number captured inside one
+    # of this VM's minutes-long degradation windows (measured: trivial
+    # dispatches at 35-134 s) is identifiable as environment noise rather
+    # than a code regression.
+    probe = jax.jit(lambda v: v.sum())
+    vprobe = jnp.full((64,), 1.0, dtype=jnp.float32)
+    float(probe(vprobe))                  # compile once, outside timing
+    floors = []
+    for _ in range(5):
+        t0 = time.time()
+        float(probe(vprobe))
+        floors.append(time.time() - t0)
+    tunnel_floor_ms = sorted(floors)[len(floors) // 2] * 1000.0
+
+    # device-resident solve time (completion forced by the iteration
+    # count), best-of-3: single-shot numbers on this drifting 1-core VM
+    # swing 0.5-3x run to run
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        x_dev, inner_iters = solve(b64)
+        runs.append(time.time() - t0)
+    t_tpu = min(runs)
 
     # result transfer measured separately (tunnel D2H is not representative
     # of on-host TPU deployments)
@@ -246,6 +266,9 @@ def main():
             "levels": len(ml.levels),
             "operator_complexity": round(ml.operator_complexity(), 3),
             "pallas_dtypes_verified": pallas_dtypes_ok,
+            "solve_s_runs": [round(r, 4) for r in runs],
+            "tunnel_floor_ms": round(tunnel_floor_ms, 1),
+            "degraded_vm": bool(tunnel_floor_ms > 150.0),
         },
     }))
 
