@@ -363,21 +363,23 @@ def masked_spgemm_native(A, B, pattern):
 
     # constructing csr_matrix FROM a csr_matrix copies all three arrays
     # (~0.3 s per 9M-nnz level); pass CSR operands through untouched.
-    # sort_indices is flag-guarded in scipy, so already-sorted inputs
-    # (every caller) are not mutated.
-    def _csr(M):
-        return M if sp.issparse(M) and M.format == "csr" \
-            else sp.csr_matrix(M)
+    # Unsorted inputs are COPIED before sorting so the caller's (possibly
+    # shared / fingerprinted) arrays are never mutated; already-sorted
+    # inputs (every current caller) pass through untouched.
+    def _csr(M, need_sorted=False):
+        M = M if sp.issparse(M) and M.format == "csr" else sp.csr_matrix(M)
+        if need_sorted and not M.has_sorted_indices:
+            M = M.copy()
+            M.sort_indices()
+        return M
 
-    A = _csr(A)
+    A = _csr(A, need_sorted=True)
     if A.dtype != np.float64 or np.iscomplexobj(A.data):
         return None
     Br = _csr(B)
     if Br.dtype != np.float64:
         return None
-    P = _csr(pattern)                 # only the structure of P is read
-    A.sort_indices()
-    P.sort_indices()
+    P = _csr(pattern, need_sorted=True)   # only the structure of P is read
     Ax = np.ascontiguousarray(A.data, dtype=np.float64)
     Bx = np.ascontiguousarray(Br.data, dtype=np.float64)
     Cx = np.zeros(P.nnz, dtype=np.float64)

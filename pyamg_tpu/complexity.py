@@ -22,6 +22,29 @@ from .util.utils import unpack_arg
 
 __all__ = ["setup_complexity", "cycle_complexity"]
 
+# pre-round-4 keyword names, superseded by the option-aware model (which
+# reads costs off the hierarchy itself); accepted-and-ignored with a
+# warning for one release instead of raising TypeError on external callers
+_LEGACY_COST_KWARGS = frozenset({
+    "strength_cost", "aggregation_cost", "presmoother_cost",
+    "postsmoother_cost", "smooth_cost", "improve_candidates_cost",
+})
+
+
+def _warn_legacy_cost_kwargs(fn_name, kwargs):
+    if not kwargs:
+        return
+    unknown = set(kwargs) - _LEGACY_COST_KWARGS
+    if unknown:
+        raise TypeError(f"{fn_name}() got unexpected keyword arguments "
+                        f"{sorted(unknown)}")
+    import warnings
+
+    warnings.warn(
+        f"{fn_name}(): the {sorted(kwargs)} keyword(s) are deprecated and "
+        "ignored — per-component costs are now read from the hierarchy's "
+        "actual per-level options", DeprecationWarning, stacklevel=3)
+
 
 def _nnz(lvl):
     return lvl.A_csr.nnz if hasattr(lvl, "A_csr") else lvl.A.nnz
@@ -104,7 +127,8 @@ def setup_complexity(ml, strength="symmetric",
                      presmoother=("gauss_seidel", {"sweep": "symmetric"}),
                      postsmoother=("gauss_seidel", {"sweep": "symmetric"}),
                      keep=False, max_levels=10, max_coarse=500,
-                     coarse_solver="pinv", symmetry="hermitian"):
+                     coarse_solver="pinv", symmetry="hermitian",
+                     **legacy_kwargs):
     """Setup-phase work in units of fine-grid nnz, reading the actual
     options per level (≙ Jacob_complexity.py:14-115).
 
@@ -114,6 +138,7 @@ def setup_complexity(ml, strength="symmetric",
     triple product, Schwarz subdomain factorizations, and candidate
     improvement relaxation on B.
     """
+    _warn_legacy_cost_kwargs("setup_complexity", legacy_kwargs)
     nlevels = len(ml.levels)
     strength = _levelize(strength, nlevels)
     smooth = _levelize(smooth, nlevels)
@@ -171,7 +196,8 @@ def setup_complexity(ml, strength="symmetric",
     return work / float(_nnz(ml.levels[0]))
 
 
-def cycle_complexity(ml, cycle="V", presmoothing=None, postsmoothing=None):
+def cycle_complexity(ml, cycle="V", presmoothing=None, postsmoothing=None,
+                     **legacy_kwargs):
     """Work of one cycle in units of fine-grid nnz
     (≙ Jacob_complexity.py:118-258).
 
@@ -183,6 +209,7 @@ def cycle_complexity(ml, cycle="V", presmoothing=None, postsmoothing=None):
     this package's compiled cycle: a W-shaped recursion plus three extra
     coarse-operator matvecs per visit (the A-conjugate direction setup).
     """
+    _warn_legacy_cost_kwargs("cycle_complexity", legacy_kwargs)
     cycle = str(cycle).upper()
     nlevels = len(ml.levels)
     nnz = [float(_nnz(lvl)) for lvl in ml.levels]

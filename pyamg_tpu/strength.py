@@ -351,7 +351,11 @@ def evolution_strength_of_connection(A, B=None, epsilon=4.0, k=2,
 
     Atilde = None
     W = None
-    if sym_probe_rel <= 1e-13 and Dinv is not None:
+    # bitwise gate (probe products EXACTLY equal): a matrix symmetric only
+    # to ~1e-13 would pass a tolerance gate yet differ from the transpose
+    # path at the last ulp, and SOC feeds discontinuous threshold/splitting
+    # decisions — near-symmetric inputs must take the transpose path below
+    if sym_probe_rel == 0.0 and Dinv is not None:
         Sx = identity_minus_colscaled_native(A, Dinv, 1.0 / rho_DinvA)
         if Sx is not None:
             Atilde = sparse.csr_matrix((Sx, A.indices, A.indptr),
