@@ -7,6 +7,7 @@ TPU only.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 import scipy.sparse as sp
 
@@ -73,3 +74,116 @@ class TestPallasCompiled:
         y_ref = D.matvec_xla(x)
         y_pal = D.matvec(x)     # dispatches to the Pallas kernel on TPU
         assert float(jnp.abs(y_ref - y_pal).max()) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Masked-SpGEMM kernel (spgemm_pallas)
+# ---------------------------------------------------------------------------
+
+from pyamg_tpu.sparse import spgemm_pallas as _spp
+from pyamg_tpu.sparse.spgemm_device import (masked_spgemm_ell,
+                                            pattern_spgemm, rap_pattern)
+from pyamg_tpu.sparse.ell import SparseELL
+
+
+def _banded_random(n, m, bw, nnz_per_row=5, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(n), nnz_per_row)
+    cols = np.clip((rows * m) // n
+                   + rng.integers(-bw, bw + 1, size=rows.size), 0, m - 1)
+    A = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
+                      shape=(n, m)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    return A
+
+
+class TestSpgemmPallasInterpret:
+    """Kernel correctness in the Pallas interpreter (runs everywhere)."""
+
+    def setup_method(self):
+        _spp._INTERPRET[0] = True
+
+    def teardown_method(self):
+        _spp._INTERPRET[0] = False
+
+    @pytest.mark.parametrize("dims", [
+        (300, 200, 150, 8, 5),      # rectangular chain
+        (700, 700, 300, 40, 20),    # wider bands, multiple chunks
+    ])
+    def test_matches_xla_masked_product(self, dims):
+        n, m, k, bw1, bw2 = dims
+        A_csr = _banded_random(n, m, bw1, seed=1)
+        B_csr = _banded_random(m, k, bw2, seed=2)
+        A = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        B = SparseELL.from_scipy(B_csr, dtype=np.float32)
+        pat = pattern_spgemm(A_csr, B_csr, dtype=np.float32)
+        ref = masked_spgemm_ell(A, B, pat)
+        plan = _spp.MaskedSpgemmPlan(A, B, pat, T=64, Wc=64)
+        assert plan.feasible
+        out = plan(A, B)
+        r = np.asarray(ref.data, dtype=np.float64)
+        o = np.asarray(out.data, dtype=np.float64)
+        scale = np.abs(r).max() or 1.0
+        assert np.abs(r - o).max() / scale < 1e-5
+
+    def test_plan_reuse_fresh_data(self):
+        # same structure, new values: the symbolic plan must be reusable
+        A_csr = _banded_random(257, 257, 6, seed=3)
+        B_csr = _banded_random(257, 130, 4, seed=4)
+        pat = pattern_spgemm(A_csr, B_csr, dtype=np.float32)
+        A1 = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        B1 = SparseELL.from_scipy(B_csr, dtype=np.float32)
+        plan = _spp.MaskedSpgemmPlan(A1, B1, pat, T=64, Wc=64)
+        A2_csr = A_csr.copy()
+        A2_csr.data = np.random.default_rng(9).standard_normal(A_csr.nnz)
+        A2 = SparseELL.from_scipy(A2_csr, dtype=np.float32)
+        out = plan(A2, B1)
+        ref = masked_spgemm_ell(A2, B1, pat)
+        r = np.asarray(ref.data, dtype=np.float64)
+        o = np.asarray(out.data, dtype=np.float64)
+        assert np.abs(r - o).max() / (np.abs(r).max() or 1.0) < 1e-5
+
+    def test_rap_chain_on_poisson(self):
+        # the Galerkin use case: P^T A P on a real hierarchy slab
+        from pyamg_tpu.classical.classical import ruge_stuben_solver
+        A_csr = sp.csr_matrix(poisson((24, 24), format="csr"))
+        ml = ruge_stuben_solver(A_csr, max_levels=2, max_coarse=10)
+        P_csr = sp.csr_matrix(ml.levels[0].P_csr
+                              if hasattr(ml.levels[0], "P_csr")
+                              else ml.levels[0].P)
+        R_csr = sp.csr_matrix(P_csr.T)
+        R_csr.sort_indices()
+        A = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        P = SparseELL.from_scipy(P_csr, dtype=np.float32)
+        R = SparseELL.from_scipy(R_csr, dtype=np.float32)
+        pat_AP, pat_RAP = rap_pattern(R_csr, A_csr, P_csr, dtype=np.float32)
+        plan_AP = _spp.MaskedSpgemmPlan(A, P, pat_AP, T=64, Wc=64)
+        plan_RAP = _spp.MaskedSpgemmPlan(R, pat_AP, pat_RAP, T=64, Wc=64)
+        AP = plan_AP(A, P)
+        RAP = plan_RAP(R, AP)
+        RAP_true = (R_csr.astype(np.float64) @ A_csr.astype(np.float64)
+                    @ P_csr.astype(np.float64))
+        got = RAP.to_scipy().astype(np.float64)
+        scale = abs(RAP_true).max()
+        assert abs(got - RAP_true).max() / scale < 1e-5
+
+
+class TestSpgemmPlanGates:
+    def test_infeasible_wide_unique(self):
+        # a dense-ish random matrix blows the per-chunk unique-column cap
+        rng = np.random.default_rng(0)
+        A_csr = sp.csr_matrix(rng.random((600, 600)) < 0.05, dtype=np.float32)
+        A_csr.data = rng.standard_normal(A_csr.nnz).astype(np.float32)
+        A = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        pat = pattern_spgemm(A_csr, A_csr, dtype=np.float32)
+        plan = _spp.MaskedSpgemmPlan(A, A, pat, T=64, Wc=64, max_Uc=128)
+        assert not plan.feasible
+        with pytest.raises(ValueError):
+            plan(A, A)
+
+    def test_backend_gate(self):
+        from pyamg_tpu.sparse.spgemm_pallas import pallas_spgemm_supported
+        from pyamg_tpu.sparse.pallas_kernels import pallas_available
+        assert pallas_spgemm_supported() == (pallas_available()
+                                             and jax.device_count() == 1)
