@@ -26,7 +26,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .sharding import make_mesh, pad_to, _pad_ell, _place_ell, ShardedSolver
 from ..sparse import SparseELL
 from ..sparse.ell import ell_matvec
-from ..sparse.spgemm_device import masked_spgemm_ell, ell_transpose_onto
+from ..sparse.spgemm_device import (masked_spgemm_ell,
+                                    masked_spgemm_auto,
+                                    ell_transpose_onto)
 from ..multilevel import Level
 from ..relaxation.device import SmootherData
 
@@ -126,7 +128,7 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
                              smoother=("multicolor_gauss_seidel",
                                        {"iterations": 1,
                                         "sweep": "symmetric"}),
-                             dtype=None, rho_iters=30):
+                             dtype=None, rho_iters=30, spgemm="auto"):
     """Smoothed-aggregation setup with the NUMERIC phase distributed.
 
     TPU-native split of the reference's serial setup pipeline
@@ -165,6 +167,9 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
         axis_name = mesh.axis_names[0]
     nd = mesh.devices.size
     dt = np.dtype(dtype or np.float32)
+    # "auto" routes single-device products through the Pallas SpGEMM
+    # kernels; multi-device meshes always take the exact XLA path
+    mm = masked_spgemm_auto if spgemm == "auto" else masked_spgemm_ell
 
     def unpack(arg):
         if isinstance(arg, tuple):
@@ -274,10 +279,10 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
         patAc_ell = _place_ell(SparseELL.from_scipy(patAc, dtype=dt),
                                mesh, axis_name)
 
-        P_ell = masked_spgemm_ell(S_ell, T_ell, patP_ell)
+        P_ell = mm(S_ell, T_ell, patP_ell)
         R_ell = ell_transpose_onto(P_ell, patR_ell)
-        AP = masked_spgemm_ell(A_ell, P_ell, patAP_ell)
-        Ac_ell = masked_spgemm_ell(R_ell, AP, patAc_ell)
+        AP = mm(A_ell, P_ell, patAP_ell)
+        Ac_ell = mm(R_ell, AP, patAc_ell)
 
         # ---- the one numeric D2H: coarse values for the next level ------
         Ac_host = Ac_ell.to_scipy()[:nc, :nc].tocsr()

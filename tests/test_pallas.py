@@ -125,7 +125,8 @@ class TestSpgemmPallasInterpret:
         r = np.asarray(ref.data, dtype=np.float64)
         o = np.asarray(out.data, dtype=np.float64)
         scale = np.abs(r).max() or 1.0
-        assert np.abs(r - o).max() / scale < 1e-5
+        # bf16x3 contraction: ~1e-5 relative (3-pass hi/lo split)
+        assert np.abs(r - o).max() / scale < 5e-5
 
     def test_plan_reuse_fresh_data(self):
         # same structure, new values: the symbolic plan must be reusable
@@ -142,7 +143,7 @@ class TestSpgemmPallasInterpret:
         ref = masked_spgemm_ell(A2, B1, pat)
         r = np.asarray(ref.data, dtype=np.float64)
         o = np.asarray(out.data, dtype=np.float64)
-        assert np.abs(r - o).max() / (np.abs(r).max() or 1.0) < 1e-5
+        assert np.abs(r - o).max() / (np.abs(r).max() or 1.0) < 5e-5
 
     def test_rap_chain_on_poisson(self):
         # the Galerkin use case: P^T A P on a real hierarchy slab
@@ -166,7 +167,7 @@ class TestSpgemmPallasInterpret:
                     @ P_csr.astype(np.float64))
         got = RAP.to_scipy().astype(np.float64)
         scale = abs(RAP_true).max()
-        assert abs(got - RAP_true).max() / scale < 1e-5
+        assert abs(got - RAP_true).max() / scale < 5e-5
 
 
 class TestSpgemmPlanGates:
@@ -187,3 +188,102 @@ class TestSpgemmPlanGates:
         from pyamg_tpu.sparse.pallas_kernels import pallas_available
         assert pallas_spgemm_supported() == (pallas_available()
                                              and jax.device_count() == 1)
+
+
+# ---------------------------------------------------------------------------
+# Banded-left masked-SpGEMM kernel (spgemm_dia)
+# ---------------------------------------------------------------------------
+
+from pyamg_tpu.sparse import spgemm_dia as _spd
+
+
+def _banded_square(n, offsets, drop=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for off in offsets:
+        i = np.arange(max(0, -off), min(n, n - off))
+        keep = rng.random(i.size) > drop
+        rows.append(i[keep])
+        cols.append((i + off)[keep])
+        vals.append(rng.standard_normal(keep.sum()))
+    A = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    A.sort_indices()
+    return A
+
+
+class TestBandedSpgemmInterpret:
+    """Banded-left kernel correctness in the interpreter.
+
+    The kernel is pure f32 FMA (no bf16 splits), so results must be
+    BIT-IDENTICAL to f64-cast comparison against the XLA gather path only
+    up to summation order — in practice exact on these cases.
+    """
+
+    def setup_method(self):
+        _spd._INTERPRET[0] = True
+
+    def teardown_method(self):
+        _spd._INTERPRET[0] = False
+
+    @pytest.mark.parametrize("case", ["5pt", "9pt", "wideA", "multitile"])
+    def test_matches_xla_masked_product(self, case):
+        if case == "5pt":
+            A_csr = _banded_square(3000, [-50, -1, 0, 1, 50], seed=1)
+            B_csr = _banded_random(3000, 900, 3, nnz_per_row=3, seed=2)
+        elif case == "9pt":
+            A_csr = _banded_square(
+                2000, [-45, -44, -43, -1, 0, 1, 43, 44, 45], seed=3)
+            B_csr = _banded_random(2000, 2000, 5, seed=4)
+        elif case == "wideA":
+            # A wider than tall: B rows beyond n_pad must still be read
+            A_csr = _banded_square(2200, [-2, 0, 2, 700],
+                                   seed=5).tocsr()[:1500]
+            B_csr = _banded_random(2200, 500, 4, nnz_per_row=4, seed=6)
+        else:
+            A_csr = _banded_square(30000, [-1500, -1, 0, 1, 1500], seed=7)
+            B_csr = _banded_random(30000, 10000, 6, seed=8)
+        A = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        B = SparseELL.from_scipy(B_csr, dtype=np.float32)
+        pat = pattern_spgemm(A_csr, B_csr, dtype=np.float32)
+        plan = _spd.BandedSpgemmPlan(A, B, pat)
+        assert plan.feasible, plan.describe()
+        ref = masked_spgemm_ell(A, B, pat)
+        out = plan(A, B)
+        r = np.asarray(ref.data, dtype=np.float64)
+        o = np.asarray(out.data, dtype=np.float64)
+        assert np.abs(r - o).max() / (np.abs(r).max() or 1.0) < 1e-6
+        C_true = A_csr.astype(np.float32) @ B_csr.astype(np.float32)
+        got = out.to_scipy().astype(np.float64)
+        assert (abs(got - C_true.astype(np.float64)).max()
+                / (np.abs(r).max() or 1.0)) < 1e-5
+
+    def test_infeasible_irregular_left(self):
+        # an unstructured left operand has too many distinct offsets
+        rng = np.random.default_rng(0)
+        A_csr = sp.csr_matrix(rng.random((800, 800)) < 0.01,
+                              dtype=np.float32)
+        A_csr.data = rng.standard_normal(A_csr.nnz).astype(np.float32)
+        A = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        pat = pattern_spgemm(A_csr, A_csr, dtype=np.float32)
+        plan = _spd.BandedSpgemmPlan(A, A, pat)
+        assert not plan.feasible
+        with pytest.raises(ValueError):
+            plan(A, A)
+
+    def test_plan_reuse_fresh_data(self):
+        A_csr = _banded_square(1000, [-30, 0, 30], seed=9)
+        B_csr = _banded_random(1000, 400, 4, seed=10)
+        pat = pattern_spgemm(A_csr, B_csr, dtype=np.float32)
+        A1 = SparseELL.from_scipy(A_csr, dtype=np.float32)
+        B1 = SparseELL.from_scipy(B_csr, dtype=np.float32)
+        plan = _spd.BandedSpgemmPlan(A1, B1, pat)
+        A2_csr = A_csr.copy()
+        A2_csr.data = np.random.default_rng(11).standard_normal(A_csr.nnz)
+        A2 = SparseELL.from_scipy(A2_csr, dtype=np.float32)
+        out = plan(A2, B1)
+        ref = masked_spgemm_ell(A2, B1, pat)
+        r = np.asarray(ref.data, dtype=np.float64)
+        o = np.asarray(out.data, dtype=np.float64)
+        assert np.abs(r - o).max() / (np.abs(r).max() or 1.0) < 1e-6
