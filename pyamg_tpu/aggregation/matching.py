@@ -5,6 +5,16 @@ Reference parity: pyamg/aggregation/matching.py (``preis_matching_1999`` :94,
 :208 → smoothed_aggregation.h:1885).
 
 Each returns a partner array: partner[i] = j if {i, j} matched, else -1.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.aggregation.matching import drake_matching
+>>> A = poisson((6, 6), format='csr')
+>>> p = np.asarray(drake_matching(A))
+>>> bool(((p == -1) | (p[p] == np.arange(p.size))).all())  # involution
+True
 """
 
 from __future__ import annotations

@@ -16,6 +16,21 @@ TPU-native notes: the per-aggregate Ritz decompositions run as ONE batched
 ``fit_candidates``); trial convergence tests run host V-cycles so no device
 programs are compiled for throwaway hierarchies — only the final accepted
 hierarchy is finalized into compiled device form.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pyamg_tpu.aggregation.new_adaptive import A_norm
+>>> float(A_norm(np.ones(4), np.eye(4)))       # sqrt(x^T A x)
+2.0
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.aggregation.new_adaptive import asa_solver
+>>> ml = asa_solver(poisson((64,), format='csr'), max_targets=1)
+>>> b = np.ones(64)
+>>> x = ml.solve(b, tol=1e-8, maxiter=100, accel='cg')
+>>> bool(np.linalg.norm(b - poisson((64,), format='csr') @
+...      np.asarray(x, dtype=float)) < 1e-6 * np.linalg.norm(b))
+True
 """
 
 from __future__ import annotations

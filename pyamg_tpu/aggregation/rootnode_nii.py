@@ -11,6 +11,16 @@ F-point's neighborhood, restricted to a sparsity pattern of nearby C points —
 realized here as batched per-row least squares (the same batched-dense
 formulation the device setup path uses) instead of the reference's serial
 per-row LQ kernels.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.aggregation.rootnode_nii import ben_ideal_interpolation
+>>> A = poisson((16,), format='csr')
+>>> P = ben_ideal_interpolation(A, np.arange(0, 16, 2))
+>>> P.shape
+(16, 8)
 """
 
 from __future__ import annotations

@@ -12,6 +12,18 @@ modeled from THIS package's compiled AMLI cycle (multilevel.py — two
 A-conjugate coarse directions per visit, costing a W-shaped recursion
 plus three extra coarse-operator matvecs), so W and AMLI report
 different work.
+
+Examples
+--------
+>>> import pyamg_tpu
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.complexity import cycle_complexity, setup_complexity
+>>> A = poisson((16, 16), format='csr')
+>>> ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=10)
+>>> bool(cycle_complexity(ml) > 1.0)         # work in fine-nnz units
+True
+>>> bool(setup_complexity(ml) > cycle_complexity(ml))
+True
 """
 
 from __future__ import annotations

@@ -12,6 +12,19 @@ mesh turns each level build into one SPMD program: XLA inserts the halo
 permutes for the DIA shifts and psums for the norms, and each coarse
 operator comes out of the jit already sharded — construction itself is
 distributed, and the coarse levels never exist unsharded anywhere.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.parallel import make_mesh, general_sa_setup_sharded
+>>> A = poisson((12, 12), format='csr')
+>>> sol = general_sa_setup_sharded(A, mesh=make_mesh(1), max_coarse=20)
+>>> b = np.ones(A.shape[0])
+>>> x = sol.solve(b, tol=1e-8, maxiter=100, accel='cg')
+>>> r = np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+>>> bool(r < 1e-4 * np.linalg.norm(b))    # f32-staged operators
+True
 """
 
 from __future__ import annotations

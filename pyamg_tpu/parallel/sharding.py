@@ -7,6 +7,22 @@ are 1-D row-sharded over a ``jax.sharding.Mesh``; the padded-ELL SpMV's
 automatically, reductions become ``psum``-style collectives inside compiled
 Krylov loops, and coarse levels below a size threshold are replicated (the
 classic AMG agglomeration trick — here the dense coarse solve is replicated).
+
+Examples
+--------
+>>> import numpy as np, pyamg_tpu
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.parallel import make_mesh, shard_solver
+>>> mesh = make_mesh(1)                       # 1-device mesh (any backend)
+>>> int(mesh.devices.size)
+1
+>>> A = poisson((12, 12), format='csr')
+>>> sol = shard_solver(pyamg_tpu.smoothed_aggregation_solver(A), mesh=mesh)
+>>> b = np.ones(A.shape[0])
+>>> x = sol.solve(b, tol=1e-8, maxiter=100, accel='cg')
+>>> r = np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+>>> bool(r < 1e-6 * np.linalg.norm(b))
+True
 """
 
 from __future__ import annotations

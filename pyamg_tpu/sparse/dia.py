@@ -11,6 +11,17 @@ automatic halo exchanges.
 Replaces the role of CSR for structured levels (reference substrate:
 scipy.sparse, SURVEY.md L1); unstructured levels fall back to
 :class:`~pyamg_tpu.sparse.ell.SparseELL`.
+
+Examples
+--------
+>>> import numpy as np
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.sparse import SparseDIA
+>>> A = poisson((8, 8), format='csr')
+>>> D = SparseDIA.from_scipy(A)
+>>> x = np.arange(A.shape[0], dtype=float)
+>>> bool(np.allclose(np.asarray(D.matvec(x)), A @ x))
+True
 """
 
 from __future__ import annotations

@@ -17,6 +17,19 @@ Conventions
 Reference parity: this file replaces the CSR/BSR substrate the reference gets
 from scipy.sparse (SURVEY.md L1) and the raw-array kernel calling convention of
 pyamg/amg_core (SURVEY.md L0).
+
+Examples
+--------
+>>> import numpy as np
+>>> from pyamg_tpu.gallery import poisson
+>>> from pyamg_tpu.sparse import SparseELL
+>>> A = poisson((8, 8), format='csr')
+>>> E = SparseELL.from_scipy(A)
+>>> x = np.arange(A.shape[0], dtype=float)
+>>> bool(np.allclose(np.asarray(E.matvec(x)), A @ x))
+True
+>>> bool((E.to_scipy() != A).nnz == 0)
+True
 """
 
 from __future__ import annotations

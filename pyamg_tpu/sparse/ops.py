@@ -5,6 +5,17 @@ SURVEY.md §7 "hard parts" (b)), so structural products use scipy's SpGEMM and
 the results are re-laid-out into padded ELL for the device.  Numeric-only
 re-products (same pattern) can later move on-device via the masked-SpGEMM
 kernel (reference: ``incomplete_mat_mult_csr`` evolution_strength.h:676).
+
+Examples
+--------
+>>> import numpy as np, scipy.sparse as sp
+>>> from pyamg_tpu.sparse.ops import transpose, spgemm
+>>> M = sp.csr_matrix(np.array([[1., 2., 0.], [0., 3., 4.]]))
+>>> bool((transpose(M).to_scipy() != M.T).nnz == 0)
+True
+>>> C = spgemm(M, M.T)
+>>> bool(np.allclose(C.to_scipy().toarray(), (M @ M.T).toarray()))
+True
 """
 
 from __future__ import annotations

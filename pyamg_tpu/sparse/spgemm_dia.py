@@ -90,12 +90,12 @@ class BandedSpgemmPlan:
         w_B8 = _round_up(self.w_B, _SUB)
         w_o8 = _round_up(self.w_out, _SUB)
         per_row = 4 * (2 * (2 * w_A8 + 2 * w_B8 + 2 * w_o8)  # dbl-buffered
-                       + 2 * w_B8 + w_o8)                    # window + acc
+                       + 4 * w_B8 + w_o8 + w_A8)   # windows+slices+acc+val
         T = max(512, H)
         while (2 * T <= 16384
-               and (2 * T + 2 * H) * per_row < 10 * 1024 * 1024):
+               and (2 * T + 2 * H) * per_row < 5 * 1024 * 1024):
             T *= 2
-        if (T + 2 * H) * per_row >= 12 * 1024 * 1024:
+        if (T + 2 * H) * per_row >= 8 * 1024 * 1024:
             return
         self.T = T
         self.n_pad = _round_up(max(n, 1), T)
@@ -192,13 +192,13 @@ def _banded_spgemm(Ad, Ac, Bd, Bc, patT, *,
                 val = val + jnp.where(
                     ac_ref[a:a + 1, :] - row == delta,
                     ad_ref[a:a + 1, :], 0.0)
+            wd_d = jax.lax.slice_in_dim(wd, H + delta, H + delta + T,
+                                        axis=1)             # (w_B8, T)
+            wc_d = jax.lax.slice_in_dim(wc, H + delta, H + delta + T,
+                                        axis=1)
             for b in range(w_B):
-                bv = jax.lax.slice_in_dim(
-                    wd, H + delta, H + delta + T, axis=1)[b:b + 1, :]
-                bc = jax.lax.slice_in_dim(
-                    wc, H + delta, H + delta + T, axis=1)[b:b + 1, :]
-                av = val * bv                                   # (1, T)
-                acc = acc + jnp.where(pat == bc, av, 0.0)
+                av = val * wd_d[b:b + 1, :]                     # (1, T)
+                acc = acc + jnp.where(pat == wc_d[b:b + 1, :], av, 0.0)
         out_ref[:] = acc
 
     grid = (n_pad // T,)

@@ -2,6 +2,17 @@
 
 Reference parity: pyamg/vis/vis_coarse.py (``vis_aggregate_groups`` :22,
 ``vis_splitting`` :152).
+
+Examples
+--------
+>>> import os, tempfile
+>>> import numpy as np
+>>> from pyamg_tpu.vis import vis_splitting
+>>> V = np.array([[0., 0.], [1., 0.], [0., 1.], [1., 1.]])
+>>> fname = os.path.join(tempfile.mkdtemp(), 'split.vtu')
+>>> vis_splitting(V, np.array([1, 0, 0, 1]), fname=fname)
+>>> bool(os.path.getsize(fname) > 0)
+True
 """
 
 from __future__ import annotations

@@ -2,6 +2,18 @@
 
 Reference parity: pyamg/vis/vtk_writer.py (``write_vtu`` :20,
 ``write_basic_mesh`` :380).  Host-side numpy + plain XML text output.
+
+Examples
+--------
+>>> import os, tempfile
+>>> import numpy as np
+>>> from pyamg_tpu.vis.vtk_writer import write_basic_mesh
+>>> V = np.array([[0., 0.], [1., 0.], [0., 1.]])
+>>> E2V = np.array([[0, 1, 2]])
+>>> fname = os.path.join(tempfile.mkdtemp(), 'tri.vtu')
+>>> write_basic_mesh(V, E2V, mesh_type='tri', fname=fname)
+>>> bool(os.path.getsize(fname) > 0)
+True
 """
 
 from __future__ import annotations

@@ -114,6 +114,20 @@ class TestDocstringExamples:
         "pyamg_tpu.blackbox",
         "pyamg_tpu.util.utils",
         "pyamg_tpu.util.linalg",
+        # round-5 widening (reference §4.4 parity): sparse substrate,
+        # distributed layer, vis, complexity, fork features
+        "pyamg_tpu.sparse.dia",
+        "pyamg_tpu.sparse.ell",
+        "pyamg_tpu.sparse.ops",
+        "pyamg_tpu.parallel.sharding",
+        "pyamg_tpu.parallel.setup",
+        "pyamg_tpu.parallel.classical_setup",
+        "pyamg_tpu.vis.vis_coarse",
+        "pyamg_tpu.vis.vtk_writer",
+        "pyamg_tpu.complexity",
+        "pyamg_tpu.aggregation.matching",
+        "pyamg_tpu.aggregation.new_adaptive",
+        "pyamg_tpu.aggregation.rootnode_nii",
     ]
 
     def test_doctests(self):
