@@ -67,6 +67,21 @@ def build_elasticity():
 run("elasticity_rbm_sa", build_elasticity, maxiter=400, rhs="normal")
 
 
+def build_elasticity_1m():
+    # mirrors suite.py config 4b: energy-min prolongation smoothing on RBM
+    # candidates (the kernel-densest reference setup path, smooth.py:904)
+    A, B = linear_elasticity((724, 724))      # 2*724^2 = 1,048,352 DoF
+    ml = pyamg.smoothed_aggregation_solver(
+        A.tobsr(blocksize=(2, 2)), B=B, max_coarse=100,
+        smooth=("energy", {"maxiter": 2}))
+    return A.tocsr(), ml
+
+
+if "elasticity_1m_energy_sa" not in out:
+    run("elasticity_1m_energy_sa", build_elasticity_1m, maxiter=400,
+        rhs="normal")
+
+
 def build_adaptive():
     sten = diffusion_stencil_2d(epsilon=0.001, theta=0.0, type="FD")
     A = stencil_grid(sten, (1024, 1024), format="csr")
