@@ -45,7 +45,8 @@ from ..sparse.spgemm_device import (masked_spgemm_ell,
 from ..multilevel import Level
 from ..relaxation.device import SmootherData
 
-__all__ = ["structured_sa_setup_sharded", "general_sa_setup_sharded"]
+__all__ = ["structured_sa_setup_sharded", "general_sa_setup_sharded",
+           "rootnode_setup_sharded", "adaptive_sa_setup_sharded"]
 
 
 def structured_sa_setup_sharded(A, grid, mesh=None, n_devices=None,
@@ -137,6 +138,7 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
                              axis_name: str = "rows",
                              strength=("symmetric", {"theta": 0.0}),
                              aggregate="standard", omega=4.0 / 3.0,
+                             smooth=("jacobi", {}),
                              max_levels=10, max_coarse=100,
                              smoother=("multicolor_gauss_seidel",
                                        {"iterations": 1,
@@ -191,6 +193,10 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
 
     s_name, s_kw = unpack(strength)
     agg_name, agg_kw = unpack(aggregate)
+    p_name, p_kw = unpack(smooth)
+    if p_name not in ("jacobi", "energy"):
+        raise ValueError("distributed setup supports smooth in "
+                         "('jacobi', 'energy'); got " + repr(p_name))
     sm_name, sm_kw = unpack(smoother)
     if sm_name not in ("jacobi", "multicolor_gauss_seidel"):
         raise ValueError(
@@ -258,30 +264,41 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
         nc_pad = pad_to(max(nc, 1), nd)
 
         patA = _pattern_csr(A_host, (n_pad, n_pad))
-        patT = _pattern_csr(T, (n_pad, nc_pad))
-        patP = _pattern_csr(patA @ patT)
-        patR = _pattern_csr(patP.T)
-        patAP = _pattern_csr(patA @ patP)
-        patAc = _pattern_csr(patR @ patAP)
 
         # ---- device: sharded numeric stage ------------------------------
         A_ell = _place_ell(_pad_ell(SparseELL.from_scipy(A_host, dtype=dt),
                                     n_pad, n_pad), mesh, axis_name)
-        T_ell = _place_ell(_pad_ell(SparseELL.from_scipy(T, dtype=dt),
-                                    n_pad, nc_pad), mesh, axis_name)
         valid = A_ell.valid_mask()
         ddt = A_ell.dtype             # actual staged dtype (f32 w/o x64)
-        v0 = jax.device_put(
-            jnp.asarray(np.sin(np.arange(1, n_pad + 1)), dtype=ddt), sh1)
         d = A_ell.diagonal()          # padded rows: 0 -> dinv 0 -> inert
         dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 0.0)
-        rho = float(_ell_power_rho(A_ell.data, A_ell.cols, dinv, v0,
-                                   n_iter=rho_iters))
-        S_data, dinv = _jacobi_smoothing_vals(
-            A_ell.data, A_ell.cols, valid,
-            jnp.asarray(omega / max(rho, 1e-30), dtype=ddt))
-        S_ell = SparseELL(data=S_data, cols=A_ell.cols,
-                          row_nnz=A_ell.row_nnz, shape=A_ell.shape)
+
+        if p_name == "energy":
+            from .energy import energy_smooth_sharded
+
+            P_ell, patP = energy_smooth_sharded(
+                A_ell, T, C, Bc, mesh, axis_name, mm=mm, dt=dt,
+                degree=int(p_kw.get("degree", 1)),
+                maxiter=int(p_kw.get("maxiter", 4)),
+                tol=float(p_kw.get("tol", 1e-8)),
+                weighting=p_kw.get("weighting", "local"))
+            patP = _pattern_csr(patP, (n_pad, nc_pad))
+        else:
+            v0 = jax.device_put(
+                jnp.asarray(np.sin(np.arange(1, n_pad + 1)), dtype=ddt),
+                sh1)
+            rho = float(_ell_power_rho(A_ell.data, A_ell.cols, dinv, v0,
+                                       n_iter=rho_iters))
+            S_data, dinv = _jacobi_smoothing_vals(
+                A_ell.data, A_ell.cols, valid,
+                jnp.asarray(omega / max(rho, 1e-30), dtype=ddt))
+            S_ell = SparseELL(data=S_data, cols=A_ell.cols,
+                              row_nnz=A_ell.row_nnz, shape=A_ell.shape)
+            patT = _pattern_csr(T, (n_pad, nc_pad))
+            patP = _pattern_csr(patA @ patT)
+        patR = _pattern_csr(patP.T)
+        patAP = _pattern_csr(patA @ patP)
+        patAc = _pattern_csr(patR @ patAP)
 
         patP_ell = _place_ell(SparseELL.from_scipy(patP, dtype=dt),
                               mesh, axis_name)
@@ -292,7 +309,12 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
         patAc_ell = _place_ell(SparseELL.from_scipy(patAc, dtype=dt),
                                mesh, axis_name)
 
-        P_ell = mm(S_ell, T_ell, patP_ell)
+        if p_name == "energy":
+            pass          # energy P comes back padded + mesh-placed
+        else:
+            T_ell = _place_ell(_pad_ell(SparseELL.from_scipy(T, dtype=dt),
+                                        n_pad, nc_pad), mesh, axis_name)
+            P_ell = mm(S_ell, T_ell, patP_ell)
         R_ell = ell_transpose_onto(P_ell, patR_ell)
         AP = mm(A_ell, P_ell, patAP_ell)
         Ac_ell = mm(R_ell, AP, patAc_ell)
@@ -331,3 +353,229 @@ def general_sa_setup_sharded(A, B=None, mesh=None, n_devices=None,
 
     return ShardedSolver.from_sharded_levels(levels, sizes, mesh, axis_name,
                                              n_orig)
+
+
+def rootnode_setup_sharded(A, B=None, mesh=None, n_devices=None,
+                           axis_name: str = "rows",
+                           strength=("symmetric", {"theta": 0.0}),
+                           aggregate="standard",
+                           smooth=("energy", {}),
+                           max_levels=10, max_coarse=100,
+                           smoother=("multicolor_gauss_seidel",
+                                     {"iterations": 1,
+                                      "sweep": "symmetric"}),
+                           dtype=None):
+    """Root-node SA setup with the numeric phase distributed over a mesh.
+
+    The same host-integer / SPMD-numeric split as
+    :func:`general_sa_setup_sharded`, applied to the root-node constructor
+    (reference rootnode.py:316): host keeps strength, aggregation + root
+    selection, the tentative fit, ``get_Cpt_params`` / ``scale_T`` and the
+    injected coarse candidates; the mesh runs the Cpt-constrained energy
+    CG (parallel/energy.py — F-row masks + the P_I identity block ride the
+    reference's ``Cpt_params`` contract) and the Galerkin RAP.  Scalar
+    (blocksize-1) operators; requires ``smooth=('energy', ...)`` like the
+    reference.
+    """
+    import scipy.sparse as sp
+    from ..strength import (symmetric_strength_of_connection,
+                            classical_strength_of_connection)
+    from ..aggregation.aggregate import (standard_aggregation,
+                                         naive_aggregation)
+    from ..aggregation.tentative import fit_candidates
+    from ..util.utils import get_Cpt_params, scale_T
+    from .energy import energy_smooth_sharded
+
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    elif axis_name not in mesh.axis_names and len(mesh.axis_names) == 1:
+        axis_name = mesh.axis_names[0]
+    nd = mesh.devices.size
+    dt = np.dtype(dtype or np.float32)
+    mm = masked_spgemm_auto
+
+    def unpack(arg):
+        if isinstance(arg, tuple):
+            return arg[0], dict(arg[1])
+        return arg, {}
+
+    s_name, s_kw = unpack(strength)
+    agg_name, agg_kw = unpack(aggregate)
+    p_name, p_kw = unpack(smooth)
+    if p_name != "energy":
+        raise ValueError("rootnode requires the 'energy' prolongation "
+                         f"smoother (got {p_name!r})")
+    sm_name, sm_kw = unpack(smoother)
+
+    A_host = sp.csr_matrix(A).astype(dt)
+    A_host.sort_indices()
+    n_orig = A_host.shape[0]
+    Bcur = (np.ones((n_orig, 1), dtype=dt) if B is None
+            else np.asarray(B, dtype=dt).reshape(n_orig, -1))
+
+    levels, sizes = [], []
+    while len(levels) < max_levels - 1 and A_host.shape[0] > max_coarse:
+        n = A_host.shape[0]
+        n_pad = pad_to(n, nd)
+
+        # ---- host: integer graph stage ---------------------------------
+        if s_name in ("symmetric", None):
+            C = (symmetric_strength_of_connection(A_host, **s_kw)
+                 if s_name else A_host)
+        elif s_name == "classical":
+            C = classical_strength_of_connection(A_host, **s_kw)
+        else:
+            raise ValueError(f"unsupported strength {s_name!r}")
+        agg_fn = (standard_aggregation if agg_name == "standard"
+                  else naive_aggregation)
+        AggOp, Cnodes = agg_fn(sp.csr_matrix(C), **agg_kw)
+        if AggOp.shape[1] == 0 or Cnodes is None:
+            break
+        T, _dummy = fit_candidates(AggOp, Bcur[:, :1])
+        Cpt_params = get_Cpt_params(A_host, np.asarray(Cnodes), AggOp,
+                                    sp.csr_matrix(T))
+        T = scale_T(sp.csr_matrix(T), Cpt_params["P_I"], Cpt_params["I_F"])
+        B_coarse = np.asarray(Cpt_params["P_I"].T @ Bcur)
+        fmask = np.asarray(
+            sp.csr_matrix(Cpt_params["I_F"]).diagonal()).real != 0
+        nc = T.shape[1]
+        nc_pad = pad_to(max(nc, 1), nd)
+
+        # ---- device: sharded numeric stage ------------------------------
+        A_ell = _place_ell(_pad_ell(SparseELL.from_scipy(A_host, dtype=dt),
+                                    n_pad, n_pad), mesh, axis_name)
+        d = A_ell.diagonal()
+        dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 0.0)
+
+        P_ell, patP = energy_smooth_sharded(
+            A_ell, sp.csr_matrix(T), sp.csr_matrix(C), B_coarse, mesh,
+            axis_name, mm=mm, dt=dt,
+            degree=int(p_kw.get("degree", 1)),
+            maxiter=int(p_kw.get("maxiter", 4)),
+            tol=float(p_kw.get("tol", 1e-8)),
+            weighting=p_kw.get("weighting", "local"),
+            fmask_host=fmask, PI_host=Cpt_params["P_I"])
+
+        patA = _pattern_csr(A_host, (n_pad, n_pad))
+        patP = _pattern_csr(patP, (n_pad, nc_pad))
+        patR = _pattern_csr(patP.T)
+        patAP = _pattern_csr(patA @ patP)
+        patAc = _pattern_csr(patR @ patAP)
+        patR_ell = _place_ell(SparseELL.from_scipy(patR, dtype=dt),
+                              mesh, axis_name)
+        patAP_ell = _place_ell(SparseELL.from_scipy(patAP, dtype=dt),
+                               mesh, axis_name)
+        patAc_ell = _place_ell(SparseELL.from_scipy(patAc, dtype=dt),
+                               mesh, axis_name)
+        R_ell = ell_transpose_onto(P_ell, patR_ell)
+        AP = mm(A_ell, P_ell, patAP_ell)
+        Ac_ell = mm(R_ell, AP, patAc_ell)
+
+        Ac_host = Ac_ell.to_scipy()[:nc, :nc].tocsr()
+        Ac_host.eliminate_zeros()
+        Ac_host.sort_indices()
+
+        lvl = Level()
+        lvl.A_csr = A_host
+        lvl.A = A_ell
+        lvl.P = P_ell
+        lvl.R = R_ell
+        lvl.Cpts = Cpt_params["Cpts"]
+        sm = _ell_smoother(sm_name, sm_kw, patA[:n, :n].tocsr(), dinv,
+                           n_pad, mesh, axis_name, dt)
+        lvl.presmoother = sm
+        lvl.postsmoother = sm
+        levels.append(lvl)
+        sizes.append(n_pad)
+
+        if Ac_host.shape[0] == n:
+            break
+        has = Ac_host.diagonal() != 0
+        if not has.all():
+            Ac_host = Ac_host + sp.diags((~has).astype(dt) * 0.0)
+            Ac_host = Ac_host.tocsr()
+        A_host, Bcur = Ac_host, B_coarse
+
+    last = Level()
+    last.A_csr = A_host
+    n_pad = pad_to(A_host.shape[0], nd)
+    last.A = _place_ell(_pad_ell(SparseELL.from_scipy(A_host, dtype=dt),
+                                 n_pad, n_pad), mesh, axis_name)
+    last.presmoother = last.postsmoother = SmootherData(kind="none")
+    levels.append(last)
+    sizes.append(n_pad)
+
+    return ShardedSolver.from_sharded_levels(levels, sizes, mesh, axis_name,
+                                             n_orig)
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _mesh_candidate_relax(Ad, Ac, dinv, x, omega, sweeps=8):
+    """Weighted-Jacobi candidate relaxation on A x = 0 (SPMD): the mesh
+    form of the reference's initial-stage relaxation (adaptive.py:363) —
+    each sweep renormalizes so strong sweeps cannot underflow x to 0
+    (ROUND3 lesson)."""
+    def body(_, x):
+        x = x - omega * dinv * ell_matvec(Ad, Ac, x)
+        nrm = jnp.linalg.norm(x)
+        return x / jnp.maximum(nrm, 1e-30)
+
+    return jax.lax.fori_loop(0, sweeps, body, x)
+
+
+def adaptive_sa_setup_sharded(A, mesh=None, n_devices=None,
+                              axis_name: str = "rows",
+                              num_candidates=1, candidate_iters=8,
+                              omega=2.0 / 3.0, max_levels=10,
+                              max_coarse=100, dtype=None, seed=0, **kw):
+    """Adaptive-SA setup with the numeric phase distributed over a mesh.
+
+    The mesh leg of the reference's αSA bootstrap (adaptive.py:363): the
+    INITIAL-stage candidate relaxation (ν weighted-Jacobi sweeps on
+    A x = 0 from a deterministic pseudo-random start, renormalized per
+    sweep) runs SPMD on row-sharded slabs, then the hierarchy itself is
+    mesh-constructed by :func:`general_sa_setup_sharded` on the relaxed
+    candidates.  Additional candidates relax against the current solver's
+    error propagation the same way (one mesh program per sweep chain).
+    Remaining keyword arguments pass through to the general setup.
+    """
+    import scipy.sparse as sp
+
+    if mesh is None:
+        mesh = make_mesh(n_devices, axis_name=axis_name)
+    elif axis_name not in mesh.axis_names and len(mesh.axis_names) == 1:
+        axis_name = mesh.axis_names[0]
+    nd = mesh.devices.size
+    dt = np.dtype(dtype or np.float32)
+
+    A_host = sp.csr_matrix(A).astype(dt)
+    A_host.sort_indices()
+    n = A_host.shape[0]
+    n_pad = pad_to(n, nd)
+    A_ell = _place_ell(_pad_ell(SparseELL.from_scipy(A_host, dtype=dt),
+                                n_pad, n_pad), mesh, axis_name)
+    d = A_ell.diagonal()
+    dinv = jnp.where(d != 0, 1.0 / jnp.where(d != 0, d, 1), 0.0)
+    sh1 = NamedSharding(mesh, P(axis_name))
+
+    rng = np.random.default_rng(seed)
+    cands = []
+    rho = None
+    for _k in range(max(1, int(num_candidates))):
+        x0 = np.zeros(n_pad, dtype=dt)
+        x0[:n] = rng.random(n).astype(dt) - 0.5
+        x = jax.device_put(jnp.asarray(x0), sh1)
+        if rho is None:
+            rho = float(_ell_power_rho(A_ell.data, A_ell.cols, dinv, x,
+                                       n_iter=20))
+        x = _mesh_candidate_relax(A_ell.data, A_ell.cols, dinv, x,
+                                  jnp.asarray(omega / max(rho, 1e-30),
+                                              dtype=A_ell.dtype),
+                                  sweeps=int(candidate_iters))
+        cands.append(np.asarray(x)[:n])
+    Bcur = np.column_stack(cands).astype(dt)
+
+    return general_sa_setup_sharded(A_host, B=Bcur, mesh=mesh,
+                                    axis_name=axis_name,
+                                    max_levels=max_levels,
+                                    max_coarse=max_coarse, dtype=dt, **kw)

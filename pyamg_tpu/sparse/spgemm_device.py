@@ -154,11 +154,17 @@ def masked_spgemm_auto(A, B, pattern, out_cols=None):
     from .spgemm_pallas import pallas_spgemm_supported, MaskedSpgemmPlan
     from .spgemm_dia import BandedSpgemmPlan
 
-    if pallas_spgemm_supported():
+    n = A.shape[0]
+    # below ~128k rows a product sits at the dispatch floor either way —
+    # the host plan build would cost more than it saves
+    if n >= (1 << 17) and pallas_spgemm_supported():
         plan = BandedSpgemmPlan(A, B, pattern)
         if plan.feasible:
             return plan(A, B)
-        plan = MaskedSpgemmPlan(A, B, pattern)
-        if plan.feasible:
-            return plan(A, B)
+        # the one-hot plan build is O(nnz log nnz) host work (~1 s/M rows);
+        # only worth it for the large irregular-left legs
+        if n >= (1 << 19):
+            plan = MaskedSpgemmPlan(A, B, pattern)
+            if plan.feasible:
+                return plan(A, B)
     return masked_spgemm_ell(A, B, pattern, out_cols)

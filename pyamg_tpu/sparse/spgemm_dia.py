@@ -70,6 +70,12 @@ class BandedSpgemmPlan:
         nnz = np.asarray(A.row_nnz)
         valid = np.arange(A.width, dtype=np.int32)[None, :] < nnz[:, None]
         delta = cols - np.arange(n, dtype=cols.dtype)[:, None]
+        if n > 16384:
+            # cheap pre-probe: a 4k-row sample of an irregular matrix
+            # already exceeds max_k, skipping the full O(nnz) unique
+            sel = np.linspace(0, n - 1, 4096).astype(np.int64)
+            if np.unique(delta[sel][valid[sel]]).size > max_k:
+                return
         offs = np.unique(delta[valid])
         if offs.size == 0:
             offs = np.zeros(1, dtype=np.int64)

@@ -483,3 +483,125 @@ class TestDistributedClassicalSetup:
                                       dtype=np.float64, max_coarse=50)
         assert tuple(sol.levels[0].A.data.sharding.spec)[0] == "rows"
         assert tuple(sol.levels[1].A.data.sharding.spec)[0] == "rows"
+
+
+class TestDistributedEnergySetup:
+    """SPMD energy-minimization prolongation smoothing (parallel/energy.py,
+    role of reference smooth.py:904 / smoothed_aggregation.h:556,797)."""
+
+
+    def test_energy_P_matches_host_flat_path(self):
+        # same T/C/B inputs -> mesh energy CG must reproduce the host
+        # _cg_prolongation_flat values up to f64 summation order
+        import scipy.sparse as sp
+        from pyamg_tpu.aggregation.aggregate import standard_aggregation
+        from pyamg_tpu.aggregation.tentative import fit_candidates
+        from pyamg_tpu.aggregation.smooth import (
+            energy_prolongation_smoother)
+        from pyamg_tpu.strength import symmetric_strength_of_connection
+        from pyamg_tpu.parallel import make_mesh
+        from pyamg_tpu.parallel.energy import energy_smooth_sharded
+        from pyamg_tpu.parallel.sharding import _pad_ell, _place_ell, pad_to
+        from pyamg_tpu.sparse import SparseELL
+
+        A = poisson((24, 24), format="csr").astype(np.float64)
+        C = symmetric_strength_of_connection(A, theta=0.0)
+        AggOp, _ = standard_aggregation(sp.csr_matrix(C))
+        T, Bc = fit_candidates(AggOp, np.ones((A.shape[0], 1)))
+        P_host = energy_prolongation_smoother(
+            A, T, C, Bc, None, (False, {}), krylov="cg", maxiter=4,
+            tol=1e-8, degree=1, weighting="local")
+
+        mesh = make_mesh(4)
+        n_pad = pad_to(A.shape[0], 4)
+        A_ell = _place_ell(_pad_ell(SparseELL.from_scipy(
+            A, dtype=np.float64), n_pad, n_pad), mesh, "rows")
+        P_ell, pattern = energy_smooth_sharded(
+            A_ell, sp.csr_matrix(T), sp.csr_matrix(C), Bc, mesh, "rows",
+            degree=1, maxiter=4, tol=1e-8, weighting="local",
+            dt=np.float64)
+        got = P_ell.to_scipy()[:A.shape[0], :T.shape[1]].tocsr()
+        got.sort_indices()
+        ref = sp.csr_matrix(P_host)
+        ref.sort_indices()
+        # same pattern (modulo explicit zeros the device slab keeps)
+        diff = abs(got - ref)
+        assert diff.max() < 1e-9 * max(abs(ref).max(), 1)
+
+    def test_mesh_count_consistency_and_solve(self):
+        from pyamg_tpu.parallel import make_mesh, general_sa_setup_sharded
+
+        A = poisson((32, 32), format="csr")
+        b = np.ones(A.shape[0])
+        Ps = {}
+        for nd in (1, 4):
+            sol = general_sa_setup_sharded(
+                A, mesh=make_mesh(nd), max_coarse=20,
+                smooth=("energy", {"maxiter": 4}), dtype=np.float64)
+            res = []
+            x = sol.solve(b, tol=1e-10, maxiter=100, accel="cg",
+                          residuals=res)
+            rr = (np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+                  / np.linalg.norm(b))
+            assert rr < 1e-9
+            assert len(res) - 1 <= 14
+            Ps[nd] = np.asarray(sol.inner.levels[0].P.data)
+        assert np.abs(Ps[1] - Ps[4]).max() < 1e-12
+
+
+class TestDistributedRootnodeAdaptive:
+    """Mesh-constructed rootnode + adaptive legs (parallel/setup.py,
+    reference rootnode.py:316 / adaptive.py:363)."""
+
+    def test_rootnode_mesh_consistency_and_quality(self):
+        from pyamg_tpu.parallel import make_mesh, rootnode_setup_sharded
+
+        A = poisson((32, 32), format="csr")
+        b = np.ones(A.shape[0])
+        Ps = {}
+        for nd in (1, 4):
+            sol = rootnode_setup_sharded(A, mesh=make_mesh(nd),
+                                         max_coarse=20, dtype=np.float64)
+            res = []
+            x = sol.solve(b, tol=1e-10, maxiter=100, accel="cg",
+                          residuals=res)
+            rr = (np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+                  / np.linalg.norm(b))
+            assert rr < 1e-9
+            assert len(res) - 1 <= 14     # host rootnode: 10
+            Ps[nd] = np.asarray(sol.inner.levels[0].P.data)
+        assert np.abs(Ps[1] - Ps[4]).max() < 1e-12
+
+    def test_rootnode_rap_is_galerkin(self):
+        import scipy.sparse as sp
+        from pyamg_tpu.parallel import make_mesh, rootnode_setup_sharded
+
+        A = poisson((24, 24), format="csr")
+        sol = rootnode_setup_sharded(A, mesh=make_mesh(4), max_coarse=20,
+                                     dtype=np.float64)
+        n = A.shape[0]
+        nc = sol.inner.levels[1].A_csr.shape[0]
+        P = sol.inner.levels[0].P.to_scipy()[:n, :nc]
+        Ac = sol.inner.levels[1].A_csr
+        d = abs(Ac.astype(np.float64) - (P.T @ sp.csr_matrix(A) @ P))
+        assert (d.max() if d.nnz else 0.0) < 1e-11 * abs(Ac).max()
+
+    def test_adaptive_mesh_consistency(self):
+        from pyamg_tpu.parallel import make_mesh, adaptive_sa_setup_sharded
+
+        A = poisson((32, 32), format="csr")
+        b = np.ones(A.shape[0])
+        iters = {}
+        for nd in (1, 4):
+            sol = adaptive_sa_setup_sharded(
+                A, mesh=make_mesh(nd), max_coarse=20, num_candidates=1,
+                candidate_iters=10, dtype=np.float64)
+            res = []
+            x = sol.solve(b, tol=1e-10, maxiter=200, accel="cg",
+                          residuals=res)
+            rr = (np.linalg.norm(b - A @ np.asarray(x, dtype=float))
+                  / np.linalg.norm(b))
+            assert rr < 1e-9
+            iters[nd] = len(res) - 1
+        # identical candidates (same seed, same program) -> same hierarchy
+        assert iters[1] == iters[4]
