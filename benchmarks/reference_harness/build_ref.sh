@@ -65,8 +65,11 @@ else:
 del version_info""",
       "from . import _amg_core")
 
-# (b) relative import in gallery/elasticity.py (py2 implicit relative)
+# (b) py2 implicit relative imports: any `from X import` / `import X`
+#     where X is a sibling .py module in the same package directory
 for dirpath, _dirs, files in os.walk(root):
+    sibs = {fn[:-3] for fn in files if fn.endswith(".py")
+            and fn != "__init__.py"}
     for fn in files:
         if not fn.endswith(".py"):
             continue
@@ -74,22 +77,44 @@ for dirpath, _dirs, files in os.walk(root):
         with io.open(p) as f:
             s = f.read()
         s2 = s
-        # py2 implicit relative imports inside the package
-        s2 = re.sub(r"(?m)^from linear_elasticity import",
-                    "from .linear_elasticity import", s2)
-        s2 = re.sub(r"(?m)^import linear_elasticity$",
-                    "from . import linear_elasticity", s2)
+        for sib in sibs:
+            s2 = re.sub(r"(?m)^from %s import" % re.escape(sib),
+                        "from .%s import" % sib, s2)
+            s2 = re.sub(r"(?m)^import %s$" % re.escape(sib),
+                        "from . import %s" % sib, s2)
         if s2 != s:
             with io.open(p, "w") as f:
                 f.write(s2)
 
-# (c) removed scipy.linalg.calc_lwork in krylov/_gmres.py-era code
-p = os.path.join(root, "krylov", "_gmres.py")
+# (c) removed scipy.linalg.calc_lwork in krylov/_gmres.py-era code and
+#     util/linalg.py (pinv_array's gelss workspace query; replace with the
+#     LAPACK *gelss minimum-workspace formula — square m x m blocks, m RHS:
+#     3m + max(2m, m, nrhs) = 5m, padded)
+for rel, repls in [
+    (("krylov", "_gmres.py"),
+     [("from scipy.linalg import calc_lwork", "calc_lwork = None")]),
+    (("util", "linalg.py"),
+     [("from scipy.linalg import calc_lwork", "calc_lwork = None"),
+      ("lwork = calc_lwork.gelss(gelss.prefix, m, m, m)[1]",
+       "lwork = 12 * m + 128")]),
+]:
+    p = os.path.join(root, *rel)
+    if os.path.exists(p):
+        with io.open(p) as f:
+            s = f.read()
+        s2 = s
+        for old, new in repls:
+            s2 = s2.replace(old, new)
+        if s2 != s:
+            with io.open(p, "w") as f:
+                f.write(s2)
+
+# (c2) modern numpy requires tuple (not list) advanced indices
+p = os.path.join(root, "gallery", "stencil.py")
 if os.path.exists(p):
     with io.open(p) as f:
         s = f.read()
-    s2 = s.replace("from scipy.linalg import calc_lwork",
-                   "calc_lwork = None")
+    s2 = s.replace("diag[s] = 0", "diag[tuple(s)] = 0")
     if s2 != s:
         with io.open(p, "w") as f:
             f.write(s2)

@@ -85,18 +85,104 @@ def _solve_mp(A, ml, b, **kw):
             "relres": rr}
 
 
-def _collective_counts(hlo_text):
-    """Static collective-instruction counts in a compiled HLO module (the
-    call-site spellings; `-start` covers the async forms)."""
+# v5e ICI: 1,600 Gbit/s aggregate inter-chip bandwidth per chip (public
+# spec), 4 links in a 2D torus -> ~50 GB/s per link per direction.  A 1-D
+# ring collective rides one link pair, so neighbor exchanges and ring
+# collectives are projected at this unidirectional figure.
+_ICI_GBPS = 50.0
+_ICI_OP_LATENCY_US = 1.0       # per collective launch (ring hop setup)
+
+_DTYPE_BYTES = {"f64": 8, "c64": 8, "u64": 8, "s64": 8, "f32": 4,
+                "u32": 4, "s32": 4, "c128": 16, "bf16": 2, "f16": 2,
+                "u16": 2, "s16": 2, "u8": 1, "s8": 1, "pred": 1}
+
+
+def _collective_stats(hlo_text, n_devices):
+    """Static collective census of a compiled HLO module: instruction
+    counts AND bytes-on-wire per kind, from each op's result shape.
+
+    Wire-byte model (ring algorithms, per device, per execution):
+    collective-permute = result bytes (one neighbor send); all-gather =
+    (N-1)/N x result bytes; all-reduce = 2(N-1)/N x shape bytes;
+    reduce-scatter = (N-1) x result bytes; all-to-all = (N-1)/N x bytes.
+    `-start` covers async forms (the paired `-done` carries no shape)."""
     import re
 
-    out = {}
-    for name in ("all-reduce", "all-gather", "reduce-scatter",
-                 "collective-permute", "all-to-all"):
-        n = len(re.findall(re.escape(name) + r"(?:-start)?\(", hlo_text))
-        if n:
-            out[name] = n
-    return out
+    counts, bytes_by = {}, {}
+    shape_re = re.compile(
+        r"=\s*((?:\([^)]*\))|(?:[a-z0-9]+\[[^\]]*\](?:\{[^}]*\})?))\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)(?:-start)?\(")
+    tok_re = re.compile(r"([a-z0-9]+)\[([^\]]*)\]")
+
+    def shape_bytes(tok):
+        total = 0
+        for dt, dims in tok_re.findall(tok):
+            if dt not in _DTYPE_BYTES:
+                continue
+            elems = 1
+            for d in dims.split(","):
+                d = d.strip()
+                if d:
+                    elems *= int(d)
+            total += elems * _DTYPE_BYTES[dt]
+        return total
+
+    N = max(2, int(n_devices))
+    for tok, kind in shape_re.findall(hlo_text):
+        b = shape_bytes(tok)
+        wire = {"collective-permute": b,
+                "all-gather": b * (N - 1) // N,
+                "all-reduce": 2 * b * (N - 1) // N,
+                "reduce-scatter": b * (N - 1),
+                "all-to-all": b * (N - 1) // N}[kind]
+        counts[kind] = counts.get(kind, 0) + 1
+        bytes_by[kind] = bytes_by.get(kind, 0) + wire
+    total = sum(bytes_by.values())
+    n_ops = sum(counts.values())
+    proj_ms = (total / (_ICI_GBPS * 1e9)
+               + n_ops * _ICI_OP_LATENCY_US * 1e-6) * 1e3
+    return {"counts": counts, "wire_bytes": bytes_by,
+            "total_wire_bytes": total,
+            "projected_ici_ms_per_program": round(proj_ms, 3),
+            "ici_model": f"{_ICI_GBPS:.0f} GB/s/link-direction (v5e), "
+                         f"{_ICI_OP_LATENCY_US:.0f} us/op"}
+
+
+def _level_halo_bytes(sol, n_devices):
+    """Analytic per-level halo volume of a row-sharded matvec: for each
+    level operator, the count of distinct out-of-shard columns its rows
+    reference (what an ideal neighbor exchange must move, vs whatever
+    XLA actually emits — the _collective_stats census).  One matvec,
+    both directions summed."""
+    import scipy.sparse as sp
+
+    rows = []
+    for i, lvl in enumerate(sol.levels):
+        A = getattr(lvl, "A_csr", None)
+        if A is None:
+            continue
+        A = sp.csr_matrix(A)
+        n = A.shape[0]
+        npad = -(-n // n_devices) * n_devices
+        shard = npad // n_devices
+        owner_row = np.repeat(np.arange(n_devices), shard)[:n]
+        col_owner = owner_row[np.minimum(A.indices, n - 1)]
+        row_owner = np.repeat(owner_row, np.diff(A.indptr))
+        off = col_owner != row_owner
+        # distinct (shard, remote column) pairs
+        pairs = np.unique(
+            A.indices[off].astype(np.int64)
+            + np.int64(n) * row_owner[off].astype(np.int64))
+        halo_elems = int(pairs.size)
+        halo_bytes = halo_elems * A.dtype.itemsize
+        rows.append({"level": i, "n": int(n),
+                     "halo_elems_per_matvec": halo_elems,
+                     "halo_bytes_per_matvec": halo_bytes,
+                     "ideal_ici_us_per_matvec":
+                         round(halo_bytes / (_ICI_GBPS * 1e9) * 1e6
+                               + _ICI_OP_LATENCY_US, 2)})
+    return rows
 
 
 def run_sharded(n_devices, small):
@@ -142,14 +228,22 @@ def run_sharded(n_devices, small):
     results = {"mode": "sharded", "n_devices": n_devices,
                "platform": platform, "configs": []}
 
-    def record(name, n, setup_s, solve_s, iters, relres, coll):
+    def record(name, n, setup_s, solve_s, iters, relres, coll,
+               halo=None):
         out = {"config": name, "n": int(n), "n_devices": n_devices,
                "platform": platform, "setup_s": round(setup_s, 2),
                "solve_s": round(solve_s, 4), "iters": int(iters),
                "relres": float(relres),
                "dofps": round(n / solve_s, 1),
                "per_device_dofps": round(n / solve_s / n_devices, 1),
-               "collectives_per_program": coll}
+               "collectives_per_program": coll.get("counts", coll),
+               "wire_bytes_per_program": coll.get("wire_bytes"),
+               "total_wire_bytes_per_program":
+                   coll.get("total_wire_bytes"),
+               "projected_ici_ms_per_program":
+                   coll.get("projected_ici_ms_per_program"),
+               "ici_model": coll.get("ici_model"),
+               "per_level_halo": halo}
         print(json.dumps(out))
         results["configs"].append(out)
 
@@ -188,9 +282,9 @@ def run_sharded(n_devices, small):
         jnp.asarray(b, dtype=ml.levels[0].A.dtype),
         jax.sharding.NamedSharding(mesh,
                                    jax.sharding.PartitionSpec("rows")))
-    coll = _collective_counts(accel_hlo(ml, b_dev, 60))
+    coll = _collective_stats(accel_hlo(ml, b_dev, 60), n_devices)
     record("headline_poisson_sa_sharded", n, setup_s, solve_s,
-           len(res) - 1, rr, coll)
+           len(res) - 1, rr, coll, halo=_level_halo_bytes(ml, n_devices))
 
     # 2. config 2: rotated anisotropic diffusion, classical AMG with
     #    evolution SOC — setup distributed (classical_setup_sharded:
@@ -214,10 +308,11 @@ def run_sharded(n_devices, small):
     solve2_s = time.time() - t0
     rr2 = float(np.linalg.norm(b2 - A2 @ np.asarray(x2, dtype=float))
                 / np.linalg.norm(b2))
-    coll2 = _collective_counts(
-        accel_hlo(sol.inner, sol._pad_vec(b2), 60))
+    coll2 = _collective_stats(
+        accel_hlo(sol.inner, sol._pad_vec(b2), 60), n_devices)
     record("anisotropic_classical_sharded", n2, setup2_s, solve2_s,
-           len(res2) - 1, rr2, coll2)
+           len(res2) - 1, rr2, coll2,
+           halo=_level_halo_bytes(sol.inner, n_devices))
 
     out_path = os.path.join(os.path.dirname(__file__), "results",
                             f"sharded_{platform}{n_devices}.json")

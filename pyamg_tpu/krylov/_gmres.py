@@ -115,6 +115,26 @@ def _arnoldi_cycle(mv, pre, x, b, m, tol_t, flexible=False,
     return x_new, res_hist, k, beta
 
 
+def _row_dots(V, w):
+    """h = conj(V) @ w, formulated per dtype.
+
+    TPU has no native f64: XLA emulates `dot_general` in f64 at ~600-800 us
+    per (257,4096) product, while the elementwise multiply+reduce form of
+    the SAME contraction vectorizes on the VPU at ~1/3 the cost (measured,
+    docs/design.md; this was the entire standalone-GMRES slope — 1875
+    us/iter f64 vs 45 us/iter f32).  f32 keeps the MXU dot."""
+    if V.dtype in (jnp.float64, jnp.complex128):
+        return jnp.sum(jnp.conj(V) * w[None, :], axis=1)
+    return jnp.conj(V) @ w
+
+
+def _col_accum(V, h):
+    """u = V.T @ h with the same dtype-gated formulation as _row_dots."""
+    if V.dtype in (jnp.float64, jnp.complex128):
+        return jnp.sum(V * h[:, None], axis=0)
+    return V.T @ h
+
+
 def _arnoldi_state(r, beta, m, flexible):
     """Fresh Arnoldi carry with an (m+1, n) basis buffer."""
     n = r.shape[0]
@@ -164,9 +184,9 @@ def _arnoldi_finish(x, state, flexible):
     gm = jnp.where(idx < k, g[:m], 0.0).astype(dtype)
     y = jax.scipy.linalg.solve_triangular(Rm, gm, lower=False)
     if flexible:
-        x_new = x + Z[:m].T @ y
+        x_new = x + _col_accum(Z[:m], y)
     else:
-        x_new = x + V[:m].T @ y
+        x_new = x + _col_accum(V[:m], y)
     return x_new, res_hist, k
 
 
@@ -187,10 +207,10 @@ def _arnoldi_extend(mv, pre, state, tol_t, flexible=False):
             Z_new = Z
             w = pre(mv(vj))
         # CGS2 orthogonalization against all of V (rows > j are zero)
-        h1 = jnp.conj(V) @ w
-        w = w - V.T @ h1
-        h2 = jnp.conj(V) @ w
-        w = w - V.T @ h2
+        h1 = _row_dots(V, w)
+        w = w - _col_accum(V, h1)
+        h2 = _row_dots(V, w)
+        w = w - _col_accum(V, h2)
         h = h1 + h2                          # (m+1,)
         hj1 = norm(w)
         safe = jnp.where(hj1 == 0, 1, hj1)
