@@ -50,7 +50,8 @@ if "anisotropic_1024_classical" not in out:
                                           type="FD"),
                      (1024, 1024), format="csr")))
 
-run("poisson3d_64_sa_chebyshev",
+if "poisson3d_64_sa_chebyshev" not in out:
+    run("poisson3d_64_sa_chebyshev",
     lambda: (lambda A: (A, pyamg.smoothed_aggregation_solver(
         A, presmoother=("chebyshev", {}), postsmoother=("chebyshev", {}),
         improve_candidates=None)))(
@@ -64,7 +65,8 @@ def build_elasticity():
     return A.tocsr(), ml
 
 
-run("elasticity_rbm_sa", build_elasticity, maxiter=400, rhs="normal")
+if "elasticity_rbm_sa" not in out:
+    run("elasticity_rbm_sa", build_elasticity, maxiter=400, rhs="normal")
 
 
 def build_elasticity_1m():
@@ -90,5 +92,6 @@ def build_adaptive():
     return A, ml
 
 
-run("adaptive_sa_anisotropy_1024", build_adaptive)
+if "adaptive_sa_anisotropy_1024" not in out:
+    run("adaptive_sa_anisotropy_1024", build_adaptive)
 print("ALL DONE")

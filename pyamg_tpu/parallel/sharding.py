@@ -248,12 +248,16 @@ class ShardedSolver:
     (XLA partitions it over the mesh), and un-pads the result.
     """
 
-    def __init__(self, ml: MultilevelSolver, mesh, axis_name: str = "rows"):
+    def __init__(self, ml: MultilevelSolver, mesh, axis_name: str = "rows",
+                 halo: str = "pack"):
         self.mesh = mesh
         if axis_name not in mesh.axis_names and len(mesh.axis_names) == 1:
             # adopt the caller's single mesh axis whatever they named it
             axis_name = mesh.axis_names[0]
         self.axis = axis_name
+        if halo not in ("pack", "gather"):
+            raise ValueError("halo must be 'pack' or 'gather'")
+        self.halo = halo
         nd = mesh.devices.size
         self.n_orig = ml.levels[0].A_csr.shape[0]
 
@@ -272,6 +276,21 @@ class ShardedSolver:
             sizes.append(pad_to(lvl.A_csr.shape[0], quantum))
         self.sizes = sizes
 
+        def place(E_pad):
+            """Halo-compacted when it pays, full-gather ELL otherwise.
+
+            ``build_halo_ell`` reads exactly the values the gather SpMV
+            reads (ulp-level parity) and replaces the full-vector
+            all-gather with one small pack exchange; it declines (returns
+            None) on tiny/dense-halo levels where the full gather is no
+            worse."""
+            if halo == "pack":
+                from .halo import build_halo_ell
+                Hd = build_halo_ell(E_pad, mesh, axis_name)
+                if Hd is not None:
+                    return Hd
+            return _place_ell(E_pad, mesh, axis_name)
+
         levels = []
         for i, lvl in enumerate(ml.levels):
             new = Level()
@@ -281,15 +300,13 @@ class ShardedSolver:
             # fresh from the host CSR twins, independent of the single-chip
             # format choice)
             A_ell = SparseELL.from_scipy(lvl.A_csr)
-            new.A = _place_ell(_pad_ell(A_ell, n_pad, n_pad), mesh, axis_name)
+            new.A = place(_pad_ell(A_ell, n_pad, n_pad))
             if hasattr(lvl, "P_csr") and i + 1 < len(ml.levels):
                 nc_pad = sizes[i + 1]
-                new.P = _place_ell(
-                    _pad_ell(SparseELL.from_scipy(lvl.P_csr), n_pad, nc_pad),
-                    mesh, axis_name)
-                new.R = _place_ell(
-                    _pad_ell(SparseELL.from_scipy(lvl.R_csr), nc_pad, n_pad),
-                    mesh, axis_name)
+                new.P = place(
+                    _pad_ell(SparseELL.from_scipy(lvl.P_csr), n_pad, nc_pad))
+                new.R = place(
+                    _pad_ell(SparseELL.from_scipy(lvl.R_csr), nc_pad, n_pad))
             new.presmoother = _pad_smoother(lvl.presmoother, n_pad, mesh,
                                             axis_name)
             new.postsmoother = _pad_smoother(lvl.postsmoother, n_pad, mesh,
@@ -311,9 +328,25 @@ class ShardedSolver:
 
     @classmethod
     def from_sharded_levels(cls, levels, sizes, mesh, axis_name, n_orig,
-                            coarse_spec="pinv"):
+                            coarse_spec="pinv", halo: str = "pack"):
         """Assemble from levels whose operators are ALREADY padded, placed
-        and sharded (the distributed-setup path, parallel/setup.py)."""
+        and sharded (the distributed-setup path, parallel/setup.py).
+
+        With ``halo='pack'`` (default) the solve-path operators (A/P/R of
+        every level) are re-expressed as :class:`~.halo.HaloELL` where the
+        static pack exchange beats the full-vector gather on wire bytes —
+        the setup-side pattern operators are untouched."""
+        if halo == "pack":
+            from .halo import build_halo_ell
+            from ..sparse import SparseELL
+
+            for lvl in levels:
+                for attr in ("A", "P", "R"):
+                    E = getattr(lvl, attr, None)
+                    if isinstance(E, SparseELL):
+                        Hd = build_halo_ell(E, mesh, axis_name)
+                        if Hd is not None:
+                            setattr(lvl, attr, Hd)
         self = object.__new__(cls)
         self.mesh, self.axis = mesh, axis_name
         self.sizes, self.n_orig = list(sizes), n_orig
@@ -346,11 +379,11 @@ class ShardedSolver:
 
 
 def shard_solver(ml: MultilevelSolver, mesh=None, n_devices=None,
-                 axis_name: str = "rows") -> ShardedSolver:
+                 axis_name: str = "rows", halo: str = "pack") -> ShardedSolver:
     """Shard an existing hierarchy row-wise over a device mesh."""
     if mesh is None:
         mesh = make_mesh(n_devices, axis_name)
-    return ShardedSolver(ml, mesh, axis_name)
+    return ShardedSolver(ml, mesh, axis_name, halo=halo)
 
 
 class StructuredShardedSolver:

@@ -605,3 +605,76 @@ class TestDistributedRootnodeAdaptive:
             iters[nd] = len(res) - 1
         # identical candidates (same seed, same program) -> same hierarchy
         assert iters[1] == iters[4]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestHaloELL:
+    """Halo-compacted sharded SpMV (parallel/halo.py): bitwise parity with
+    the full-gather form, and the fine level actually rides the pack."""
+
+    def test_matvec_bitwise_square_and_rect(self):
+        from pyamg_tpu.parallel.halo import build_halo_ell
+        from pyamg_tpu.parallel.sharding import _pad_ell, _place_ell, pad_to
+        from pyamg_tpu.sparse import SparseELL
+
+        A = poisson((40, 37), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=20)
+        P = ml.levels[0].P_csr
+        mesh = make_mesh(8)
+        ax = mesh.axis_names[0]
+        rng = np.random.default_rng(3)
+        for M, (nr, nc) in [(A, A.shape), (P, P.shape), (P.T.tocsr(),
+                                                         P.T.shape)]:
+            n_pad, m_pad = pad_to(nr, 8), pad_to(nc, 8)
+            E = _pad_ell(SparseELL.from_scipy(M), n_pad, m_pad)
+            Hd = build_halo_ell(E, mesh, ax, force=True)
+            assert Hd is not None
+            G = _place_ell(E, mesh, ax)
+            x = np.zeros(m_pad)
+            x[:nc] = rng.standard_normal(nc)
+            from jax.sharding import NamedSharding, PartitionSpec
+            xd = jax.device_put(x, NamedSharding(mesh, PartitionSpec(ax)))
+            yh = np.asarray(Hd.matvec(xd))
+            yg = np.asarray(G.matvec(xd))
+            # the pack reads exactly the values the global gather read;
+            # XLA may still schedule the two programs with different
+            # FMA/reassociation -> ulp-level tolerance, not bitwise
+            assert np.allclose(yh, yg, rtol=1e-13, atol=1e-15)
+            ref = M @ x[:nc]
+            assert np.allclose(yh[:nr], ref, rtol=1e-12, atol=1e-14)
+
+    def test_solve_pack_vs_gather(self):
+        # big enough that the fine levels genuinely ride the pack (see
+        # test_fine_level_is_halo); the two solves agree to solver
+        # tolerance and take the same iteration count
+        A = poisson((96, 96), format="csr")
+        b = np.random.default_rng(5).standard_normal(A.shape[0])
+        for build in (
+                lambda: pyamg_tpu.smoothed_aggregation_solver(
+                    A, max_coarse=30),
+                lambda: pyamg_tpu.ruge_stuben_solver(A, max_coarse=30)):
+            ml = build()
+            sp_ = shard_solver(ml, n_devices=8, halo="pack")
+            from pyamg_tpu.parallel.halo import HaloELL
+            assert isinstance(sp_.levels[0].A, HaloELL)
+            sg = shard_solver(ml, n_devices=8, halo="gather")
+            rp, rg = [], []
+            xp = sp_.solve(b, tol=1e-10, maxiter=40, accel="cg",
+                           residuals=rp)
+            xg = sg.solve(b, tol=1e-10, maxiter=40, accel="cg",
+                          residuals=rg)
+            assert len(rp) == len(rg)
+            assert np.allclose(xp, xg, atol=1e-8)
+            assert np.linalg.norm(b - A @ xp) < 1e-8 * np.linalg.norm(b)
+
+    def test_fine_level_is_halo(self):
+        from pyamg_tpu.parallel.halo import HaloELL
+
+        A = poisson((96, 96), format="csr")
+        ml = pyamg_tpu.smoothed_aggregation_solver(A, max_coarse=20)
+        sml = shard_solver(ml, n_devices=8)
+        assert isinstance(sml.levels[0].A, HaloELL)
+        assert isinstance(sml.levels[0].P, HaloELL)
+        # 1-D row shards of a 96x96 grid: the halo is a couple of boundary
+        # grid rows per shard, far under the 9216-entry vector
+        assert sml.levels[0].A.halo_width <= 3 * 96
