@@ -160,3 +160,16 @@ def _scipy_getattr(name):
         return getattr(np, name)
     raise AttributeError(name)
 scipy.__getattr__ = _scipy_getattr
+
+
+# modern scipy: spmatrix.sum() routes through asmatrix(_todata(self)),
+# which explodes for BSR (3-D block data cannot view as np.matrix).  The
+# reference's energy-min path calls .sum() on BSR elementwise products
+# (aggregation/smooth.py cg_prolongation_smoothing).  Sum via CSR —
+# identical entries, container-level reassociation only.
+import scipy.sparse as _sp
+
+if hasattr(_sp, "bsr_matrix"):
+    def _bsr_sum(self, axis=None, dtype=None, out=None):
+        return self.tocsr().sum(axis=axis, dtype=dtype, out=out)
+    _sp.bsr_matrix.sum = _bsr_sum
